@@ -1,0 +1,5 @@
+from open_data_linter_spark.dedup.exact import exact_duplicates  # noqa: F401
+from open_data_linter_spark.dedup.minhash import minhash_near_duplicates  # noqa: F401
+from open_data_linter_spark.dedup.simhash import simhash_near_duplicates  # noqa: F401
+from open_data_linter_spark.dedup.jaccard import ngram_jaccard_pairs  # noqa: F401
+from open_data_linter_spark.dedup.embedding import embedding_near_duplicates  # noqa: F401

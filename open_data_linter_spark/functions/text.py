@@ -1,0 +1,124 @@
+"""Text-analysis expressions for training-data pipelines.
+
+All pure Catalyst (whole-stage codegen) — language ID, quality scoring,
+token counting, fingerprinting. Used over the ``documents`` table and over
+the audio table's ``transcript`` column. These extend the engine beyond the
+reference's rule set (prompt mandate: text analysis as first-class ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small stopword lists for the heuristic scorers (top function words)
+EN_STOPWORDS = (
+    "the of and to in a is that it for on was as with be by at from are this "
+    "or an have not but had his they which you were her she all we one their"
+).split()
+JA_CHARS = r"[぀-ヿ一-鿿]"  # hiragana/katakana/CJK
+ES_STOPWORDS = "el la de que y en los del se las por un para con no una su al es".split()
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count (0 for empty/null)."""
+    t = F.trim(F.coalesce(c, F.lit("")))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """BPE-flavored token estimate: word pieces + digits + punctuation.
+
+    Splits on the GPT-2-style boundary classes (letters / digits / other),
+    approximated with a regex extract-all — a deterministic, cheap proxy for
+    tokenizer-based counts.
+    """
+    pieces = F.regexp_extract_all(
+        F.coalesce(c, F.lit("")),
+        F.lit(r"[A-Za-z]+|[0-9]|[぀-ヿ一-鿿]|[^\sA-Za-z0-9぀-ヿ一-鿿]"),
+        0,
+    )
+    return F.size(pieces)
+
+
+def _count_matches(c: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(F.coalesce(c, F.lit("")), F.lit(pattern), 0))
+
+
+def punct_ratio(c: Column) -> Column:
+    n = F.length(F.coalesce(c, F.lit("")))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        _count_matches(c, r"[\p{Punct}、。「」『』]").cast("double") / n
+    )
+
+
+def stopword_ratio(c: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of whitespace tokens that are (lowercased) stopwords."""
+    sw = [s.lower() for s in (stopwords or EN_STOPWORDS)]
+    toks = F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
+    n = token_count(c)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
+
+
+def quality_score(c: Column) -> Column:
+    """Composite [0,1] quality heuristic: length, punct balance, stopwords.
+
+    Deterministic and monotone in its inputs; meant for threshold filtering
+    of web-scale corpora, not absolute meaning.
+    """
+    n = F.length(F.coalesce(c, F.lit("")))
+    len_score = F.least(n.cast("double") / F.lit(500.0), F.lit(1.0))
+    p = punct_ratio(c)
+    punct_score = F.when(p > 0.5, F.lit(0.0)).otherwise(1.0 - p * 2.0)
+    sw = stopword_ratio(c)
+    sw_score = F.least(sw * F.lit(4.0), F.lit(1.0))
+    return F.round((len_score + punct_score + sw_score) / F.lit(3.0), 6)
+
+
+def lang_id(c: Column) -> Column:
+    """Heuristic language ID: 'ja' / 'en' / 'es' / 'unknown'.
+
+    Script detection first (any kana/CJK → ja), then stopword-hit voting.
+    A real pipeline would swap in fastText/CLD3; the Spark shape (one
+    expression, no UDF) is the point.
+    """
+    t = F.lower(F.coalesce(c, F.lit("")))
+    ja_hits = _count_matches(c, JA_CHARS)
+    toks = F.split(F.trim(t), r"\s+")
+    en_hits = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    es_hits = F.size(F.filter(toks, lambda x: x.isin(*ES_STOPWORDS)))
+    return (
+        F.when(F.length(F.trim(t)) == 0, F.lit("unknown"))
+        .when(ja_hits > 0, F.lit("ja"))
+        .when((en_hits >= es_hits) & (en_hits > 0), F.lit("en"))
+        .when(es_hits > 0, F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def normalized_fingerprint(c: Column) -> Column:
+    """Document fingerprint: md5 of lowercased, whitespace/punct-collapsed
+    text. Exact-dup detection key (content-normalized)."""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"[\p{Punct}、。]", ""),
+        r"\s+",
+        " ",
+    )
+    return F.md5(F.trim(norm))
+
+
+def shingles(c: Column, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct), for Jaccard/MinHash."""
+    toks = F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def rolling_hashes(c: Column, k: int = 3) -> Column:
+    """xxhash64 of each k-shingle — the 'rolling hash' fingerprint set."""
+    return F.transform(shingles(c, k), lambda s: F.xxhash64(s))

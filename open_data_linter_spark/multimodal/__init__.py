@@ -1,0 +1,6 @@
+from open_data_linter_spark.multimodal.media import (  # noqa: F401
+    MEDIA_SCHEMA,
+    media_features,
+    frame_sample,
+    audio_features,
+)

@@ -1,0 +1,360 @@
+"""Run orchestration: compile a ruleset into the minimum number of Spark jobs.
+
+The reference executes each check as its own full scan of the pandas frame
+(csv_linter.py:95-471). At 10^12 rows that is fatal, so the plan layer fuses:
+
+1. **Driver-side rules** (schema assertions) — zero jobs.
+2. **One fused row-scan** for ALL row/cross-column predicates: a single
+   ``groupBy(spark_partition_id())`` conditional aggregation produces every
+   rule's per-partition violation count (map-side partial agg; the shuffle
+   moves one row per input partition). A second, violation-extraction scan
+   runs only when some count is non-zero — at scale violations are sparse
+   and the extraction filter prunes aggressively.
+3. **One fused column-agg job** for all COLUMN-scoped rules + column stats.
+4. Per-rule jobs only for SHUFFLE rules (uniqueness / RI / drift) and the
+   PAYLOAD decode pass (which is itself one fused Arrow scan for all
+   payload rules).
+
+The ``bytes`` column is never referenced by (2) or (3), so Parquet column
+pruning keeps the heavy payload out of the cheap path (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_data_linter_spark.core.model import (
+    AUDIT_SCHEMA,
+    VIOLATION_SCHEMA,
+    InvalidContent,
+    LintResult,
+    Rule,
+    RuleOutcome,
+    RuleScope,
+)
+
+BLOCKED_MESSAGE = "チェックできませんでした (blocked: table failed the readability gate)"
+
+
+@dataclass
+class RunReport:
+    """Materialized outcome of a validation run (small: summaries only).
+
+    ``violations`` stays a lazy DataFrame — write it or collect it; the
+    per-rule matrix only needs counts.
+    """
+
+    run_id: str
+    results: dict[str, LintResult]
+    violations: Optional[DataFrame]
+    partition_summaries: list[dict]  # per (rule_id, partition_id)
+    metrics: dict[str, dict[str, float]]
+    blocked: bool = False
+    wall_secs: dict[str, float] = field(default_factory=dict)
+
+    def is_valid(self, rule_id: str) -> Optional[bool]:
+        return self.results[rule_id].is_valid
+
+    def matrix(self) -> dict[str, Optional[bool]]:
+        return {rid: r.is_valid for rid, r in self.results.items()}
+
+    def to_dict(self) -> dict:
+        return {rid: r.to_dict() for rid, r in self.results.items()}
+
+
+def _safe_alias(rule_id: str, column: Optional[str], i: int) -> str:
+    col = (column or "row").replace("-", "_")
+    return f"v_{rule_id.replace('-', '_')}__{col}__{i}"
+
+
+class ValidationRun:
+    def __init__(
+        self,
+        spark: SparkSession,
+        rules: list[Rule],
+        run_id: str | None = None,
+        collect_violation_rows: bool = True,
+        max_collected_violations: int = 100_000,
+    ) -> None:
+        self.spark = spark
+        self.rules = rules
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.collect_violation_rows = collect_violation_rows
+        self.max_collected_violations = max_collected_violations
+
+    # ------------------------------------------------------------------ row
+
+    def _fused_row_scan(
+        self, df: DataFrame, rules: list[Rule]
+    ) -> tuple[list[dict], Optional[DataFrame]]:
+        """One conditional-agg pass for counts + one extraction pass."""
+        flag_specs = []  # (rule, column_label, alias, Column)
+        for r in rules:
+            for i, (colname, builder) in enumerate(r.predicates or []):
+                alias = _safe_alias(r.rule_id, colname, i)
+                flag = builder(df)
+                flag_specs.append((r, colname, alias, flag))
+        if not flag_specs:
+            return [], None
+
+        pid = F.spark_partition_id().alias("partition_id")
+        aggs = [
+            F.sum(F.when(flag, F.lit(1)).otherwise(F.lit(0))).alias(alias)
+            for (_, _, alias, flag) in flag_specs
+        ] + [F.count(F.lit(1)).alias("__rows")]
+        summary_rows = df.groupBy(pid).agg(*aggs).collect()
+
+        summaries: list[dict] = []
+        any_violation = False
+        for row in summary_rows:
+            d = row.asDict()
+            for r, colname, alias, _ in flag_specs:
+                cnt = int(d[alias] or 0)
+                any_violation = any_violation or cnt > 0
+                summaries.append(
+                    {
+                        "rule_id": r.rule_id,
+                        "column": colname,
+                        "partition_id": d["partition_id"],
+                        "violation_count": cnt,
+                        "rows_scanned": int(d["__rows"]),
+                    }
+                )
+
+        violations_df: Optional[DataFrame] = None
+        if any_violation and self.collect_violation_rows:
+            key = F.col("clip_id") if "clip_id" in df.columns else F.lit(None).cast("string")
+            structs = [
+                F.struct(
+                    F.lit(r.rule_id).alias("rule_id"),
+                    F.lit(colname).cast("string").alias("column"),
+                    F.lit(r.message).alias("message"),
+                    flag.cast("boolean").alias("flag"),
+                )
+                for (r, colname, alias, flag) in flag_specs
+            ]
+            arr = F.array(*structs)
+            hits = F.filter(arr, lambda s: F.coalesce(s["flag"], F.lit(False)))
+            violations_df = (
+                df.select(
+                    key.alias("clip_id"),
+                    F.spark_partition_id().alias("partition_id"),
+                    hits.alias("hits"),
+                )
+                .where(F.size("hits") > 0)
+                .select(
+                    F.explode("hits").alias("h"),
+                    "clip_id",
+                    "partition_id",
+                )
+                .select(
+                    F.col("h.rule_id").alias("rule_id"),
+                    "clip_id",
+                    F.col("h.column").alias("column"),
+                    F.col("h.message").alias("message"),
+                    "partition_id",
+                )
+            )
+        return summaries, violations_df
+
+    # --------------------------------------------------------------- column
+
+    def _fused_column_aggs(self, df: DataFrame, rules: list[Rule]) -> dict[str, RuleOutcome]:
+        exprs: dict[str, Any] = {}
+        per_rule_aliases: dict[str, list[str]] = {}
+        for r in rules:
+            named = r.agg_exprs(df) if r.agg_exprs else {}
+            aliases = []
+            for name, colexpr in named.items():
+                alias = f"{r.rule_id.replace('-', '_')}__{name}"
+                exprs[alias] = colexpr.alias(alias)
+                aliases.append((alias, name))
+            per_rule_aliases[r.rule_id] = aliases
+        outcomes: dict[str, RuleOutcome] = {}
+        if not exprs:
+            return outcomes
+        row = df.agg(*exprs.values()).collect()[0].asDict()
+        for r in rules:
+            values = {name: row[alias] for alias, name in per_rule_aliases[r.rule_id]}
+            outcomes[r.rule_id] = r.agg_eval(values) if r.agg_eval else RuleOutcome(
+                r.rule_id, True, metrics={k: float(v or 0) for k, v in values.items()}
+            )
+        return outcomes
+
+    # ------------------------------------------------------------------ run
+
+    def run(self, df: DataFrame, ctx: dict | None = None) -> RunReport:
+        ctx = dict(ctx or {})
+        ctx.setdefault("run_id", self.run_id)
+        results: dict[str, LintResult] = {}
+        metrics: dict[str, dict[str, float]] = {}
+        wall: dict[str, float] = {}
+        all_violation_dfs: list[DataFrame] = []
+        partition_summaries: list[dict] = []
+
+        by_scope: dict[RuleScope, list[Rule]] = {}
+        for r in self.rules:
+            by_scope.setdefault(r.scope, []).append(r)
+
+        # 1. TABLE scope first: contains the readability gate (1-1 analog,
+        #    before_check_1_1 semantics funcs.py:98-106). A gate failure
+        #    blocks every later rule with is_valid=None.
+        blocked = False
+        t0 = time.time()
+        for r in by_scope.get(RuleScope.TABLE, []):
+            out = r.runner(self.spark, df, ctx)
+            results[r.rule_id] = self._outcome_to_result(out)
+            metrics[r.rule_id] = out.metrics
+            if out.violations is not None:
+                all_violation_dfs.append(out.violations)
+            if out.is_valid is False and ctx.get("gate_rules", set()) and r.rule_id in ctx["gate_rules"]:
+                blocked = True
+        wall["table"] = time.time() - t0
+
+        if blocked:
+            for scope in (RuleScope.ROW, RuleScope.CROSS_COLUMN, RuleScope.COLUMN,
+                          RuleScope.SHUFFLE, RuleScope.PAYLOAD):
+                for r in by_scope.get(scope, []):
+                    results[r.rule_id] = LintResult.simple_error(BLOCKED_MESSAGE, is_valid=None)
+            return RunReport(self.run_id, results, None, [], metrics, blocked=True, wall_secs=wall)
+
+        # 2. fused row scan (row + cross-column predicates)
+        t0 = time.time()
+        row_rules = by_scope.get(RuleScope.ROW, []) + by_scope.get(RuleScope.CROSS_COLUMN, [])
+        summaries, row_violations = self._fused_row_scan(df, row_rules)
+        partition_summaries.extend(summaries)
+        if row_violations is not None:
+            all_violation_dfs.append(row_violations)
+        for r in row_rules:
+            mine = [s for s in summaries if s["rule_id"] == r.rule_id]
+            total = sum(s["violation_count"] for s in mine)
+            results[r.rule_id] = self._counts_to_result(r, mine, total)
+            metrics[r.rule_id] = {"violation_count": float(total)}
+        wall["row_scan"] = time.time() - t0
+
+        # 3. fused column aggregates
+        t0 = time.time()
+        col_outcomes = self._fused_column_aggs(df, by_scope.get(RuleScope.COLUMN, []))
+        for rid, out in col_outcomes.items():
+            results[rid] = self._outcome_to_result(out)
+            metrics[rid] = out.metrics
+            if out.violations is not None:
+                all_violation_dfs.append(out.violations)
+        wall["column_aggs"] = time.time() - t0
+
+        # 4. shuffle rules, then payload rules (each runner is one job; the
+        #    payload runner fuses every payload rule into one Arrow pass)
+        for scope_name, scope in (("shuffle", RuleScope.SHUFFLE), ("payload", RuleScope.PAYLOAD)):
+            t0 = time.time()
+            for r in by_scope.get(scope, []):
+                out = r.runner(self.spark, df, ctx)
+                results[r.rule_id] = self._outcome_to_result(out)
+                metrics[r.rule_id] = out.metrics
+                if out.violations is not None:
+                    all_violation_dfs.append(out.violations)
+            wall[scope_name] = time.time() - t0
+
+        violations = None
+        if all_violation_dfs:
+            violations = all_violation_dfs[0]
+            for v in all_violation_dfs[1:]:
+                violations = violations.unionByName(v)
+
+        report = RunReport(
+            self.run_id, results, violations, partition_summaries, metrics, wall_secs=wall
+        )
+        self._attach_violation_cells(report)
+        cached = ctx.get("_decode_results")
+        if cached is not None:
+            # release the shared decode cache; report.violations stays valid
+            # (recomputes through the decode pass if re-consumed later)
+            cached.unpersist()
+        return report
+
+    # -------------------------------------------------------------- helpers
+
+    def _counts_to_result(self, rule: Rule, summaries: list[dict], total: int) -> LintResult:
+        if total == 0:
+            return LintResult(is_valid=True)
+        return LintResult(is_valid=False, invalid_contents=[InvalidContent(rule.message, [])])
+
+    def _outcome_to_result(self, out: RuleOutcome) -> LintResult:
+        if out.is_valid is None:
+            return LintResult.simple_error(BLOCKED_MESSAGE, is_valid=None)
+        contents = []
+        if out.column_findings:
+            for column, msg in out.column_findings:
+                contents.append(InvalidContent(msg, [(None, column)]))
+        if out.is_valid:
+            return LintResult(is_valid=True, invalid_contents=contents)
+        if not contents:
+            contents = [InvalidContent(f"rule {out.rule_id} violated", [])]
+        return LintResult(is_valid=False, invalid_contents=contents)
+
+    def _attach_violation_cells(self, report: RunReport) -> None:
+        """Collect violating (clip_id, column) pairs into the LintResults.
+
+        Only for interactive/test use — capped, and skipped entirely when
+        ``collect_violation_rows`` is off (the at-scale path writes the
+        violations DataFrame to the audit table instead).
+        """
+        if report.violations is None or not self.collect_violation_rows:
+            return
+        rows = report.violations.limit(self.max_collected_violations).collect()
+        by_rule: dict[str, dict[str, list]] = {}
+        for row in rows:
+            by_rule.setdefault(row.rule_id, {}).setdefault(
+                row.message or "", []
+            ).append((row.clip_id, row.column))
+        for rid, by_msg in by_rule.items():
+            contents = [InvalidContent(msg, cells) for msg, cells in by_msg.items()]
+            prev = report.results.get(rid)
+            is_valid = prev.is_valid if prev else False
+            report.results[rid] = LintResult(
+                is_valid=False if is_valid is not None else None,
+                invalid_contents=contents,
+            )
+
+    # ---------------------------------------------------------------- audit
+
+    def audit_rows(self, report: RunReport) -> DataFrame:
+        """Per-partition lineage + metrics rows (AUDIT_SCHEMA)."""
+        ts = int(time.time())
+        rows = []
+        for s in report.partition_summaries:
+            rows.append(
+                (
+                    report.run_id,
+                    s["partition_id"],
+                    s["rule_id"],
+                    s["violation_count"] == 0,
+                    s["violation_count"],
+                    s["rows_scanned"],
+                    {},
+                    ts,
+                )
+            )
+        for rid, m in report.metrics.items():
+            rows.append(
+                (
+                    report.run_id,
+                    None,
+                    rid,
+                    report.results[rid].is_valid,
+                    None,
+                    None,
+                    {k: float(v) for k, v in m.items()},
+                    ts,
+                )
+            )
+        return self.spark.createDataFrame(rows, AUDIT_SCHEMA)
+
+
+def empty_violations(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], VIOLATION_SCHEMA)

@@ -1,0 +1,152 @@
+"""Distribution-drift rules: KS + chi-square over fixed-bin histograms.
+
+North-rule mandate: "KS/chi-square distribution-drift checks on sr_hz/dur_ms
+histograms aggregated with treeAggregate" (BASELINE.json). In DataFrame
+terms the tree aggregation is ``groupBy(bin).count()`` — Catalyst's partial
+(map-side) + final hash aggregation IS a 2-level tree reduce, and the
+shuffle carries exactly #bins rows per input partition. The statistics are
+then computed driver-side on the tiny histogram with numpy (no scipy in the
+environment; asymptotic critical values, SURVEY.md §7(c)).
+
+Conceptual seed in the reference: the classifier's "column looks like type T
+at rate > 0.8" test (column_classifier.py:112-115) is a crude one-bin
+distribution check; these rules are its proper statistical generalization.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_data_linter_spark.core.model import Rule, RuleOutcome, RuleScope
+
+
+def histogram(df: DataFrame, column: str, bin_edges: Sequence[float] | None = None) -> DataFrame:
+    """Fixed-bin histogram as (bin, count).
+
+    ``bin_edges=None`` → categorical histogram (value = bin), for
+    low-cardinality columns like sr_hz. Otherwise ``width_bucket``-style
+    binning over the given monotonically increasing edges.
+    """
+    c = F.col(column)
+    if bin_edges is None:
+        b = c.cast("double")
+    else:
+        edges = list(map(float, bin_edges))
+        b = F.lit(0)
+        for i, e in enumerate(edges):
+            b = F.when(c.cast("double") >= F.lit(e), F.lit(i + 1)).otherwise(b)
+    return (
+        df.where(c.isNotNull())
+        .groupBy(b.cast("double").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def _align(obs: dict[float, int], exp: dict[float, int]) -> tuple[np.ndarray, np.ndarray]:
+    bins = sorted(set(obs) | set(exp))
+    o = np.array([obs.get(b, 0) for b in bins], dtype=np.float64)
+    e = np.array([exp.get(b, 0) for b in bins], dtype=np.float64)
+    return o, e
+
+
+def ks_statistic(obs: np.ndarray, exp: np.ndarray) -> float:
+    """Two-sample KS statistic on binned counts (max CDF gap)."""
+    if obs.sum() == 0 or exp.sum() == 0:
+        return 1.0
+    cdf_o = np.cumsum(obs) / obs.sum()
+    cdf_e = np.cumsum(exp) / exp.sum()
+    return float(np.max(np.abs(cdf_o - cdf_e)))
+
+
+def ks_critical(n: float, m: float, alpha: float = 0.01) -> float:
+    """Asymptotic two-sample KS critical value c(α)·sqrt((n+m)/nm)."""
+    c_alpha = math.sqrt(-0.5 * math.log(alpha / 2.0))
+    return c_alpha * math.sqrt((n + m) / (n * m))
+
+
+def chi2_statistic(obs: np.ndarray, exp: np.ndarray) -> tuple[float, int]:
+    """Pearson chi-square of obs against exp scaled to obs total; dof."""
+    n_o, n_e = obs.sum(), exp.sum()
+    if n_o == 0 or n_e == 0:
+        return float("inf"), max(1, len(obs) - 1)
+    e_scaled = exp * (n_o / n_e)
+    mask = e_scaled > 0
+    stat = float(np.sum((obs[mask] - e_scaled[mask]) ** 2 / e_scaled[mask]))
+    # bins observed where expected==0 are infinite-evidence drift
+    if np.any(obs[~mask] > 0):
+        stat = float("inf")
+    dof = max(1, int(mask.sum()) - 1)
+    return stat, dof
+
+
+def chi2_critical(dof: int, alpha: float = 0.01) -> float:
+    """Wilson–Hilferty approximation to the chi-square quantile."""
+    z = {0.05: 1.6449, 0.01: 2.3263, 0.001: 3.0902}.get(alpha, 2.3263)
+    k = float(dof)
+    return k * (1.0 - 2.0 / (9.0 * k) + z * math.sqrt(2.0 / (9.0 * k))) ** 3
+
+
+def make_drift_rule(
+    rule_id: str,
+    column: str,
+    bin_edges: Sequence[float] | None = None,
+    alpha: float = 0.01,
+    baseline_ctx_key: str = "baseline_hist",
+) -> Rule:
+    """Drift rule for one column against ctx[baseline_ctx_key][column].
+
+    The baseline is ``{bin_value: expected_count}`` (frozen from a known-good
+    batch, FIXTURES.md §2 `baseline_hist`).
+    """
+
+    def runner(spark: SparkSession, df: DataFrame, ctx: dict) -> RuleOutcome:
+        baselines = ctx.get(baseline_ctx_key) or {}
+        exp = baselines.get(column)
+        if not exp:
+            return RuleOutcome(rule_id, is_valid=None, metrics={})
+        obs_rows = histogram(df, column, bin_edges).collect()
+        obs = {float(r["bin"]): int(r["count"]) for r in obs_rows}
+        o, e = _align(obs, {float(k): int(v) for k, v in exp.items()})
+        ks = ks_statistic(o, e)
+        ks_crit = ks_critical(o.sum(), e.sum(), alpha)
+        chi2, dof = chi2_statistic(o, e)
+        chi2_crit = chi2_critical(dof, alpha)
+        drifted = ks > ks_crit or chi2 > chi2_crit
+        return RuleOutcome(
+            rule_id,
+            is_valid=not drifted,
+            metrics={
+                "ks_stat": ks,
+                "ks_critical": ks_crit,
+                "chi2_stat": chi2 if math.isfinite(chi2) else 1e18,
+                "chi2_critical": chi2_crit,
+                "dof": float(dof),
+                "n_obs": float(o.sum()),
+            },
+            column_findings=(
+                [(column, f"distribution drift on {column}: ks={ks:.4f} (crit {ks_crit:.4f}), "
+                          f"chi2={chi2:.1f} (crit {chi2_crit:.1f})")]
+                if drifted
+                else []
+            ),
+        )
+
+    return Rule(
+        rule_id=rule_id,
+        description=f"distribution drift (KS + chi-square) on {column}",
+        scope=RuleScope.SHUFFLE,
+        runner=runner,
+    )
+
+
+def freeze_baseline(df: DataFrame, column: str, bin_edges: Sequence[float] | None = None) -> dict:
+    """Compute {bin: count} from a known-good batch (baseline_hist builder)."""
+    return {
+        float(r["bin"]): int(r["count"])
+        for r in histogram(df, column, bin_edges).collect()
+    }
