@@ -1,38 +1,593 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``: flagship query smoke check at sf0.001.
+``queries()``: one entry per implemented operator family (SURVEY.md §2 +
+north-rule additions); each callable takes (spark, sf_dir) → DataFrame.
+``oracle_sql()``: DuckDB-equivalent ANSI SQL for every SQL-expressible
+query (same column names/aliases — the driver hash-compares values).
+Non-SQL-expressible entries (audio decode matrix, minhash/simhash LSH)
+have no oracle → rows-only check, as the contract allows.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# make the engine importable when the driver runs this file from elsewhere
+_REPO = os.path.dirname(os.path.abspath(__file__))
+import sys  # noqa: E402
+
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from open_data_linter_spark.functions import text as TX  # noqa: E402
+from open_data_linter_spark.functions.vectors import cosine  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H-ish rule primitives (SQL-expressible halves of the validation engine)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the engine's fused conditional-aggregation scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # rounded: double-sum order differs across engines/partitionings
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_column_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule column stats: min/max/null-count in ONE fused agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.sum(F.col("l_discount").isNull().cast("long")).alias("null_discount"),
+        F.count(F.lit(1)).alias("row_count"),
+        F.count_distinct(F.col("l_returnflag")).alias("distinct_returnflag"),
+    )
+
+
+def q_null_rates_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule 1-6 analog: per-column null counts + rates (one pass)."""
+    o = _t(spark, sf_dir, "orders")
+    total = F.count(F.lit(1))
+    aggs = [total.alias("row_count")]
+    for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"):
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"))
+    return o.agg(*aggs)
+
+
+def q_dup_keys_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness rule shape (salted two-stage): o_orderkey dups (expect 0)."""
+    from open_data_linter_spark.rules.uniqueness import duplicate_keys
+
+    o = _t(spark, sf_dir, "orders")
+    return duplicate_keys(o, "o_orderkey").orderBy("o_orderkey").select(
+        F.col("o_orderkey"), F.col("dup_count")
+    )
+
+
+def q_dup_custkeys_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-key detection with a non-empty answer: customers with >1 order."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") > 1)
+        .orderBy("o_custkey")
+    )
+
+
+def q_ri_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule 1-12 analog: broadcast anti-join RI (orders → customer)."""
+    from open_data_linter_spark.rules.referential import anti_members
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        anti_members(o, c, "o_custkey", "c_custkey", broadcast=True)
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    )
+
+
+def q_ri_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RI without broadcast (sort-merge path): lineitem → orders."""
+    from open_data_linter_spark.rules.referential import anti_members
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        anti_members(li, o, "l_orderkey", "o_orderkey", broadcast=False)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("l_orderkey")
+    )
+
+
+def q_value_domain_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule 1-13 analog: value-domain check + distribution in one result."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max((~F.col("l_returnflag").isin("A", "N", "R")).cast("int")).alias("out_of_domain"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-rule histogram: fixed-width bins, map-side partial agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    bin_expr = F.floor(F.col("l_extendedprice") / F.lit(10000.0)).cast("long")
+    return (
+        li.groupBy(bin_expr.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bin")
+    )
+
+
+def q_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling over the events table: per-type counts + value stats."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count_distinct("user_id").alias("distinct_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-style profile: per-column null/distinct counts (long format)."""
+    d = _t(spark, sf_dir, "documents")
+    rows = []
+    for c in ("lang", "source"):
+        rows.append(
+            d.agg(
+                F.lit(c).alias("column_name"),
+                F.sum(F.col(c).isNull().cast("long")).alias("null_count"),
+                F.count_distinct(F.col(c)).alias("distinct_count"),
+                F.min(F.col(c)).alias("min_value"),
+                F.max(F.col(c)).alias("max_value"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("column_name")
+
+
+# --------------------------------------------------------------------------
+# Text analysis (documents table)
+# --------------------------------------------------------------------------
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n = TX.token_count(F.col("text"))
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sw = [s.lower() for s in TX.EN_STOPWORDS]
+    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    ratio = F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        hits.alias("stopword_hits"),
+        F.round(ratio, 4).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("lang_guess")).orderBy(
+        "doc_id"
+    )
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.normalized_fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def q_whitespace_lint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule 1-5 over documents: leading/trailing/double whitespace."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(F.col("text").rlike(r"^\s|\s$|\s{2,}")).select("doc_id").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Deduplication / similarity
+# --------------------------------------------------------------------------
+
+
+def q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_data_linter_spark.dedup.exact import exact_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_duplicates(d).select("fingerprint", "dup_count").orderBy("fingerprint")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_data_linter_spark.dedup.jaccard import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, k=2, threshold=0.2)
+
+
+def q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dups — hash-permutation internals are engine-specific,
+    so no SQL oracle (rows-only check)."""
+    from open_data_linter_spark.dedup.minhash import minhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, k=2, threshold=0.5)
+
+
+def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (rows-only: xxhash64 bit internals)."""
+    from open_data_linter_spark.dedup.simhash import simhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, max_hamming=3)
+
+
+def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_data_linter_spark.dedup.embedding import embedding_near_duplicates
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(e, threshold=0.45)
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the first 8 vectors as queries."""
+    from open_data_linter_spark.similarity.knn import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    return brute_force_topk(e, q, k=5).orderBy("query_id", "rank")
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only: bucket assignment is engine-specific)."""
+    from open_data_linter_spark.similarity.knn import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    return lsh_topk(e, q, k=5, bits=6, dim=64).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# Audio validation engine (rows-only: payload synthesis + Arrow decode)
+# --------------------------------------------------------------------------
+
+_AUDIO_N = 512
+_AUDIO_PARTS = 16
+_AUDIO_CORRUPT = {
+    3: "1-5", 10: "uniq", 20: "payload_snr", 30: "1-12", 40: "1-2",
+    50: "1-3", 60: "1-7", 70: "1-13", 80: "1-11", 90: "1-1",
+}
+
+
+def q_audio_validation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine run over a deterministic 512-clip synthetic batch with 10
+    seeded violations; returns the per-rule summary matrix."""
+    from open_data_linter_spark.plans.run import ValidationRun
+    from open_data_linter_spark.rules.audio_rules import build_audio_ruleset
+    from open_data_linter_spark.sources.fixtures import make_fixture
+
+    clips, ctx = make_fixture(
+        spark, n=_AUDIO_N, num_partitions=_AUDIO_PARTS, corrupt=_AUDIO_CORRUPT
+    )
+    run = ValidationRun(spark, build_audio_ruleset(), collect_violation_rows=True)
+    report = run.run(clips, ctx)
+    rows = [
+        (rid, res.is_valid, float(report.metrics.get(rid, {}).get("violation_count", -1)))
+        for rid, res in sorted(report.results.items())
+    ]
+    return spark.createDataFrame(rows, "rule_id string, pass boolean, violation_count double")
+
+
+def q_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow decode pass + feature extraction over clean synthetic clips."""
+    from open_data_linter_spark.audio.synth import synthesize_clips
+    from open_data_linter_spark.multimodal.media import audio_features
+
+    clips = synthesize_clips(spark, 256, 8)
+    feats = audio_features(clips)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.round(F.sum("duration_s"), 2).alias("total_duration_s"),
+        F.round(F.avg("rms_energy"), 4).alias("avg_rms"),
+        F.round(F.max("peak"), 4).alias("max_peak"),
+    )
+
+
+# --------------------------------------------------------------------------
+# contract
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "column_stats_lineitem": q_column_stats_lineitem,
+        "null_rates_orders": q_null_rates_orders,
+        "dup_keys_orders": q_dup_keys_orders,
+        "dup_custkeys_orders": q_dup_custkeys_orders,
+        "ri_orders_customer": q_ri_orders_customer,
+        "ri_lineitem_orders": q_ri_lineitem_orders,
+        "value_domain_returnflag": q_value_domain_returnflag,
+        "histogram_extendedprice": q_histogram_extendedprice,
+        "events_user_activity": q_events_user_activity,
+        "profile_documents": q_profile_documents,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "whitespace_lint_documents": q_whitespace_lint_documents,
+        "exact_dups": q_exact_dups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_neardups": q_minhash_neardups,
+        "simhash_neardups": q_simhash_neardups,
+        "embedding_neardups": q_embedding_neardups,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        "audio_validation_matrix": q_audio_validation_matrix,
+        "audio_decode_features": q_audio_decode_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_EN_SW_SQL = "[" + ",".join(f"'{w}'" for w in TX.EN_STOPWORDS) + "]"
+_ES_SW_SQL = "[" + ",".join(f"'{w}'" for w in TX.ES_STOPWORDS) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "column_stats_lineitem": """
+            SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+                   min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+                   sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS null_discount,
+                   count(*) AS row_count,
+                   count(DISTINCT l_returnflag) AS distinct_returnflag
+            FROM lineitem
+        """,
+        "null_rates_orders": """
+            SELECT count(*) AS row_count,
+                   sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nulls_o_orderkey,
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nulls_o_custkey,
+                   sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nulls_o_orderstatus,
+                   sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nulls_o_totalprice,
+                   sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nulls_o_orderdate
+            FROM orders
+        """,
+        "dup_keys_orders": """
+            SELECT o_orderkey, count(*) AS dup_count
+            FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+            ORDER BY o_orderkey
+        """,
+        "dup_custkeys_orders": """
+            SELECT o_custkey, count(*) AS n_orders
+            FROM orders GROUP BY o_custkey HAVING count(*) > 1
+            ORDER BY o_custkey
+        """,
+        "ri_orders_customer": """
+            SELECT o_orderkey, o_custkey FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+            ORDER BY o_orderkey
+        """,
+        "ri_lineitem_orders": """
+            SELECT l_orderkey, count(*) AS n_rows FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+            GROUP BY l_orderkey ORDER BY l_orderkey
+        """,
+        "value_domain_returnflag": """
+            SELECT l_returnflag, count(*) AS cnt,
+                   max(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS out_of_domain
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "histogram_extendedprice": """
+            SELECT CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bin, count(*) AS cnt
+            FROM lineitem GROUP BY 1 ORDER BY bin
+        """,
+        "events_user_activity": """
+            SELECT event_type, count(*) AS cnt,
+                   round(sum(value), 4) AS sum_value,
+                   count(DISTINCT user_id) AS distinct_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "profile_documents": """
+            SELECT 'lang' AS column_name,
+                   sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_count,
+                   count(DISTINCT lang) AS distinct_count,
+                   min(lang) AS min_value, max(lang) AS max_value
+            FROM documents
+            UNION ALL
+            SELECT 'source', sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT source), min(source), max(source)
+            FROM documents
+            ORDER BY column_name
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                   length(text) AS n_chars_actual
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_scores": rf"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS t,
+                     CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   len(list_filter(t, x -> list_contains({_EN_SW_SQL}, x))) AS stopword_hits,
+                   round(CASE WHEN n_tokens = 0 THEN 0.0
+                         ELSE len(list_filter(t, x -> list_contains({_EN_SW_SQL}, x))) * 1.0 / n_tokens END, 4)
+                     AS stopword_ratio
+            FROM toks ORDER BY doc_id
+        """,
+        "lang_id": rf"""
+            WITH toks AS (
+              SELECT doc_id, lang, text,
+                     string_split_regex(trim(lower(coalesce(text,''))), '\s+') AS t
+              FROM documents
+            )
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN length(trim(lower(coalesce(text,'')))) = 0 THEN 'unknown'
+                     WHEN len(regexp_extract_all(coalesce(text,''), '[぀-ヿ一-鿿]')) > 0 THEN 'ja'
+                     WHEN len(list_filter(t, x -> list_contains({_EN_SW_SQL}, x))) >=
+                          len(list_filter(t, x -> list_contains({_ES_SW_SQL}, x)))
+                          AND len(list_filter(t, x -> list_contains({_EN_SW_SQL}, x))) > 0 THEN 'en'
+                     WHEN len(list_filter(t, x -> list_contains({_ES_SW_SQL}, x))) > 0 THEN 'es'
+                     ELSE 'unknown'
+                   END AS lang_guess
+            FROM toks ORDER BY doc_id
+        """,
+        "fingerprints": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(coalesce(text,'')),
+                       '[[:punct:]、。]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "whitespace_lint_documents": r"""
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(text, '^\s|\s$|\s{2,}')
+            ORDER BY doc_id
+        """,
+        "exact_dups": r"""
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(regexp_replace(lower(coalesce(text,'')),
+                         '[[:punct:]、。]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+              FROM documents
+            )
+            SELECT fingerprint, count(*) AS dup_count
+            FROM fp GROUP BY fingerprint HAVING count(*) > 1
+            ORDER BY fingerprint
+        """,
+        "ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     string_split_regex(trim(lower(coalesce(text,''))), '\s+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT id,
+                     CASE WHEN len(t) >= 2 THEN
+                       list_distinct(list_transform(generate_series(1, len(t)-1),
+                                     i -> array_to_string(t[i:i+1], ' ')))
+                     WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                     ELSE [] END AS s
+              FROM toks
+            ), nonempty AS (
+              SELECT id, s, len(s) AS n_sh FROM sh WHERE len(s) > 0
+            ), inv AS (
+              SELECT id, unnest(s) AS shingle FROM nonempty
+            ), inter AS (
+              SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_inter
+              FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.id < r.id
+              GROUP BY l.id, r.id
+            )
+            SELECT i.id_a, i.id_b,
+                   round(i.n_inter * 1.0 / (a.n_sh + b.n_sh - i.n_inter), 6) AS jaccard
+            FROM inter i
+            JOIN nonempty a ON a.id = i.id_a
+            JOIN nonempty b ON b.id = i.id_b
+            WHERE i.n_inter * 1.0 / (a.n_sh + b.n_sh - i.n_inter) >= 0.2
+            ORDER BY id_a, id_b
+        """,
+        "embedding_neardups": """
+            -- cast to DOUBLE[]: the engine computes cosine in float64, and
+            -- DuckDB's list_cosine_similarity on FLOAT[] stays in float32
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+            ORDER BY id_a, id_b
+        """,
+        "knn_bruteforce": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim
+              FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id != q.vec_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cos_sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank
+        """,
+    }

@@ -1,0 +1,115 @@
+"""Benchmark harness: headline queries + validation throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "clips_per_sec": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local core count (default 32)
+  SPARK_GRAFT_BENCH_CLIPS  synthetic audio rows for the validation run
+                           (default 20000)
+
+The validation phase synthesizes the audio table ONCE to parquet (not
+timed), then times a full ValidationRun (all rule families incl. the Arrow
+decode pass) reading it back — that is the north-rule metric
+(validation clips/sec).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from open_data_linter_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CLIPS = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "20000"))
+
+HEADLINE = [
+    "pricing_summary",
+    "column_stats_lineitem",
+    "dup_custkeys_orders",
+    "ri_orders_customer",
+    "histogram_extendedprice",
+    "token_counts",
+    "fingerprints",
+    "minhash_neardups",
+    "knn_bruteforce",
+]
+
+
+def time_action(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from open_data_linter_spark.audio.synth import synthesize_clips, synthesize_reference
+    from open_data_linter_spark.plans.run import ValidationRun
+    from open_data_linter_spark.rules.audio_rules import build_audio_ruleset
+    from open_data_linter_spark.sources.fixtures import make_fixture
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
+    sc_parts = max(CPUS * 8, 64)  # >=256 at 32 cores: both configs fully subscribed
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, SF_DIR)
+        timings[name] = round(time_action(lambda d=df: d.collect()), 3)
+
+    # ---- validation throughput over the synthetic audio table ----
+    tmp = tempfile.mkdtemp(prefix="odl_bench_")
+    clips_path = os.path.join(tmp, "clips")
+    ref_path = os.path.join(tmp, "refs")
+    synthesize_clips(spark, N_CLIPS, sc_parts).write.mode("overwrite").parquet(clips_path)
+    synthesize_reference(spark, N_CLIPS, sc_parts).write.mode("overwrite").parquet(ref_path)
+
+    clips = spark.read.parquet(clips_path)
+    _, ctx = make_fixture(spark, n=64, num_partitions=4, with_reference=False)
+    from open_data_linter_spark.rules.drift import joint_histograms
+    from open_data_linter_spark.sources.fixtures import DUR_BIN_EDGES, clip_manifest
+
+    ctx["reference_clips"] = spark.read.parquet(ref_path)
+    ctx["clip_manifest"] = clip_manifest(spark, N_CLIPS)
+    ctx["baseline_hist"] = joint_histograms(
+        clips, [("sr_hz", None), ("dur_ms", DUR_BIN_EDGES)]
+    )
+
+    run = ValidationRun(spark, build_audio_ruleset(), collect_violation_rows=False)
+    t_val = time_action(lambda: run.run(clips, ctx))
+    timings["validation_full_matrix"] = round(t_val, 3)
+    clips_per_sec = round(N_CLIPS / t_val, 1)
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "validation+query wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "clips_per_sec": clips_per_sec,
+                "n_clips": N_CLIPS,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

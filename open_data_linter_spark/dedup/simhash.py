@@ -35,7 +35,10 @@ def simhash_signatures(
     sums = exploded.groupBy("id").agg(*bit_sums)
     sig = F.lit(0).cast("long")
     for b in range(N_BITS):
-        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+        # shiftleft, not a literal: 1 << 63 overflows a py4j long literal
+        sig = sig + F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
     return sums.select("id", sig.alias("simhash"))
 
 

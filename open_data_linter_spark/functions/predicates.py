@@ -6,9 +6,9 @@ compiled regex (regex.py:3-11). No UDFs: everything stays inside Catalyst so
 the expressions fuse into the single validation scan.
 
 Semantics notes (parity with the reference, verified by tests):
-- is_number == "float() accepts it": Spark's cast to double returns NULL on
-  failure, which matches float()'s ValueError; whitespace-padded numbers are
-  accepted by both. NaN literal: float("nan") succeeds in Python but
+- is_number == "float() accepts it": Spark's try_cast to double returns NULL
+  on failure (ANSI-safe), which matches float()'s ValueError;
+  whitespace-padded numbers are accepted by both. NaN literal: float("nan") succeeds in Python but
   pd.isnull guards it upstream — we treat the *string* "nan"/"NaN" as a
   number, same as the reference does for string cells.
 - all predicates take a string-typed column; numeric columns should be cast
@@ -33,8 +33,12 @@ def is_empty(c: Column) -> Column:
 
 
 def is_number(c: Column) -> Column:
-    """float()-accepts test (funcs.py:15-25): cast to double succeeds."""
-    return c.isNotNull() & c.cast("double").isNotNull()
+    """float()-accepts test (funcs.py:15-25): try_cast to double succeeds.
+
+    try_cast (NULL on malformed), not cast: Spark 4 runs ANSI mode by
+    default, where a plain cast THROWS on 'abc' — try_cast restores the
+    reference's float()-raises->False semantics."""
+    return c.isNotNull() & c.try_cast("double").isNotNull()
 
 
 def is_include_number(c: Column) -> Column:
@@ -49,13 +53,13 @@ def is_string(c: Column) -> Column:
 
 def is_integer(c: Column) -> Column:
     """Number with no fractional part (funcs.py:41-48)."""
-    d = c.cast("double")
+    d = c.try_cast("double")
     return is_number(c) & (d == F.floor(d))
 
 
 def is_prefecture_code(c: Column) -> Column:
     """Integer in (0, 47] (funcs.py:51-58)."""
-    return is_integer(c) & c.cast("double").between(F.lit(1), F.lit(47))
+    return is_integer(c) & c.try_cast("double").between(F.lit(1), F.lit(47))
 
 
 def is_prefecture_name(c: Column) -> Column:
@@ -84,7 +88,7 @@ def is_datetime_code(c: Column) -> Column:
 def datetime_code_year(c: Column) -> Column:
     """Captured YYYY of a datetime code, as int (NULL when not matching)."""
     y = F.regexp_extract(c, rx.DATETIME_CODE, 1)
-    return F.when(y != "", y.cast("int"))
+    return F.when(y != "", y.try_cast("int"))
 
 
 def is_christian_era(c: Column) -> Column:
@@ -122,7 +126,7 @@ def jp_era_to_western(c: Column) -> Column:
     """Western year for a JP era string, NULL when not parseable."""
     era = F.regexp_extract(c, _ERA_PATTERN, 1)
     num_s = F.regexp_extract(c, _ERA_PATTERN, 2)
-    n = F.when(num_s == "元", F.lit(1)).otherwise(num_s.cast("int"))
+    n = F.when(num_s == "元", F.lit(1)).otherwise(num_s.try_cast("int"))
     base = F.lit(None).cast("int")
     for name, first_year in rx.JP_ERAS:
         base = F.when(era == name, F.lit(first_year)).otherwise(base)

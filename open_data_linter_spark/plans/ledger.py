@@ -1,0 +1,135 @@
+"""Checkpoint-resumable runs: processed-partition ledger + audit table.
+
+North-rule mandate: "checkpoint-resumable with per-partition lineage +
+metrics rows persisted to an Iceberg audit table". No Iceberg runtime jar is
+available in this environment (SURVEY.md §7), so the audit/ledger tables are
+Parquet directories behind the same append-only interface; swapping in
+Iceberg is a one-line change of the writer
+(``df.writeTo("catalog.audit").append()``) once
+``--packages org.apache.iceberg:iceberg-spark-runtime-...`` is on the
+cluster classpath.
+
+Model (generalizing the reference's single-key memo, csv_linter.py:48,91-93):
+- the input table carries a coarse partition key column ``pt`` (e.g. a
+  bucket of clip_id, or ingestion date). A *unit of work* is one pt value.
+- the ledger records ``(run_id, pt, status)``; resume = anti-join the input
+  pt set against completed ledger entries and process only the remainder.
+- appends are idempotent per (run_id, pt): re-processing a pt after a crash
+  overwrites its slice (deterministic output), so a resumed run converges to
+  exactly the same audit content. That is SURVEY.md §7 risk (ii).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("pt", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),  # done
+        T.StructField("ts_logical", T.LongType(), True),
+    ]
+)
+
+
+class RunLedger:
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def _exists(self) -> bool:
+        return os.path.exists(self.path) and any(
+            f.endswith(".parquet") for _r, _d, fs in os.walk(self.path) for f in fs
+        )
+
+    def completed(self, run_id: str) -> DataFrame:
+        if not self._exists():
+            return self.spark.createDataFrame([], LEDGER_SCHEMA).select("pt")
+        return (
+            self.spark.read.parquet(self.path)
+            .where((F.col("run_id") == run_id) & (F.col("status") == "done"))
+            .select("pt")
+            .dropDuplicates(["pt"])
+        )
+
+    def mark_done(self, run_id: str, pts: Iterable[int]) -> None:
+        ts = int(time.time())
+        rows = [(run_id, int(p), "done", ts) for p in pts]
+        if not rows:
+            return
+        (
+            self.spark.createDataFrame(rows, LEDGER_SCHEMA)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(self.path)
+        )
+
+    def pending(self, run_id: str, all_pts: DataFrame) -> list[int]:
+        """pt values not yet completed: anti-join against the ledger."""
+        done = self.completed(run_id)
+        rows = all_pts.select("pt").dropDuplicates(["pt"]).join(
+            done, on="pt", how="left_anti"
+        ).collect()
+        return sorted(int(r["pt"]) for r in rows)
+
+
+class ResumableRun:
+    """Drive a per-pt processing function with ledger-based resume.
+
+    ``process(pt_df, pt) -> audit_rows_df`` handles one partition's rules;
+    its output is appended to the audit table partitioned by (run_id, pt) so
+    a re-run of the same pt overwrites its own slice (idempotent).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        ledger_path: str,
+        audit_path: str,
+        run_id: str,
+    ) -> None:
+        self.spark = spark
+        self.ledger = RunLedger(spark, ledger_path)
+        self.audit_path = audit_path
+        self.run_id = run_id
+
+    def run(
+        self,
+        df: DataFrame,
+        process: Callable[[DataFrame, int], DataFrame],
+        pt_col: str = "pt",
+        fail_after: int | None = None,
+    ) -> list[int]:
+        """Process every pending pt; returns the pts processed this call.
+
+        ``fail_after`` aborts after N partitions (crash injection for tests).
+        """
+        pts = self.ledger.pending(self.run_id, df.select(F.col(pt_col).alias("pt")))
+        processed = []
+        # dynamic partition overwrite => re-running a pt replaces its slice
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        for i, pt in enumerate(pts):
+            if fail_after is not None and i >= fail_after:
+                break
+            part = df.where(F.col(pt_col) == pt)
+            audit = process(part, pt).withColumn("run_id", F.lit(self.run_id)).withColumn(
+                "pt", F.lit(pt)
+            )
+            (
+                audit.write.mode("overwrite")
+                .partitionBy("run_id", "pt")
+                .parquet(self.audit_path)
+            )
+            self.ledger.mark_done(self.run_id, [pt])
+            processed.append(pt)
+        return processed
+
+    def audit(self) -> DataFrame:
+        return self.spark.read.parquet(self.audit_path)

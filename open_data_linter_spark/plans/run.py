@@ -248,17 +248,38 @@ class ValidationRun:
                 all_violation_dfs.append(out.violations)
         wall["column_aggs"] = time.time() - t0
 
-        # 4. shuffle rules, then payload rules (each runner is one job; the
-        #    payload runner fuses every payload rule into one Arrow pass)
-        for scope_name, scope in (("shuffle", RuleScope.SHUFFLE), ("payload", RuleScope.PAYLOAD)):
-            t0 = time.time()
-            for r in by_scope.get(scope, []):
-                out = r.runner(self.spark, df, ctx)
-                results[r.rule_id] = self._outcome_to_result(out)
-                metrics[r.rule_id] = out.metrics
-                if out.violations is not None:
-                    all_violation_dfs.append(out.violations)
-            wall[scope_name] = time.time() - t0
+        # 4. shuffle + payload rules. Each shuffle rule is an independent job
+        #    topology and the payload family shares one Arrow decode pass —
+        #    all independent of each other, so they run CONCURRENTLY from a
+        #    small thread pool (Spark schedules concurrent actions fine; the
+        #    JVM-bound shuffle work overlaps the Python-worker-bound decode).
+        #    Payload rules stay sequential within one thread because they
+        #    share the decode-stats cache.
+        t0 = time.time()
+        outcomes: dict[str, RuleOutcome] = {}
+
+        def _run_rule(r: Rule) -> None:
+            outcomes[r.rule_id] = r.runner(self.spark, df, ctx)
+
+        def _run_payload_family() -> None:
+            for r in by_scope.get(RuleScope.PAYLOAD, []):
+                _run_rule(r)
+
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [pool.submit(_run_rule, r) for r in by_scope.get(RuleScope.SHUFFLE, [])]
+            futs.append(pool.submit(_run_payload_family))
+            for f in futs:
+                f.result()
+
+        for r in by_scope.get(RuleScope.SHUFFLE, []) + by_scope.get(RuleScope.PAYLOAD, []):
+            out = outcomes[r.rule_id]
+            results[r.rule_id] = self._outcome_to_result(out)
+            metrics[r.rule_id] = out.metrics
+            if out.violations is not None:
+                all_violation_dfs.append(out.violations)
+        wall["shuffle+payload"] = time.time() - t0
 
         violations = None
         if all_violation_dfs:

@@ -273,15 +273,18 @@ def build_audio_ruleset(
     rules += build_row_rules()
     rules += [make_empty_columns_rule(), make_unit_suffix_rule()]
     if with_shuffle:
+        dur_edges = [0, 250, 400, 630, 1000, 1600, 2500, 4000, 6300, 10000, 16000]
+        drift_specs = [("sr_hz", None), ("dur_ms", dur_edges)]
         rules += [
             make_uniqueness_rule("clip_id", rule_id="uniq"),
             make_ri_rule("1-12-codec", "codec", "codec_registry", "codec", broadcast=True),
             make_ri_rule("1-12-manifest", "clip_id", "clip_manifest", "clip_id",
                          broadcast=False),
-            make_drift_rule("drift-sr", "sr_hz", bin_edges=None, alpha=drift_alpha),
-            make_drift_rule("drift-dur", "dur_ms",
-                            bin_edges=[0, 250, 400, 630, 1000, 1600, 2500, 4000, 6300,
-                                       10000, 16000], alpha=drift_alpha),
+            # both drift rules share ONE joint-histogram job (shared_specs)
+            make_drift_rule("drift-sr", "sr_hz", bin_edges=None, alpha=drift_alpha,
+                            shared_specs=drift_specs),
+            make_drift_rule("drift-dur", "dur_ms", bin_edges=dur_edges,
+                            alpha=drift_alpha, shared_specs=drift_specs),
         ]
     if with_payload:
         rules += [

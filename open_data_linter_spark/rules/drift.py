@@ -91,17 +91,54 @@ def chi2_critical(dof: int, alpha: float = 0.01) -> float:
     return k * (1.0 - 2.0 / (9.0 * k) + z * math.sqrt(2.0 / (9.0 * k))) ** 3
 
 
+def _bin_expr(column: str, bin_edges: Sequence[float] | None):
+    c = F.col(column)
+    if bin_edges is None:
+        return c.cast("double")
+    b = F.lit(0)
+    for i, e in enumerate(map(float, bin_edges)):
+        b = F.when(c.cast("double") >= F.lit(e), F.lit(i + 1)).otherwise(b)
+    return b.cast("double")
+
+
+def joint_histograms(
+    df: DataFrame, specs: Sequence[tuple[str, Sequence[float] | None]]
+) -> dict[str, dict[float, int]]:
+    """All columns' histograms in ONE aggregation job.
+
+    groupBy over the tuple of bin expressions (cells = product of bin counts,
+    tiny for fixed-bin histograms), then marginalize per column driver-side.
+    Nulls fall out at marginalization, matching per-column histogram().
+    """
+    bins = [
+        _bin_expr(col, edges).alias(f"__bin_{col}") for col, edges in specs
+    ]
+    rows = df.groupBy(*bins).agg(F.count(F.lit(1)).alias("count")).collect()
+    out: dict[str, dict[float, int]] = {col: {} for col, _ in specs}
+    for r in rows:
+        for col, _ in specs:
+            b = r[f"__bin_{col}"]
+            if b is None:
+                continue
+            out[col][float(b)] = out[col].get(float(b), 0) + int(r["count"])
+    return out
+
+
 def make_drift_rule(
     rule_id: str,
     column: str,
     bin_edges: Sequence[float] | None = None,
     alpha: float = 0.01,
     baseline_ctx_key: str = "baseline_hist",
+    shared_specs: Sequence[tuple[str, Sequence[float] | None]] | None = None,
 ) -> Rule:
     """Drift rule for one column against ctx[baseline_ctx_key][column].
 
     The baseline is ``{bin_value: expected_count}`` (frozen from a known-good
-    batch, FIXTURES.md §2 `baseline_hist`).
+    batch, FIXTURES.md §2 `baseline_hist`). When ``shared_specs`` lists every
+    drift column of the ruleset, the FIRST drift rule invoked computes one
+    joint histogram job for all of them (cached in ctx) — N drift rules cost
+    one Spark action, not N.
     """
 
     def runner(spark: SparkSession, df: DataFrame, ctx: dict) -> RuleOutcome:
@@ -109,8 +146,15 @@ def make_drift_rule(
         exp = baselines.get(column)
         if not exp:
             return RuleOutcome(rule_id, is_valid=None, metrics={})
-        obs_rows = histogram(df, column, bin_edges).collect()
-        obs = {float(r["bin"]): int(r["count"]) for r in obs_rows}
+        if shared_specs:
+            hists = ctx.get("_drift_hists")
+            if hists is None:
+                hists = joint_histograms(df, shared_specs)
+                ctx["_drift_hists"] = hists
+            obs = hists[column]
+        else:
+            obs_rows = histogram(df, column, bin_edges).collect()
+            obs = {float(r["bin"]): int(r["count"]) for r in obs_rows}
         o, e = _align(obs, {float(k): int(v) for k, v in exp.items()})
         ks = ks_statistic(o, e)
         ks_crit = ks_critical(o.sum(), e.sum(), alpha)

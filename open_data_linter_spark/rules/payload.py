@@ -141,6 +141,66 @@ def _get_shared_decode(spark: SparkSession, df: DataFrame, ctx: dict) -> DataFra
     return res
 
 
+# one fused Column per payload-rule condition, shared by stats + extraction
+def _cond_undecodable():
+    return ~F.col("decode_ok") | (
+        F.col("codec_sniffed").isNull()
+        | F.col("codec_col").isNull()
+        | (F.col("codec_sniffed") != F.col("codec_col"))
+    )
+
+
+def _dur_decoded():
+    return F.round(F.col("n_frames") * 1000.0 / F.col("sr_decoded"))
+
+
+def _cond_sr_bad():
+    return F.col("decode_ok") & (
+        F.col("sr_col").isNull() | (F.col("sr_col") != F.col("sr_decoded"))
+    )
+
+
+def _cond_dur_bad():
+    return F.col("decode_ok") & (
+        F.col("dur_col").isNull()
+        | (F.abs(F.col("dur_col") - _dur_decoded()) > F.lit(DUR_TOLERANCE_MS))
+    )
+
+
+def _cond_snr_bad():
+    return F.col("has_reference") & (F.col("snr_db") < F.lit(SNR_THRESHOLD_DB))
+
+
+def _cond_transcript_bad():
+    return F.col("has_reference") & ~F.coalesce(F.col("transcript_match"), F.lit(False))
+
+
+def _get_decode_stats(spark: SparkSession, df: DataFrame, ctx: dict) -> dict:
+    """ONE aggregation job computing every payload rule's counters at once.
+
+    The three payload rules would otherwise each fire their own count()
+    action over the shared decode output; at cluster scale each action is a
+    full pass + scheduler round-trip. This fuses them (same pattern as the
+    fused row scan) — violation-row extraction then runs only for rules
+    whose counter is non-zero.
+    """
+    stats = ctx.get("_decode_stats")
+    if stats is None:
+        res = _get_shared_decode(spark, df, ctx)
+        row = res.agg(
+            F.sum(_cond_undecodable().cast("long")).alias("undecodable"),
+            F.sum(_cond_sr_bad().cast("long")).alias("sr_bad"),
+            F.sum(_cond_dur_bad().cast("long")).alias("dur_bad"),
+            F.sum(_cond_snr_bad().cast("long")).alias("snr_bad"),
+            F.sum(_cond_transcript_bad().cast("long")).alias("t_bad"),
+            F.min(F.when(F.col("has_reference"), F.col("snr_db"))).alias("min_snr"),
+            F.sum(F.col("has_reference").cast("long")).alias("n_ref"),
+        ).collect()[0]
+        stats = {k: row[k] for k in row.asDict()}
+        ctx["_decode_stats"] = stats
+    return stats
+
+
 def _violations_from(res: DataFrame, rule_id: str, cond, column: str, message) -> DataFrame:
     return res.where(cond).select(
         F.lit(rule_id).alias("rule_id"),
@@ -159,25 +219,23 @@ def make_decodable_rule(rule_id: str = "1-1") -> Rule:
     """
 
     def runner(spark: SparkSession, df: DataFrame, ctx: dict) -> RuleOutcome:
-        res = _get_shared_decode(spark, df, ctx)
-        bad = ~F.col("decode_ok") | (
-            F.col("codec_sniffed").isNull()
-            | F.col("codec_col").isNull()
-            | (F.col("codec_sniffed") != F.col("codec_col"))
-        )
-        v = _violations_from(
-            res, rule_id, bad, "bytes",
-            F.concat_ws(
-                ": ",
-                F.lit("unreadable or codec-mismatched payload"),
-                F.coalesce(F.col("decode_err"), F.concat(
-                    F.lit("magic says "), F.coalesce(F.col("codec_sniffed"), F.lit("?")),
-                    F.lit(" but codec column says "), F.coalesce(F.col("codec_col"), F.lit("?")),
-                )),
-            ),
-        )
-        n = v.count()
-        return RuleOutcome(rule_id, n == 0, violations=v if n else None,
+        stats = _get_decode_stats(spark, df, ctx)
+        n = int(stats["undecodable"] or 0)
+        v = None
+        if n:
+            res = _get_shared_decode(spark, df, ctx)
+            v = _violations_from(
+                res, rule_id, _cond_undecodable(), "bytes",
+                F.concat_ws(
+                    ": ",
+                    F.lit("unreadable or codec-mismatched payload"),
+                    F.coalesce(F.col("decode_err"), F.concat(
+                        F.lit("magic says "), F.coalesce(F.col("codec_sniffed"), F.lit("?")),
+                        F.lit(" but codec column says "), F.coalesce(F.col("codec_col"), F.lit("?")),
+                    )),
+                ),
+            )
+        return RuleOutcome(rule_id, n == 0, violations=v,
                            metrics={"undecodable_count": float(n)})
 
     return Rule(rule_id, "payload readable: bytes decode + magic↔codec agreement "
@@ -193,21 +251,19 @@ def make_metadata_consistency_rule(rule_id: str = "1-11") -> Rule:
     """
 
     def runner(spark: SparkSession, df: DataFrame, ctx: dict) -> RuleOutcome:
-        res = _get_shared_decode(spark, df, ctx).where(F.col("decode_ok"))
-        dur_decoded = F.round(F.col("n_frames") * 1000.0 / F.col("sr_decoded"))
-        sr_bad = F.col("sr_col").isNull() | (F.col("sr_col") != F.col("sr_decoded"))
-        dur_bad = F.col("dur_col").isNull() | (
-            F.abs(F.col("dur_col") - dur_decoded) > F.lit(DUR_TOLERANCE_MS)
-        )
-        v_sr = _violations_from(res, rule_id, sr_bad, "sr_hz",
-                                F.concat(F.lit("sr_hz="), F.coalesce(F.col("sr_col").cast("string"), F.lit("null")),
-                                         F.lit(" but container rate="), F.col("sr_decoded")))
-        v_dur = _violations_from(res, rule_id, dur_bad, "dur_ms",
-                                 F.concat(F.lit("dur_ms="), F.coalesce(F.col("dur_col").cast("string"), F.lit("null")),
-                                          F.lit(" but decoded duration="), dur_decoded.cast("long")))
-        v = v_sr.unionByName(v_dur)
-        n = v.count()
-        return RuleOutcome(rule_id, n == 0, violations=v if n else None,
+        stats = _get_decode_stats(spark, df, ctx)
+        n = int(stats["sr_bad"] or 0) + int(stats["dur_bad"] or 0)
+        v = None
+        if n:
+            res = _get_shared_decode(spark, df, ctx)
+            v_sr = _violations_from(res, rule_id, _cond_sr_bad(), "sr_hz",
+                                    F.concat(F.lit("sr_hz="), F.coalesce(F.col("sr_col").cast("string"), F.lit("null")),
+                                             F.lit(" but container rate="), F.col("sr_decoded")))
+            v_dur = _violations_from(res, rule_id, _cond_dur_bad(), "dur_ms",
+                                     F.concat(F.lit("dur_ms="), F.coalesce(F.col("dur_col").cast("string"), F.lit("null")),
+                                              F.lit(" but decoded duration="), _dur_decoded().cast("long")))
+            v = v_sr.unionByName(v_dur)
+        return RuleOutcome(rule_id, n == 0, violations=v,
                            metrics={"metadata_mismatch_count": float(n)})
 
     return Rule(rule_id, "cross-field consistency: sr_hz/dur_ms vs decoded payload "
@@ -221,27 +277,23 @@ def make_reference_fidelity_rule(rule_id: str = "payload-ref") -> Rule:
     def runner(spark: SparkSession, df: DataFrame, ctx: dict) -> RuleOutcome:
         if ctx.get("reference_clips") is None:
             return RuleOutcome(rule_id, is_valid=None, metrics={})
-        res = _get_shared_decode(spark, df, ctx).where(F.col("has_reference"))
-        snr_bad = F.col("snr_db") < F.lit(SNR_THRESHOLD_DB)
-        t_bad = ~F.coalesce(F.col("transcript_match"), F.lit(False))
-        v_snr = _violations_from(res, rule_id, snr_bad, "bytes",
-                                 F.concat(F.lit("PCM SNR below threshold: "),
-                                          F.round(F.col("snr_db"), 2), F.lit(" dB < 30 dB")))
-        v_t = _violations_from(res, rule_id, t_bad, "transcript",
-                               F.lit("transcript differs from reference"))
-        v = v_snr.unionByName(v_t)
-        n = v.count()
-        stats = res.agg(
-            F.min("snr_db").alias("min_snr"),
-            F.avg(F.when(F.col("snr_db") < 999.0, F.col("snr_db"))).alias("avg_snr_finite"),
-            F.count(F.lit(1)).alias("n_ref"),
-        ).collect()[0]
+        stats = _get_decode_stats(spark, df, ctx)
+        n = int(stats["snr_bad"] or 0) + int(stats["t_bad"] or 0)
+        v = None
+        if n:
+            res = _get_shared_decode(spark, df, ctx)
+            v_snr = _violations_from(res, rule_id, _cond_snr_bad(), "bytes",
+                                     F.concat(F.lit("PCM SNR below threshold: "),
+                                              F.round(F.col("snr_db"), 2), F.lit(" dB < 30 dB")))
+            v_t = _violations_from(res, rule_id, _cond_transcript_bad(), "transcript",
+                                   F.lit("transcript differs from reference"))
+            v = v_snr.unionByName(v_t)
         return RuleOutcome(
-            rule_id, n == 0, violations=v if n else None,
+            rule_id, n == 0, violations=v,
             metrics={
                 "fidelity_violation_count": float(n),
                 "min_snr_db": float(stats["min_snr"]) if stats["min_snr"] is not None else 999.0,
-                "rows_with_reference": float(stats["n_ref"]),
+                "rows_with_reference": float(stats["n_ref"] or 0),
             },
         )
 

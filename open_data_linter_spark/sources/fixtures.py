@@ -18,7 +18,7 @@ from open_data_linter_spark.audio.synth import (
     synthesize_clips,
     synthesize_reference,
 )
-from open_data_linter_spark.rules.drift import freeze_baseline
+from open_data_linter_spark.rules.drift import joint_histograms
 
 DUR_BIN_EDGES = [0, 250, 400, 630, 1000, 1600, 2500, 4000, 6300, 10000, 16000]
 
@@ -65,10 +65,9 @@ def make_fixture(
         if baseline_from_self
         else synthesize_clips(spark, n, num_partitions, seed=seed, dur_range=dur_range)
     )
-    ctx["baseline_hist"] = {
-        "sr_hz": freeze_baseline(baseline_src, "sr_hz", None),
-        "dur_ms": freeze_baseline(baseline_src, "dur_ms", DUR_BIN_EDGES),
-    }
+    ctx["baseline_hist"] = joint_histograms(
+        baseline_src, [("sr_hz", None), ("dur_ms", DUR_BIN_EDGES)]
+    )
     return clips, ctx
 
 

@@ -1,0 +1,112 @@
+"""Dedup + similarity operator tests with hand-crafted golden sets."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),          # near dup of 1
+        (4, "The  quick brown fox jumps over the lazy dog"),         # dup after normalize
+        (5, "completely different words entirely unrelated content here"),
+        (6, "spark engine validation rules audio transcript table"),
+        (7, "spark engine validation rules audio transcript column"),  # near dup of 6
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    from open_data_linter_spark.dedup.exact import exact_duplicates
+
+    got = exact_duplicates(docs).collect()
+    assert len(got) == 1
+    assert got[0].dup_count == 3  # 1, 2, and 4 (normalized)
+    assert got[0].doc_ids == [1, 2, 4]
+
+
+def test_exact_duplicates_unnormalized(docs):
+    from open_data_linter_spark.dedup.exact import exact_duplicates
+
+    got = exact_duplicates(docs, normalized=False).collect()
+    assert len(got) == 1 and got[0].doc_ids == [1, 2]
+
+
+def test_distinct_by_fingerprint(docs):
+    from open_data_linter_spark.dedup.exact import distinct_by_fingerprint
+
+    kept = {r.doc_id for r in distinct_by_fingerprint(docs).collect()}
+    assert kept == {1, 3, 5, 6, 7}
+
+
+def test_ngram_jaccard(docs):
+    from open_data_linter_spark.dedup.jaccard import ngram_jaccard_pairs
+
+    pairs = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
+    assert (1, 3) in pairs  # 1-word change in 9 -> high trigram overlap? verify >=0.5
+    assert not any(5 in p for p in pairs)
+
+
+def test_minhash_near_duplicates(docs):
+    from open_data_linter_spark.dedup.minhash import minhash_near_duplicates
+
+    got = minhash_near_duplicates(docs, k=3, threshold=0.5)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in got.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (6, 7) in pairs or (1, 3) in pairs  # near dups surface via LSH
+    assert not any(5 in p for p in pairs)
+
+
+def test_simhash_near_duplicates(docs):
+    from open_data_linter_spark.dedup.simhash import simhash_near_duplicates
+
+    got = {(r.id_a, r.id_b) for r in simhash_near_duplicates(docs, max_hamming=4).collect()}
+    assert (1, 2) in got and (1, 4) in got  # same token multiset -> distance 0
+    assert not any(5 in p for p in got)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(20):
+        if i == 1:
+            v = base + rng.standard_normal(16) * 0.01   # near-dup of 0
+        elif i == 2:
+            v = -base                                   # anti-correlated
+        else:
+            v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in (v if i != 0 else base)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_duplicates(vectors):
+    from open_data_linter_spark.dedup.embedding import embedding_near_duplicates
+
+    got = embedding_near_duplicates(vectors, threshold=0.95).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(0, 1)]
+
+
+def test_brute_force_topk(vectors):
+    from open_data_linter_spark.similarity.knn import brute_force_topk
+
+    q = vectors.where(F.col("vec_id") == 0)
+    got = brute_force_topk(vectors, q, k=3).collect()
+    assert got[0].neighbor_id == 1 and got[0].rank == 1  # near-dup ranks first
+    assert len(got) == 3
+    assert all(r.query_id == 0 for r in got)
+
+
+def test_lsh_topk_finds_neardup(vectors):
+    from open_data_linter_spark.similarity.knn import lsh_topk
+
+    q = vectors.where(F.col("vec_id") == 0)
+    got = lsh_topk(vectors, q, k=3, bits=6, dim=16).collect()
+    # the 0.99-cosine neighbor is in the same bucket (or a 1-bit probe)
+    assert any(r.neighbor_id == 1 and r.rank == 1 for r in got)

@@ -1,0 +1,84 @@
+"""Checkpoint/resume: crash mid-run, resume, converge to identical audit."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path)
+
+
+def _process(part_df, pt):
+    # stand-in per-partition rule job: count rows + nulls
+    return part_df.agg(
+        F.lit("row-count").alias("rule_id"),
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.col("v").isNull().cast("long")).alias("violation_count"),
+    )
+
+
+def test_resume_after_crash(spark, workdir):
+    from open_data_linter_spark.plans.ledger import ResumableRun
+
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 5).cast("int").alias("pt"),
+        F.when(F.col("id") % 17 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    run = ResumableRun(spark, f"{workdir}/ledger", f"{workdir}/audit", run_id="r1")
+
+    # crash after 2 of 5 partitions
+    done_first = run.run(df, _process, fail_after=2)
+    assert len(done_first) == 2
+    assert sorted(run.ledger.completed("r1").toPandas()["pt"]) == done_first
+
+    # resume processes ONLY the remaining 3
+    done_second = run.run(df, _process)
+    assert len(done_second) == 3
+    assert set(done_first).isdisjoint(done_second)
+
+    # audit table is complete and correct
+    audit = run.audit()
+    assert audit.select("pt").distinct().count() == 5
+    total = audit.agg(F.sum("rows_scanned")).collect()[0][0]
+    assert total == 100
+
+    # idempotence: a third run is a no-op
+    assert run.run(df, _process) == []
+
+
+def test_reprocessing_is_idempotent(spark, workdir):
+    from open_data_linter_spark.plans.ledger import ResumableRun
+
+    df = spark.range(0, 40).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("pt"), F.col("id").alias("v")
+    )
+    r1 = ResumableRun(spark, f"{workdir}/ledger", f"{workdir}/audit", run_id="rA")
+    r1.run(df, _process)
+    before = sorted(map(tuple, r1.audit().drop("run_id").collect()))
+
+    # simulate a crash AFTER audit write but BEFORE ledger mark: re-run pt=0
+    part = df.where(F.col("pt") == 0)
+    audit = _process(part, 0).withColumn("run_id", F.lit("rA")).withColumn("pt", F.lit(0))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    audit.write.mode("overwrite").partitionBy("run_id", "pt").parquet(f"{workdir}/audit")
+
+    after = sorted(map(tuple, r1.audit().drop("run_id").collect()))
+    assert before == after  # dynamic overwrite replaced the slice exactly
+
+
+def test_structure_inference(spark):
+    from open_data_linter_spark.sources.rawtext import HeaderEstimateError, analyze
+
+    text = "big title,,\nname,value,unit\nfoo,1,kg\nbar,2,kg\nbaz,3,kg\n"
+    structure, header, content = analyze(spark, text)
+    s = structure.collect()[0]
+    # longest equal-field-count run = lines 1..4 (all 3 fields... including
+    # title if it has 3 fields too); data starts at first numeric line = 2
+    assert s["data_start"] == 2
+    hdr_lines = sorted(r.line_no for r in header.collect())
+    assert hdr_lines[-1] == 1  # 'name,value,unit' is a header line
+    assert content.count() == 3
+
+    with pytest.raises(HeaderEstimateError):
+        analyze(spark, "a,b\nc,d\ne,f\n")  # no numeric cell anywhere

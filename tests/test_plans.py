@@ -1,0 +1,105 @@
+"""Physical-plan assertions: the scale-relevant properties of our plans.
+
+These tests pin the plan shapes the engine's design depends on at 10^12
+rows: payload column pruned from the cheap scans, dim-table RI planned as a
+broadcast hash anti-join, filters pushed into the Parquet scan, and the
+fused row scan staying in whole-stage codegen (no Python in the hot path).
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def explain_str(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def clips_parquet(spark, tmp_path_factory):
+    from open_data_linter_spark.audio.synth import synthesize_clips
+
+    path = str(tmp_path_factory.mktemp("plans") / "clips")
+    synthesize_clips(spark, 64, 4).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_row_scan_prunes_bytes(clips_parquet):
+    """The fused row-rule aggregation must not read the payload column."""
+    from open_data_linter_spark.rules.audio_rules import build_row_rules
+
+    df = clips_parquet
+    aggs = []
+    for r in build_row_rules():
+        for colname, builder in r.predicates or []:
+            aggs.append(F.sum(builder(df).cast("long")))
+    plan = explain_str(df.groupBy(F.spark_partition_id()).agg(*aggs))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    assert "bytes" not in read_schema[0], read_schema[0]
+
+
+def test_column_aggs_prune_bytes(clips_parquet):
+    from open_data_linter_spark.plans.run import ValidationRun
+    from open_data_linter_spark.rules.audio_rules import (
+        make_empty_columns_rule,
+        make_unit_suffix_rule,
+    )
+
+    df = clips_parquet
+    exprs = {}
+    for r in (make_empty_columns_rule(), make_unit_suffix_rule()):
+        exprs.update(r.agg_exprs(df))
+    plan = explain_str(df.agg(*[v.alias(k) for k, v in exprs.items()]))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "bytes" not in read_schema[0]
+
+
+def test_ri_uses_broadcast_anti_join(spark, clips_parquet):
+    from open_data_linter_spark.audio.synth import codec_registry_pdf
+    from open_data_linter_spark.rules.referential import anti_members
+
+    dim = spark.createDataFrame(codec_registry_pdf())
+    plan = explain_str(anti_members(clips_parquet, dim, "codec", "codec", broadcast=True))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_filter_pushdown_into_parquet(clips_parquet):
+    plan = explain_str(clips_parquet.where(F.col("codec") == "ulaw").select("clip_id"))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "codec" in pushed[0], plan
+
+
+def test_row_scan_is_codegen_only(clips_parquet):
+    """No Python evaluation (BatchEvalPython/ArrowEvalPython) in the fused
+    row scan — every predicate is native Catalyst."""
+    from open_data_linter_spark.rules.audio_rules import build_row_rules
+
+    df = clips_parquet
+    aggs = [
+        F.sum(builder(df).cast("long"))
+        for r in build_row_rules()
+        for _, builder in (r.predicates or [])
+    ]
+    agg_df = df.groupBy(F.spark_partition_id()).agg(*aggs)
+    agg_df.collect()  # finalize the AQE plan so codegen annotations appear
+    plan = explain_str(agg_df, mode="formatted")
+    assert "EvalPython" not in plan
+    assert "codegen id" in plan, plan
+
+
+def test_uniqueness_partial_agg_before_shuffle(clips_parquet):
+    """Two-stage salted uniqueness: partial aggregation must precede every
+    exchange (duplicates collapse before any data moves)."""
+    from open_data_linter_spark.rules.uniqueness import duplicate_keys
+
+    plan = explain_str(duplicate_keys(clips_parquet), mode="simple")
+    # a HashAggregate appears below (after, in plan text) the first Exchange
+    first_exchange = plan.find("Exchange")
+    assert first_exchange != -1
+    assert "HashAggregate" in plan[first_exchange:], plan
