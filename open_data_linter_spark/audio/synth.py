@@ -207,11 +207,13 @@ def gen_reference_pdf(
     dur_range: tuple[int, int] = (200, 1500),
     corrupt: dict[int, str] | None = None,
 ) -> pd.DataFrame:
-    """Per-row oracle table: decoded float32 PCM + clean transcript.
+    """Per-row oracle table: decoded PCM (int16 LE samples) + clean transcript.
 
     Reference PCM is the *decode of the clean encode* — computed through the
     same codec path, so perfect rows compare exactly (SNR=inf) and μ-law
-    quantization never counts as noise (SURVEY.md §7 risk (i)).
+    quantization never counts as noise (SURVEY.md §7 risk (i)). Stored as
+    int16 (the decode's native width): float32 would double the payload the
+    reference join has to move for zero added fidelity.
     """
     corrupt = corrupt or {}
     rows = []
@@ -223,7 +225,7 @@ def gen_reference_pdf(
         rows.append(
             {
                 "clip_id": clip_id_for(i),
-                "pcm_ref": pcm_to_float32(pcm).tobytes(),
+                "pcm_ref": pcm.tobytes(),
                 "transcript_ref": row["transcript"],
                 "sr_hz_ref": sr,
             }

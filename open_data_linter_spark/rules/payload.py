@@ -81,7 +81,8 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                 sniffed = sniff_codec(bytes(data))
         if has_ref_cols and row.pcm_ref is not None:
             has_ref = True
-            ref = np.frombuffer(bytes(row.pcm_ref), dtype=np.float32)
+            # reference PCM is stored as int16 LE samples (synth.py)
+            ref = pcm_to_float32(np.frombuffer(bytes(row.pcm_ref), dtype=np.int16))
             if ok and pcm is not None:
                 snr = float(snr_db(ref, pcm_to_float32(pcm)))
             else:

@@ -68,7 +68,7 @@ def test_reference_matches_clean_decode():
     refs = gen_reference_pdf(np.arange(8))
     for i in range(8):
         _, sr, pcm = decode_clip(clips.iloc[i]["bytes"])
-        ref = np.frombuffer(refs.iloc[i]["pcm_ref"], dtype=np.float32)
+        ref = np.frombuffer(refs.iloc[i]["pcm_ref"], dtype=np.int16)
         assert sr == refs.iloc[i]["sr_hz_ref"]
-        assert np.array_equal(pcm_to_float32(pcm), ref)
+        assert np.array_equal(pcm, ref)
         assert clips.iloc[i]["transcript"] == refs.iloc[i]["transcript_ref"]
