@@ -354,6 +354,91 @@ def q_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token estimate (regex piece extraction)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.bpe_ish_token_count(F.col("text")).alias("n_pieces")
+    ).orderBy("doc_id")
+
+
+def q_audio_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted uniqueness on the audio table with seeded duplicate ids
+    (rows-only: synthesized input)."""
+    from open_data_linter_spark.audio.synth import synthesize_clips
+    from open_data_linter_spark.rules.uniqueness import duplicate_keys
+
+    clips = synthesize_clips(spark, 512, 16, corrupt={10: "uniq", 77: "uniq"})
+    return duplicate_keys(clips).orderBy("clip_id")
+
+
+def q_audio_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS/chi-square drift statistics: shifted batch vs clean baseline
+    (rows-only: statistics computed by the engine)."""
+    from open_data_linter_spark.audio.synth import synthesize_clips
+    from open_data_linter_spark.rules.drift import (
+        chi2_critical, chi2_statistic, joint_histograms, ks_critical, ks_statistic,
+        _align,
+    )
+
+    base = synthesize_clips(spark, 512, 16)
+    shifted = synthesize_clips(spark, 512, 16, sr_probs=(0.05, 0.1, 0.15, 0.7))
+    hists = joint_histograms(base, [("sr_hz", None)])
+    obs = joint_histograms(shifted, [("sr_hz", None)])
+    o, e = _align(obs["sr_hz"], hists["sr_hz"])
+    ks = ks_statistic(o, e)
+    chi2, dof = chi2_statistic(o, e)
+    rows = [("sr_hz", float(ks), float(ks_critical(o.sum(), e.sum())),
+             float(min(chi2, 1e18)), float(chi2_critical(dof)),
+             bool(ks > ks_critical(o.sum(), e.sum())))]
+    return spark.createDataFrame(
+        rows, "column string, ks double, ks_crit double, chi2 double, "
+              "chi2_crit double, drifted boolean"
+    )
+
+
+def q_tabular_lint_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity tabular mode over the reference's own samples
+    (rows-only: per-file pass/fail matrix)."""
+    import os
+
+    from open_data_linter_spark.rules.tabular import TabularLinter
+
+    samples = "/root/reference/tests/samples"
+    rows = []
+    for fname in ("perfect.csv", "check_1_2.csv", "check_1_13.csv"):
+        path = os.path.join(samples, fname)
+        if not os.path.exists(path):  # reference absent in some environments
+            continue
+        with open(path, "rb") as f:
+            lin = TabularLinter(spark, f.read(), fname)
+        for check in ("1_1", "1_2", "1_5", "1_13", "2_x"):
+            res = getattr(lin, f"check_{check}")()
+            n_cells = sum(len(ic.invalid_cells) for ic in res.invalid_contents)
+            rows.append((fname, check, res.is_valid, n_cells))
+    return spark.createDataFrame(
+        rows, "file string, check string, is_valid boolean, n_invalid_cells int"
+    )
+
+
+def q_column_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full profiling pass (classification + min/max/null-rate/HLL) on
+    orders (rows-only: HLL estimates are engine-specific)."""
+    from open_data_linter_spark.rules.classifier import profile_columns
+
+    o = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority", "o_custkey")
+    prof = profile_columns(o)
+    rows = [
+        (p.column, p.inferred_type.value, p.nulls, round(p.null_rate, 6),
+         p.approx_distinct, str(p.min_value), str(p.max_value))
+        for p in prof.values()
+    ]
+    return spark.createDataFrame(
+        rows, "column_name string, inferred_type string, nulls long, "
+              "null_rate double, approx_distinct long, min_value string, max_value string"
+    ).orderBy("column_name")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -386,6 +471,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "audio_validation_matrix": q_audio_validation_matrix,
         "audio_decode_features": q_audio_decode_features,
+        "bpe_token_counts": q_bpe_token_counts,
+        "audio_uniqueness": q_audio_uniqueness,
+        "audio_drift_stats": q_audio_drift_stats,
+        "tabular_lint_matrix": q_tabular_lint_matrix,
+        "column_profile_hll": q_column_profile_hll,
     }
 
 
@@ -574,6 +664,13 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
             ORDER BY id_a, id_b
+        """,
+        "bpe_token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(coalesce(text,''),
+                       '[A-Za-z]+|[0-9]|[぀-ヿ一-鿿]|[^\sA-Za-z0-9぀-ヿ一-鿿]'))
+                       AS n_pieces
+            FROM documents ORDER BY doc_id
         """,
         "knn_bruteforce": """
             WITH scored AS (

@@ -69,18 +69,23 @@ def main() -> None:
         timings[name] = round(time_action(lambda d=df: d.collect()), 3)
 
     # ---- validation throughput over the synthetic audio table ----
-    tmp = tempfile.mkdtemp(prefix="odl_bench_")
-    clips_path = os.path.join(tmp, "clips")
-    ref_path = os.path.join(tmp, "refs")
-    synthesize_clips(spark, N_CLIPS, sc_parts).write.mode("overwrite").parquet(clips_path)
-    synthesize_reference(spark, N_CLIPS, sc_parts).write.mode("overwrite").parquet(ref_path)
+    # bucketed-by-clip_id layout on tmpfs (BENCH/BASELINE.md: the sandbox
+    # volume is throttled; the clips-reference join is exchange-free)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="odl_bench_", dir=shm)
+    from open_data_linter_spark.sources.bucketed import (
+        CLIPS_DDL, REFS_DDL, register_bucketed, write_bucketed)
 
-    clips = spark.read.parquet(clips_path)
+    write_bucketed(synthesize_clips(spark, N_CLIPS, sc_parts), "bench_clips",
+                   os.path.join(tmp, "clips"), buckets=64)
+    write_bucketed(synthesize_reference(spark, N_CLIPS, sc_parts), "bench_refs",
+                   os.path.join(tmp, "refs"), buckets=64)
+    clips = spark.table("bench_clips")
     _, ctx = make_fixture(spark, n=64, num_partitions=4, with_reference=False)
     from open_data_linter_spark.rules.drift import joint_histograms
     from open_data_linter_spark.sources.fixtures import DUR_BIN_EDGES, clip_manifest
 
-    ctx["reference_clips"] = spark.read.parquet(ref_path)
+    ctx["reference_clips"] = spark.table("bench_refs")
     ctx["clip_manifest"] = clip_manifest(spark, N_CLIPS)
     ctx["baseline_hist"] = joint_histograms(
         clips, [("sr_hz", None), ("dur_ms", DUR_BIN_EDGES)]

