@@ -52,9 +52,13 @@ def is_string(c: Column) -> Column:
 
 
 def is_integer(c: Column) -> Column:
-    """Number with no fractional part (funcs.py:41-48)."""
+    """Number with no fractional part (funcs.py:41-48).
+
+    Infinity guard: float('inf').is_integer() is False in Python, but
+    floor(inf)==inf in SQL — excluded explicitly for parity."""
     d = c.try_cast("double")
-    return is_number(c) & (d == F.floor(d))
+    finite = ~F.isnan(d) & (d != F.lit(float("inf"))) & (d != F.lit(float("-inf")))
+    return is_number(c) & finite & (d == F.floor(d))
 
 
 def is_prefecture_code(c: Column) -> Column:

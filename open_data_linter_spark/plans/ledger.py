@@ -133,3 +133,38 @@ class ResumableRun:
 
     def audit(self) -> DataFrame:
         return self.spark.read.parquet(self.audit_path)
+
+
+def resumable_validation(
+    spark: SparkSession,
+    df: DataFrame,
+    rules,
+    ledger_path: str,
+    audit_path: str,
+    run_id: str,
+    pt_col: str = "pt",
+    ctx: dict | None = None,
+    fail_after: int | None = None,
+) -> list[int]:
+    """North-rule glue: the FULL validation ruleset, checkpoint-resumable.
+
+    One unit of work = one ``pt`` value of the input table. Each pending pt
+    runs a complete ``ValidationRun`` (fused row scan, column aggs, shuffle
+    + payload families) over its slice; its per-partition lineage + metrics
+    rows land in the audit table keyed (run_id, pt) with dynamic-partition
+    overwrite, then the ledger marks it done. Crash anywhere → rerun
+    resumes at the first unmarked pt and converges to identical audit
+    content (idempotent appends, SURVEY.md §7 risk (ii)).
+    """
+    from open_data_linter_spark.plans.run import ValidationRun
+
+    ctx = ctx or {}
+    runner = ValidationRun(spark, rules, run_id=run_id, collect_violation_rows=False)
+
+    def process(part_df: DataFrame, pt: int) -> DataFrame:
+        local_ctx = dict(ctx)
+        report = runner.run(part_df, local_ctx)
+        return runner.audit_rows(report).drop("run_id")
+
+    rr = ResumableRun(spark, ledger_path, audit_path, run_id)
+    return rr.run(df, process, pt_col=pt_col, fail_after=fail_after)

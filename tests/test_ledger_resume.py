@@ -82,3 +82,39 @@ def test_structure_inference(spark):
 
     with pytest.raises(HeaderEstimateError):
         analyze(spark, "a,b\nc,d\ne,f\n")  # no numeric cell anywhere
+
+
+def test_resumable_full_validation(spark, workdir):
+    """End-to-end: FULL ruleset per pt, crash after 1 pt, resume, converge."""
+    from pyspark.sql import functions as F
+
+    from open_data_linter_spark.audio.synth import synthesize_clips
+    from open_data_linter_spark.plans.ledger import resumable_validation
+    from open_data_linter_spark.rules.audio_rules import build_audio_ruleset
+    from open_data_linter_spark.sources.fixtures import make_fixture
+
+    clips, ctx = make_fixture(spark, n=60, num_partitions=4, corrupt={7: "1-7"})
+    df = clips.withColumn(
+        "pt", F.pmod(F.xxhash64("clip_id"), F.lit(3)).cast("int")
+    )
+    rules = build_audio_ruleset(with_payload=False)  # keep the test quick
+
+    done1 = resumable_validation(
+        spark, df, rules, f"{workdir}/ledger", f"{workdir}/audit", "rv1",
+        ctx=ctx, fail_after=1,
+    )
+    assert len(done1) == 1
+    done2 = resumable_validation(
+        spark, df, rules, f"{workdir}/ledger", f"{workdir}/audit", "rv1", ctx=ctx
+    )
+    assert len(done2) == 2 and set(done1).isdisjoint(done2)
+
+    audit = spark.read.parquet(f"{workdir}/audit")
+    assert audit.select("pt").distinct().count() == 3
+    # the seeded 1-7 violation shows up in exactly its pt's audit slice
+    bad = audit.where((F.col("rule_id") == "1-7") & (F.col("pass") == False))  # noqa: E712
+    assert bad.count() >= 1
+    # idempotence
+    assert resumable_validation(
+        spark, df, rules, f"{workdir}/ledger", f"{workdir}/audit", "rv1", ctx=ctx
+    ) == []

@@ -1,0 +1,123 @@
+"""Randomized parity: Catalyst predicates vs the reference's Python
+semantics (funcs.py:15-95), property-tested with hypothesis.
+
+The Python oracles below are the reference's documented cell semantics
+re-stated directly (float() acceptance, str.isdigit, re.match prefix
+anchoring with Unicode \\s). Each example batch becomes ONE Spark job
+evaluating every predicate at once.
+
+Known, documented divergences excluded from generation:
+- Python float() accepts 'inf'/'Infinity'/'_'-separators; SQL try_cast does
+  not ('inf'-like tokens and '_' filtered out) — irrelevant to the
+  reference's tabular domain.
+"""
+
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from open_data_linter_spark.functions import predicates as P
+from open_data_linter_spark.functions import regexes as rx
+
+ALPHABET = (
+    "0123456789０１２３４５６７８９"
+    "abcdezXYZ"
+    " \t　"
+    ".,-+eE%円年度（）()、ーなし北海道青森県こんにちは"
+)
+
+cell = st.one_of(
+    st.none(),
+    st.text(alphabet=ALPHABET, min_size=0, max_size=12).filter(
+        lambda s: "inf" not in s.lower() and "_" not in s
+    ),
+)
+
+EMPTY_PATTERNS = [re.compile(p) for p in [r"^\s*$", "-", "ー", "なし"]]
+
+
+def ref_is_empty(s):
+    if s is None:
+        return True
+    return any(p.match(s) is not None for p in EMPTY_PATTERNS)
+
+
+def ref_is_number(s):
+    if s is None:
+        return False
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def ref_is_include_number(s):
+    if s is None:
+        return False
+    return any(ch.isdigit() for ch in s)
+
+
+def ref_is_string(s):
+    return not ref_is_empty(s) and not ref_is_include_number(s)
+
+
+def ref_is_integer(s):
+    if not ref_is_number(s):
+        return False
+    return float(s).is_integer()
+
+
+def ref_is_prefecture_code(s):
+    if not ref_is_integer(s):
+        return False
+    return 0 < int(float(s)) <= 47
+
+
+def ref_has_whitespace(s):
+    if s is None:
+        return False
+    return re.search(r"\s", s) is not None
+
+
+ORACLES = {
+    "empty": (P.is_empty, ref_is_empty),
+    "number": (P.is_number, ref_is_number),
+    "incl_num": (P.is_include_number, ref_is_include_number),
+    "string": (P.is_string, ref_is_string),
+    "integer": (P.is_integer, ref_is_integer),
+    "pref_code": (P.is_prefecture_code, ref_is_prefecture_code),
+    "whitespace": (P.has_whitespace, ref_has_whitespace),
+    "num_string": (
+        P.is_number_string,
+        lambda s: s is not None and re.match(rx.NUMBER_STRING, s) is not None,
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def predicate_eval(spark):
+    def run(values):
+        df = spark.createDataFrame(list(enumerate(values)), "i long, s string")
+        rows = df.select(
+            "i", *[fn(F.col("s")).alias(name) for name, (fn, _) in ORACLES.items()]
+        ).collect()
+        return [r for r in sorted(rows, key=lambda r: r["i"])]
+
+    return run
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(cell, min_size=1, max_size=120))
+def test_predicates_match_reference_semantics(predicate_eval, values):
+    got_rows = predicate_eval(values)
+    assert len(got_rows) == len(values)
+    for v, got in zip(values, got_rows):
+        for name, (_fn, oracle) in ORACLES.items():
+            expected = bool(oracle(v))
+            actual = bool(got[name]) if got[name] is not None else False
+            assert actual == expected, (
+                f"{name} diverges on {v!r}: spark={actual} python={expected}"
+            )
