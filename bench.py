@@ -30,7 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from open_data_linter_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# default 16, not 32: this host penalizes sustained >16-thread JVMs
+# (BENCH/BASELINE.md appendix); honored verbatim when the env var is set
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
 N_CLIPS = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "20000"))
 
 HEADLINE = [

@@ -39,6 +39,8 @@ def ngram_jaccard_pairs(
             on="shingle",
             how="inner",
         )
+    # inverted-index self-join: avoid recomputing shingling on both sides
+    inv = inv.localCheckpoint(eager=True)
     l, r = inv.alias("l"), inv.alias("r")
     inter = (
         l.join(r, on=[F.col("l.shingle") == F.col("r.shingle"),

@@ -49,7 +49,9 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with hamming(simhash_a, simhash_b) <= max_hamming."""
-    sigs = simhash_signatures(df, text_col, id_col)
+    # the banded self-join would recompute the 64-bit-sum aggregation on
+    # both sides; truncate lineage once
+    sigs = simhash_signatures(df, text_col, id_col).localCheckpoint(eager=True)
     band_width = N_BITS // N_BANDS
     mask = (1 << band_width) - 1
     banded = sigs.select(

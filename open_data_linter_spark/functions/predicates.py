@@ -32,13 +32,24 @@ def is_empty(c: Column) -> Column:
     return c.isNull() | c.rlike(rx.EMPTY_PATTERN)
 
 
+def _as_double(c: Column) -> Column:
+    """Python-float()-compatible numeric cast.
+
+    Python float() accepts full-width digits (０-９) and strips Unicode
+    whitespace; SQL try_cast accepts neither — translate first, then
+    try_cast (NULL on malformed; ANSI-safe). Exotic digit families (e.g.
+    Arabic-Indic) are out of the reference's domain and not translated.
+    """
+    return F.translate(c, "０１２３４５６７８９　", "0123456789 ").try_cast("double")
+
+
 def is_number(c: Column) -> Column:
-    """float()-accepts test (funcs.py:15-25): try_cast to double succeeds.
+    """float()-accepts test (funcs.py:15-25): normalized try_cast succeeds.
 
     try_cast (NULL on malformed), not cast: Spark 4 runs ANSI mode by
     default, where a plain cast THROWS on 'abc' — try_cast restores the
     reference's float()-raises->False semantics."""
-    return c.isNotNull() & c.try_cast("double").isNotNull()
+    return c.isNotNull() & _as_double(c).isNotNull()
 
 
 def is_include_number(c: Column) -> Column:
@@ -56,14 +67,14 @@ def is_integer(c: Column) -> Column:
 
     Infinity guard: float('inf').is_integer() is False in Python, but
     floor(inf)==inf in SQL — excluded explicitly for parity."""
-    d = c.try_cast("double")
+    d = _as_double(c)
     finite = ~F.isnan(d) & (d != F.lit(float("inf"))) & (d != F.lit(float("-inf")))
     return is_number(c) & finite & (d == F.floor(d))
 
 
 def is_prefecture_code(c: Column) -> Column:
     """Integer in (0, 47] (funcs.py:51-58)."""
-    return is_integer(c) & c.try_cast("double").between(F.lit(1), F.lit(47))
+    return is_integer(c) & _as_double(c).between(F.lit(1), F.lit(47))
 
 
 def is_prefecture_name(c: Column) -> Column:

@@ -17,10 +17,10 @@ EMPTY_LITERALS = ["-", "ー", "なし"]  # exact-match fast path
 SPACES_AND_LINE_BREAK = r"(?U)\s"
 
 # e-Stat time-axis code: YYYY then month-ish digits (regex.py:7).
-DATETIME_CODE = r"^(\d{4})[01][012]\d{4}$"
+DATETIME_CODE = r"(?U)^(\d{4})[01][012]\d{4}$"  # (?U): Python \d is Unicode (full-width digits match)
 
 # 1-4 digit integer — deliberately overbroad "christian era" (regex.py:8).
-CHRISTIAN_ERA = r"^(\d{1,4})$"
+CHRISTIAN_ERA = r"(?U)^(\d{1,4})$"
 
 # "123(note)" — bracketed annotation after a number (regex.py:9).
 # Faithful quirk: the opening-bracket char class includes ')' in the
@@ -31,7 +31,7 @@ NUM_WITH_BRACKETS = r"(?U)^(\d+?)(\s*?)[\(（)](.+?)[\)）]"
 NUM_WITH_NUM = r"(?U)^(\d+?)((\s+?)(\d+?))+?"
 
 # number followed by a non-digit unit suffix, e.g. "1000円" (regex.py:11).
-NUMBER_STRING = r"^\d+[^\d]+$"
+NUMBER_STRING = r"(?U)^\d+[^\d]+$"
 
 # Digit characters per Python str.isdigit() — includes full-width ０-９
 # (funcs.py:80-87); plain [0-9] would diverge on Japanese tables.

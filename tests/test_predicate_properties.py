@@ -92,7 +92,9 @@ ORACLES = {
     "whitespace": (P.has_whitespace, ref_has_whitespace),
     "num_string": (
         P.is_number_string,
-        lambda s: s is not None and re.match(rx.NUMBER_STRING, s) is not None,
+        # strip the Java-only (?U) flag; Python \d/\s are Unicode by default
+        lambda s: s is not None
+        and re.match(rx.NUMBER_STRING.replace("(?U)", ""), s) is not None,
     ),
 }
 
