@@ -32,6 +32,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship the engine package to executors of a session we didn't create
+    (the driver harness builds its own SparkSession; pandas-UDF closures
+    need the package importable on its Python workers)."""
+    from open_data_linter_spark.session import _ship_package
+
+    _ship_package(spark)
+
+
 # --------------------------------------------------------------------------
 # TPC-H-ish rule primitives (SQL-expressible halves of the validation engine)
 # --------------------------------------------------------------------------
@@ -318,6 +327,7 @@ _AUDIO_CORRUPT = {
 def q_audio_validation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine run over a deterministic 512-clip synthetic batch with 10
     seeded violations; returns the per-rule summary matrix."""
+    _ensure_pkg(spark)
     from open_data_linter_spark.plans.run import ValidationRun
     from open_data_linter_spark.rules.audio_rules import build_audio_ruleset
     from open_data_linter_spark.sources.fixtures import make_fixture
@@ -336,6 +346,7 @@ def q_audio_validation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow decode pass + feature extraction over clean synthetic clips."""
+    _ensure_pkg(spark)
     from open_data_linter_spark.audio.synth import synthesize_clips
     from open_data_linter_spark.multimodal.media import audio_features
 
@@ -365,6 +376,7 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_audio_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted uniqueness on the audio table with seeded duplicate ids
     (rows-only: synthesized input)."""
+    _ensure_pkg(spark)
     from open_data_linter_spark.audio.synth import synthesize_clips
     from open_data_linter_spark.rules.uniqueness import duplicate_keys
 
@@ -375,6 +387,7 @@ def q_audio_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_audio_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KS/chi-square drift statistics: shifted batch vs clean baseline
     (rows-only: statistics computed by the engine)."""
+    _ensure_pkg(spark)
     from open_data_linter_spark.audio.synth import synthesize_clips
     from open_data_linter_spark.rules.drift import (
         chi2_critical, chi2_statistic, joint_histograms, ks_critical, ks_statistic,
@@ -400,6 +413,7 @@ def q_audio_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tabular_lint_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-parity tabular mode over the reference's own samples
     (rows-only: per-file pass/fail matrix)."""
+    _ensure_pkg(spark)
     import os
 
     from open_data_linter_spark.rules.tabular import TabularLinter
