@@ -395,8 +395,10 @@ class TabularLinter:
             def pred(target: Column, adjacent: Column) -> Column:
                 year = P.jp_era_to_western(target)
                 extracted = F.regexp_extract(F.coalesce(adjacent, F.lit("")), regex, 1)
-                matches = F.when(extracted != "", extracted.try_cast("int") == year
-                                 ).otherwise(F.lit(False))
+                as_int = F.translate(
+                    extracted, "０１２３４５６７８９", "0123456789"
+                ).try_cast("int")  # Python int() accepts full-width digits
+                matches = F.when(extracted != "", as_int == year).otherwise(F.lit(False))
                 # unconvertible cells pass (j2w raises first, csv_linter.py:277-281)
                 return F.when(year.isNull(), F.lit(True)).otherwise(matches)
             return pred
