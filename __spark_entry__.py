@@ -182,6 +182,31 @@ def q_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: lag-based sessionization (30-min gap) per user.
+
+    The run-length/window pattern of the structure analyzer (P1,
+    sources/rawtext.py) applied to event streams — change-flag → running
+    sum → session id → per-user session stats.
+    """
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))  # ts is TIMESTAMP_NTZ
+    gap = epoch - F.lag(epoch).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sessions = e.withColumn("session_id", F.sum(new_session).over(w))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-style profile: per-column null/distinct counts (long format)."""
     d = _t(spark, sf_dir, "documents")
@@ -470,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_domain_returnflag": q_value_domain_returnflag,
         "histogram_extendedprice": q_histogram_extendedprice,
         "events_user_activity": q_events_user_activity,
+        "events_sessionization": q_events_sessionization,
         "profile_documents": q_profile_documents,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -565,6 +591,22 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value,
                    count(DISTINCT user_id) AS distinct_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_sessionization": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     epoch(ts) - lag(epoch(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events
+            ), s AS (
+              SELECT user_id,
+                     sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g
+            )
+            SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+            FROM s GROUP BY user_id ORDER BY user_id
         """,
         "profile_documents": """
             SELECT 'lang' AS column_name,
