@@ -1,10 +1,25 @@
 """Embedding-cosine near-duplicate detection.
 
-Two strategies over an ``array<float>`` column:
+Three strategies over an ``array<float>`` column:
+
 - brute-force: self-join + Catalyst cosine — exact, O(n²), the correctness
-  baseline (and the DuckDB-oracle-checkable path);
-- LSH-bucketed: random-hyperplane signature restricts the self-join to
-  same-bucket pairs — the scale path (expected recall tunable by bits).
+  baseline (and the DuckDB-oracle twin);
+- single-signature LSH (``lsh_bits``): one random-hyperplane signature
+  restricts the self-join to same-bucket pairs — cheap but recall decays
+  fast for loose thresholds;
+- banded LSH (``bands`` × ``rows_per_band``) — the scale path, same shape
+  as MinHash banding: b independent signatures of r sign bits each; a pair
+  is a candidate if it collides in ANY band, then verified with exact
+  cosine. Per-pair recall = 1-(1-p^r)^b with p = 1-θ/π; at near-dup
+  thresholds (cos ≥ 0.9, p ≈ 0.90) r=8,b=8 gives ~0.99 recall with tiny
+  buckets. For loose thresholds (0.45 → p ≈ 0.65) r must shrink (r=2) and
+  buckets get big — banding still beats O(n²) only when candidate volume
+  b·n²/2^r << n²; callers wanting exhaustive low-threshold output should
+  use the brute path or a prefix-filter APSS design.
+
+The banded plan is pure hash joins: band rows carry only (id, band,
+bucket); the self-join key is (band, bucket); vectors are re-joined only
+for deduped candidate pairs. No BroadcastNestedLoopJoin anywhere.
 """
 
 from __future__ import annotations
@@ -16,6 +31,42 @@ from pyspark.sql import functions as F
 from open_data_linter_spark.functions.vectors import cosine, hyperplane_bucket
 
 
+def _banded_candidates(
+    base: DataFrame, bands: int, rows_per_band: int, dim: int, seed: int
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) colliding in ≥1 band."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bands * rows_per_band, dim))
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    buckets = F.array(
+        *[
+            hyperplane_bucket(
+                F.col("v"),
+                planes[j * rows_per_band : (j + 1) * rows_per_band].tolist(),
+            )
+            for j in range(bands)
+        ]
+    )
+    band_rows = (
+        base.select("id", F.posexplode(buckets).alias("band", "bucket"))
+        # the self-join otherwise recomputes the projection lineage twice
+        .localCheckpoint(eager=True)
+    )
+    l, r = band_rows.alias("l"), band_rows.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -24,9 +75,34 @@ def embedding_near_duplicates(
     lsh_bits: int | None = None,
     dim: int | None = None,
     seed: int = 42,
+    bands: int | None = None,
+    rows_per_band: int = 4,
 ) -> DataFrame:
-    """Pairs (id_a < id_b, cosine >= threshold)."""
+    """Pairs (id_a < id_b, cosine >= threshold).
+
+    Default is the exact brute-force baseline. Pass ``bands`` (+ ``dim``)
+    for the banded-LSH scale path, or ``lsh_bits`` for the single-signature
+    variant.
+    """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    if bands:
+        assert dim, "dim required for LSH planes"
+        cand = _banded_candidates(base, bands, rows_per_band, dim, seed)
+        va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        return (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            )
+            .where(F.col("cos_sim") >= threshold)
+            .orderBy("id_a", "id_b")
+        )
+
     join_on = [F.col("l.id") < F.col("r.id")]
     if lsh_bits:
         assert dim, "dim required for LSH planes"

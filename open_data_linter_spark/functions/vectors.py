@@ -6,6 +6,8 @@ similarity search and embedding near-dup.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -31,6 +33,35 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     d = norm(a) * norm(b)
     return F.when(d == 0, F.lit(0.0)).otherwise(dot(a, b) / d)
+
+
+def bucket_signatures(vec_col: str, planes_3d) -> Column:
+    """All LSH table buckets in one vectorized pass: array<long> of length
+    ``tables`` for a (tables, bits, dim) plane tensor.
+
+    One numpy matmul per Arrow batch — (rows × dim) @ (dim × tables·bits) —
+    then sign-bit packing. The Catalyst-literal path (``hyperplane_bucket``)
+    grows an O(tables·bits·dim) expression tree that stalls codegen past a
+    few dozen planes; this stays O(1) plan size at any table count and the
+    matmul is BLAS-backed. Planes are captured in the UDF closure
+    (driver-seeded, tiny) — effectively a broadcast.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.asarray(planes_3d, dtype=np.float64)
+    tables, bits, dim = planes.shape
+    flat = planes.reshape(tables * bits, dim).T  # (dim, tables*bits)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def _sig(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())  # (rows, dim)
+        proj = mat.astype(np.float64) @ flat  # (rows, tables*bits)
+        signs = (proj >= 0).reshape(len(mat), tables, bits)
+        buckets = (signs * weights).sum(axis=2)  # (rows, tables)
+        return pd.Series(list(buckets))
+
+    return _sig(vec_col)
 
 
 def hyperplane_bucket(a: Column, planes: list[list[float]]) -> Column:

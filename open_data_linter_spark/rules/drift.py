@@ -64,7 +64,14 @@ def ks_statistic(obs: np.ndarray, exp: np.ndarray) -> float:
 
 
 def ks_critical(n: float, m: float, alpha: float = 0.01) -> float:
-    """Asymptotic two-sample KS critical value c(α)·sqrt((n+m)/nm)."""
+    """Asymptotic two-sample KS critical value c(α)·sqrt((n+m)/nm).
+
+    An empty side (n or m == 0: e.g. a batch whose drift column is entirely
+    null) returns 0.0 so ks_statistic's 1.0 always trips — the rule degrades
+    to "drifted" instead of raising ZeroDivisionError through the runner.
+    """
+    if n <= 0 or m <= 0:
+        return 0.0
     c_alpha = math.sqrt(-0.5 * math.log(alpha / 2.0))
     return c_alpha * math.sqrt((n + m) / (n * m))
 

@@ -1,18 +1,26 @@
-"""Key-uniqueness rule via salted two-stage aggregation.
+"""Key-uniqueness rule: duplicate detection via repartition-and-count.
 
 North-rule mandate: "uniqueness on clip_id via salted repartition-and-count"
-(BASELINE.json north_star). The scalable shape:
+(BASELINE.json north_star). Two physical shapes, both correct:
 
-    stage 1 (NO shuffle): groupBy(key, spark_partition_id()).count()
-            — pure map-side; a key duplicated a billion times within one
-            partition collapses to one row before anything moves.
-    stage 2 (shuffle of pre-aggregated rows only): groupBy(key).sum(cnt)
-            — the shuffle carries at most (#partitions x #distinct keys
-            present per partition) rows, never the raw table.
+- plain (default): ``groupBy(key).count()`` — ONE Exchange. Catalyst's
+  partial (map-side) hash aggregation already collapses within-partition
+  duplicates before the shuffle, so the shuffle carries at most
+  (#partitions × #distinct keys per partition) rows, never the raw table.
+  For a primary-key-ish column (high cardinality, duplicates are the
+  anomaly) this is the plan you want; AQE handles residual skew.
+- salted (``salted=True``): an explicit two-stage
+  ``groupBy(key, spark_partition_id()) → groupBy(key)`` — TWO Exchanges.
+  The first exchange is on (key, salt), so no single reducer ever owns a
+  pathologically hot key's full stream. Use when one key dominates the
+  table (e.g. a sentinel id repeated billions of times) AND partial
+  aggregation can't hold the per-partition hash map (wide group state,
+  spilling); otherwise it just doubles the shuffle count — the partial agg
+  in the plain plan already bounds per-key final-stage input to
+  #partitions rows.
 
-``spark_partition_id()`` is the salt: it is deterministic for a given scan,
-free, and guarantees stage 1 never shuffles. This generalizes the hot-key
-salting pattern; AQE's skew handling covers residual stage-2 skew.
+(Earlier revisions claimed stage 1 of the salted shape was shuffle-free;
+the executed plan shows the extra Exchange — see tests/test_plans.py.)
 
 Generalizes the reference's duplicate-detection spirit (SURVEY.md §2.6);
 the reference itself has no key concept (positional columns only).
@@ -26,18 +34,17 @@ from pyspark.sql import functions as F
 from open_data_linter_spark.core.model import Rule, RuleOutcome, RuleScope
 
 
-def duplicate_keys(df: DataFrame, key: str = "clip_id") -> DataFrame:
+def duplicate_keys(df: DataFrame, key: str = "clip_id", salted: bool = False) -> DataFrame:
     """Keys occurring more than once: (key, dup_count)."""
-    stage1 = (
-        df.where(F.col(key).isNotNull())
-        .groupBy(F.col(key), F.spark_partition_id().alias("__salt"))
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-    )
-    return (
-        stage1.groupBy(key)
-        .agg(F.sum("__cnt").alias("dup_count"))
-        .where(F.col("dup_count") > 1)
-    )
+    nn = df.where(F.col(key).isNotNull())
+    if salted:
+        stage1 = nn.groupBy(
+            F.col(key), F.spark_partition_id().alias("__salt")
+        ).agg(F.count(F.lit(1)).alias("__cnt"))
+        counted = stage1.groupBy(key).agg(F.sum("__cnt").alias("dup_count"))
+    else:
+        counted = nn.groupBy(key).agg(F.count(F.lit(1)).alias("dup_count"))
+    return counted.where(F.col("dup_count") > 1)
 
 
 def make_uniqueness_rule(key: str = "clip_id", rule_id: str = "uniq") -> Rule:
@@ -45,7 +52,7 @@ def make_uniqueness_rule(key: str = "clip_id", rule_id: str = "uniq") -> Rule:
 
     def runner(spark: SparkSession, df: DataFrame, ctx: dict) -> RuleOutcome:
         dups = duplicate_keys(df, key)
-        # tiny result at sane dup rates; count() triggers the two-stage agg
+        # tiny result at sane dup rates; count() triggers the aggregation
         n_dup_keys = dups.count()
         violations = None
         if n_dup_keys > 0:
@@ -65,7 +72,7 @@ def make_uniqueness_rule(key: str = "clip_id", rule_id: str = "uniq") -> Rule:
 
     return Rule(
         rule_id=rule_id,
-        description=f"{key} must be unique (salted two-stage count)",
+        description=f"{key} must be unique (repartition-and-count)",
         scope=RuleScope.SHUFFLE,
         message=message,
         runner=runner,

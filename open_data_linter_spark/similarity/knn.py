@@ -18,7 +18,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from open_data_linter_spark.functions.vectors import cosine, hyperplane_bucket
+from open_data_linter_spark.functions.vectors import bucket_signatures, cosine
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -68,29 +68,43 @@ def lsh_topk(
     dim: int = 64,
     multiprobe: bool = True,
     seed: int = 42,
+    tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k via hyperplane buckets + 1-bit multi-probe."""
+    """Approximate top-k via hyperplane buckets + 1-bit multi-probe.
+
+    ``tables`` > 1 is the classic multi-table (L hash tables) LSH
+    OR-construction: each table has independent planes; a corpus vector is
+    a candidate if it collides with the query (or a 1-bit probe of it) in
+    ANY table. Recall rises much faster than candidate volume because
+    collisions concentrate on genuinely-close vectors; the join stays a
+    hash join on (table, bucket).
+    """
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((bits, dim))
-    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
-    pl = planes.tolist()
+    planes = rng.standard_normal((tables, bits, dim))
+    planes /= np.linalg.norm(planes, axis=2, keepdims=True)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("bucket", hyperplane_bucket(F.col("cv"), pl))
+    ).select(
+        "neighbor_id", "cv",
+        F.posexplode(bucket_signatures("cv", planes)).alias("table", "bucket"),
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("qbucket", hyperplane_bucket(F.col("qv"), pl))
+    ).select(
+        "query_id", "qv",
+        F.posexplode(bucket_signatures("qv", planes)).alias("table", "qbucket"),
+    )
     if multiprobe:
         probes = F.array(
             F.col("qbucket"),
             *[F.col("qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)],
         )
-        q = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
+        q = q.select("query_id", "qv", "table", F.explode(probes).alias("bucket"))
     else:
-        q = q.select("query_id", "qv", F.col("qbucket").alias("bucket"))
+        q = q.select("query_id", "qv", "table", F.col("qbucket").alias("bucket"))
     scored = (
-        c.join(F.broadcast(q), on="bucket")
+        c.join(F.broadcast(q), on=["table", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",

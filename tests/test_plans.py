@@ -94,12 +94,17 @@ def test_row_scan_is_codegen_only(clips_parquet):
 
 
 def test_uniqueness_partial_agg_before_shuffle(clips_parquet):
-    """Two-stage salted uniqueness: partial aggregation must precede every
-    exchange (duplicates collapse before any data moves)."""
+    """Partial aggregation must precede every exchange (duplicates collapse
+    before any data moves), and the exchange count must match the mode:
+    plain = ONE shuffle (the default plan), salted = TWO (documented
+    hot-key trade-off, rules/uniqueness.py docstring)."""
     from open_data_linter_spark.rules.uniqueness import duplicate_keys
 
     plan = explain_str(duplicate_keys(clips_parquet), mode="simple")
-    # a HashAggregate appears below (after, in plan text) the first Exchange
     first_exchange = plan.find("Exchange")
     assert first_exchange != -1
     assert "HashAggregate" in plan[first_exchange:], plan
+    assert plan.count("Exchange") == 1, plan
+
+    salted_plan = explain_str(duplicate_keys(clips_parquet, salted=True), mode="simple")
+    assert salted_plan.count("Exchange") == 2, salted_plan
