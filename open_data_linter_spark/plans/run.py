@@ -47,7 +47,12 @@ class RunReport:
     """Materialized outcome of a validation run (small: summaries only).
 
     ``violations`` stays a lazy DataFrame — write it or collect it; the
-    per-rule matrix only needs counts.
+    per-rule matrix only needs counts. ``partition_summary_df`` is the
+    per-(rule, column, partition) lineage as a DataFrame (backed by a
+    localCheckpoint of the fused-scan output, so re-reading it never
+    re-scans the input); ``partition_summaries`` is its collected form,
+    populated ONLY in interactive/test mode (collect_violation_rows=True)
+    — at 10^12 rows the driver must never hold per-partition width.
     """
 
     run_id: str
@@ -57,6 +62,7 @@ class RunReport:
     metrics: dict[str, dict[str, float]]
     blocked: bool = False
     wall_secs: dict[str, float] = field(default_factory=dict)
+    partition_summary_df: Optional[DataFrame] = None
 
     def is_valid(self, rule_id: str) -> Optional[bool]:
         return self.results[rule_id].is_valid
@@ -92,8 +98,18 @@ class ValidationRun:
 
     def _fused_row_scan(
         self, df: DataFrame, rules: list[Rule]
-    ) -> tuple[list[dict], Optional[DataFrame]]:
-        """One conditional-agg pass for counts + one extraction pass."""
+    ) -> tuple[dict[str, int], Optional[DataFrame], Optional[DataFrame]]:
+        """One conditional-agg pass for counts + one extraction pass.
+
+        Returns (per-rule violation totals, per-partition summary DataFrame
+        in long format, violation-row DataFrame). The per-partition summary
+        NEVER hits the driver here: the grouped scan output is
+        localCheckpoint-ed (executor-resident, lineage truncated — at a real
+        10^12-row scale this would be a persist or a direct audit-table
+        write), the driver collects ONE global-totals row, and the long
+        (rule_id, column, partition_id, violation_count, rows_scanned) form
+        is derived Spark-side via ``stack`` for the audit sink.
+        """
         flag_specs = []  # (rule, column_label, alias, Column)
         for r in rules:
             for i, (colname, builder) in enumerate(r.predicates or []):
@@ -101,31 +117,42 @@ class ValidationRun:
                 flag = builder(df)
                 flag_specs.append((r, colname, alias, flag))
         if not flag_specs:
-            return [], None
+            return {r.rule_id: 0 for r in rules}, None, None
 
         pid = F.spark_partition_id().alias("partition_id")
         aggs = [
             F.sum(F.when(flag, F.lit(1)).otherwise(F.lit(0))).alias(alias)
             for (_, _, alias, flag) in flag_specs
         ] + [F.count(F.lit(1)).alias("__rows")]
-        summary_rows = df.groupBy(pid).agg(*aggs).collect()
+        summary_df = df.groupBy(pid).agg(*aggs).localCheckpoint(eager=True)
 
-        summaries: list[dict] = []
+        # ONE tiny row to the driver: global totals per flag
+        totals_row = summary_df.agg(
+            *[F.sum(alias).alias(alias) for (_, _, alias, _) in flag_specs]
+        ).collect()[0]
+        totals: dict[str, int] = {r.rule_id: 0 for r in rules}
         any_violation = False
-        for row in summary_rows:
-            d = row.asDict()
-            for r, colname, alias, _ in flag_specs:
-                cnt = int(d[alias] or 0)
-                any_violation = any_violation or cnt > 0
-                summaries.append(
-                    {
-                        "rule_id": r.rule_id,
-                        "column": colname,
-                        "partition_id": d["partition_id"],
-                        "violation_count": cnt,
-                        "rows_scanned": int(d["__rows"]),
-                    }
-                )
+        for r, _colname, alias, _ in flag_specs:
+            cnt = int(totals_row[alias] or 0)
+            totals[r.rule_id] += cnt
+            any_violation = any_violation or cnt > 0
+
+        # long-format lineage rows, derived executor-side from the checkpoint
+        def _lit_sql(s: Optional[str]) -> str:
+            return "CAST(NULL AS STRING)" if s is None else "'" + s.replace("'", "''") + "'"
+
+        stack_args = ", ".join(
+            f"{_lit_sql(r.rule_id)}, {_lit_sql(colname)}, `{alias}`"
+            for (r, colname, alias, _) in flag_specs
+        )
+        psum_df = summary_df.select(
+            F.col("partition_id"),
+            F.expr(
+                f"stack({len(flag_specs)}, {stack_args}) AS "
+                "(rule_id, column, violation_count)"
+            ),
+            F.col("__rows").alias("rows_scanned"),
+        ).select("rule_id", "column", "partition_id", "violation_count", "rows_scanned")
 
         violations_df: Optional[DataFrame] = None
         if any_violation and self.collect_violation_rows:
@@ -161,7 +188,7 @@ class ValidationRun:
                     "partition_id",
                 )
             )
-        return summaries, violations_df
+        return totals, psum_df, violations_df
 
     # --------------------------------------------------------------- column
 
@@ -224,62 +251,87 @@ class ValidationRun:
                     results[r.rule_id] = LintResult.simple_error(BLOCKED_MESSAGE, is_valid=None)
             return RunReport(self.run_id, results, None, [], metrics, blocked=True, wall_secs=wall)
 
-        # 2. fused row scan (row + cross-column predicates)
-        t0 = time.time()
-        row_rules = by_scope.get(RuleScope.ROW, []) + by_scope.get(RuleScope.CROSS_COLUMN, [])
-        summaries, row_violations = self._fused_row_scan(df, row_rules)
-        partition_summaries.extend(summaries)
-        if row_violations is not None:
-            all_violation_dfs.append(row_violations)
-        for r in row_rules:
-            mine = [s for s in summaries if s["rule_id"] == r.rule_id]
-            total = sum(s["violation_count"] for s in mine)
-            results[r.rule_id] = self._counts_to_result(r, mine, total)
-            metrics[r.rule_id] = {"violation_count": float(total)}
-        wall["row_scan"] = time.time() - t0
+        # 2-4. Everything after the gate is mutually independent — the fused
+        #    row scan, the fused column aggregates, each SHUFFLE rule's job
+        #    topology, and the payload family's shared Arrow decode pass —
+        #    so ALL of them run concurrently from one thread pool (Spark
+        #    schedules concurrent actions fine; the JVM-bound scans overlap
+        #    the Python-worker-bound decode). The payload family is
+        #    submitted FIRST because its decode pass is the longest pole;
+        #    payload rules stay sequential within one thread because they
+        #    share the decode-stats cache, and drift rules serialize their
+        #    shared joint-histogram job behind ctx['_drift_hist_lock'].
+        #    Earlier revisions ran row scan → column aggs → (pool of 4),
+        #    which serialized ~3 job latencies that are core-count
+        #    independent — exactly the floor the scaling criterion punishes.
+        import concurrent.futures as cf
+        import threading
 
-        # 3. fused column aggregates
-        t0 = time.time()
-        col_outcomes = self._fused_column_aggs(df, by_scope.get(RuleScope.COLUMN, []))
+        ctx.setdefault("_drift_hist_lock", threading.Lock())
+        t_all = time.time()
+        row_rules = by_scope.get(RuleScope.ROW, []) + by_scope.get(RuleScope.CROSS_COLUMN, [])
+        shuffle_rules = by_scope.get(RuleScope.SHUFFLE, [])
+        payload_rules = by_scope.get(RuleScope.PAYLOAD, [])
+
+        row_out: dict = {}
+        col_outcomes: dict[str, RuleOutcome] = {}
+        outcomes: dict[str, RuleOutcome] = {}
+
+        def _run_payload_family() -> None:
+            t0 = time.time()
+            for r in payload_rules:
+                outcomes[r.rule_id] = r.runner(self.spark, df, ctx)
+            wall["payload"] = time.time() - t0
+
+        def _run_row_scan() -> None:
+            t0 = time.time()
+            totals, psum_df, row_violations = self._fused_row_scan(df, row_rules)
+            row_out.update(totals=totals, psum_df=psum_df, violations=row_violations)
+            wall["row_scan"] = time.time() - t0
+
+        def _run_column_aggs() -> None:
+            t0 = time.time()
+            col_outcomes.update(
+                self._fused_column_aggs(df, by_scope.get(RuleScope.COLUMN, []))
+            )
+            wall["column_aggs"] = time.time() - t0
+
+        def _run_rule(r: Rule) -> None:
+            outcomes[r.rule_id] = r.runner(self.spark, df, ctx)
+
+        n_tasks = 3 + len(shuffle_rules)
+        with cf.ThreadPoolExecutor(max_workers=min(16, n_tasks)) as pool:
+            futs = [pool.submit(_run_payload_family)]
+            futs.append(pool.submit(_run_row_scan))
+            futs.append(pool.submit(_run_column_aggs))
+            futs += [pool.submit(_run_rule, r) for r in shuffle_rules]
+            for f in futs:
+                f.result()
+        wall["shuffle+payload"] = time.time() - t_all  # kept for bench continuity
+
+        for r in row_rules:
+            total = row_out["totals"].get(r.rule_id, 0)
+            results[r.rule_id] = self._counts_to_result(r, total)
+            metrics[r.rule_id] = {"violation_count": float(total)}
+        if row_out.get("violations") is not None:
+            all_violation_dfs.append(row_out["violations"])
         for rid, out in col_outcomes.items():
             results[rid] = self._outcome_to_result(out)
             metrics[rid] = out.metrics
             if out.violations is not None:
                 all_violation_dfs.append(out.violations)
-        wall["column_aggs"] = time.time() - t0
-
-        # 4. shuffle + payload rules. Each shuffle rule is an independent job
-        #    topology and the payload family shares one Arrow decode pass —
-        #    all independent of each other, so they run CONCURRENTLY from a
-        #    small thread pool (Spark schedules concurrent actions fine; the
-        #    JVM-bound shuffle work overlaps the Python-worker-bound decode).
-        #    Payload rules stay sequential within one thread because they
-        #    share the decode-stats cache.
-        t0 = time.time()
-        outcomes: dict[str, RuleOutcome] = {}
-
-        def _run_rule(r: Rule) -> None:
-            outcomes[r.rule_id] = r.runner(self.spark, df, ctx)
-
-        def _run_payload_family() -> None:
-            for r in by_scope.get(RuleScope.PAYLOAD, []):
-                _run_rule(r)
-
-        import concurrent.futures as cf
-
-        with cf.ThreadPoolExecutor(max_workers=4) as pool:
-            futs = [pool.submit(_run_rule, r) for r in by_scope.get(RuleScope.SHUFFLE, [])]
-            futs.append(pool.submit(_run_payload_family))
-            for f in futs:
-                f.result()
-
-        for r in by_scope.get(RuleScope.SHUFFLE, []) + by_scope.get(RuleScope.PAYLOAD, []):
+        for r in shuffle_rules + payload_rules:
             out = outcomes[r.rule_id]
             results[r.rule_id] = self._outcome_to_result(out)
             metrics[r.rule_id] = out.metrics
             if out.violations is not None:
                 all_violation_dfs.append(out.violations)
-        wall["shuffle+payload"] = time.time() - t0
+
+        psum_df = row_out.get("psum_df")
+        if psum_df is not None and self.collect_violation_rows:
+            # interactive/test mode only: the per-partition width may reach
+            # the driver. The at-scale path keeps it as a DataFrame.
+            partition_summaries.extend(r.asDict() for r in psum_df.collect())
 
         violations = None
         if all_violation_dfs:
@@ -288,7 +340,8 @@ class ValidationRun:
                 violations = violations.unionByName(v)
 
         report = RunReport(
-            self.run_id, results, violations, partition_summaries, metrics, wall_secs=wall
+            self.run_id, results, violations, partition_summaries, metrics,
+            wall_secs=wall, partition_summary_df=psum_df,
         )
         self._attach_violation_cells(report)
         cached = ctx.get("_decode_results")
@@ -300,7 +353,7 @@ class ValidationRun:
 
     # -------------------------------------------------------------- helpers
 
-    def _counts_to_result(self, rule: Rule, summaries: list[dict], total: int) -> LintResult:
+    def _counts_to_result(self, rule: Rule, total: int) -> LintResult:
         if total == 0:
             return LintResult(is_valid=True)
         return LintResult(is_valid=False, invalid_contents=[InvalidContent(rule.message, [])])
@@ -324,6 +377,13 @@ class ValidationRun:
         Only for interactive/test use — capped, and skipped entirely when
         ``collect_violation_rows`` is off (the at-scale path writes the
         violations DataFrame to the audit table instead).
+
+        The collected cells MERGE into the existing result: the count pass
+        is authoritative for is_valid, so a rule the counts marked passing
+        stays passing even if the (re-evaluated) extraction scan surfaces
+        rows — e.g. a nondeterministic source or a future advisory-row rule
+        must not silently flip pass→fail — and previously attached
+        column_findings are kept.
         """
         if report.violations is None or not self.collect_violation_rows:
             return
@@ -336,31 +396,27 @@ class ValidationRun:
         for rid, by_msg in by_rule.items():
             contents = [InvalidContent(msg, cells) for msg, cells in by_msg.items()]
             prev = report.results.get(rid)
-            is_valid = prev.is_valid if prev else False
+            if prev is None:
+                report.results[rid] = LintResult(is_valid=False, invalid_contents=contents)
+                continue
+            # keep real findings (cells / column coordinates); drop cell-less
+            # placeholders now that actual violating cells are attached
+            merged = [ic for ic in prev.invalid_contents if ic.invalid_cells] + contents
             report.results[rid] = LintResult(
-                is_valid=False if is_valid is not None else None,
-                invalid_contents=contents,
+                is_valid=prev.is_valid, invalid_contents=merged
             )
 
     # ---------------------------------------------------------------- audit
 
     def audit_rows(self, report: RunReport) -> DataFrame:
-        """Per-partition lineage + metrics rows (AUDIT_SCHEMA)."""
+        """Per-partition lineage + metrics rows (AUDIT_SCHEMA).
+
+        The per-partition half is derived Spark-side from the checkpointed
+        fused-scan summary (never collected to the driver); only the tiny
+        per-rule metrics rows are driver-built.
+        """
         ts = int(time.time())
         rows = []
-        for s in report.partition_summaries:
-            rows.append(
-                (
-                    report.run_id,
-                    s["partition_id"],
-                    s["rule_id"],
-                    s["violation_count"] == 0,
-                    s["violation_count"],
-                    s["rows_scanned"],
-                    {},
-                    ts,
-                )
-            )
         for rid, m in report.metrics.items():
             rows.append(
                 (
@@ -374,7 +430,21 @@ class ValidationRun:
                     ts,
                 )
             )
-        return self.spark.createDataFrame(rows, AUDIT_SCHEMA)
+        metrics_df = self.spark.createDataFrame(rows, AUDIT_SCHEMA)
+        psum = report.partition_summary_df
+        if psum is None:
+            return metrics_df
+        part_df = psum.select(
+            F.lit(report.run_id).alias("run_id"),
+            F.col("partition_id").cast("int").alias("partition_id"),
+            F.col("rule_id"),
+            (F.col("violation_count") == 0).alias("pass"),
+            F.col("violation_count").cast("long").alias("violation_count"),
+            F.col("rows_scanned").cast("long").alias("rows_scanned"),
+            F.create_map().cast("map<string,double>").alias("metrics"),
+            F.lit(ts).cast("long").alias("ts_logical"),
+        )
+        return part_df.unionByName(metrics_df)
 
 
 def empty_violations(spark: SparkSession) -> DataFrame:

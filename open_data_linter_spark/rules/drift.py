@@ -154,10 +154,16 @@ def make_drift_rule(
         if not exp:
             return RuleOutcome(rule_id, is_valid=None, metrics={})
         if shared_specs:
-            hists = ctx.get("_drift_hists")
-            if hists is None:
-                hists = joint_histograms(df, shared_specs)
-                ctx["_drift_hists"] = hists
+            # drift rules may run on separate runner threads (plans/run.py
+            # concurrency) — double-checked lock so the joint job runs once
+            import threading
+
+            lock = ctx.setdefault("_drift_hist_lock", threading.Lock())
+            with lock:
+                hists = ctx.get("_drift_hists")
+                if hists is None:
+                    hists = joint_histograms(df, shared_specs)
+                    ctx["_drift_hists"] = hists
             obs = hists[column]
         else:
             obs_rows = histogram(df, column, bin_edges).collect()

@@ -10,9 +10,10 @@ engine exposes its ruleset over Structured Streaming micro-batches:
 
 ``foreachBatch`` is the right integration point: every rule family —
 including the shuffle rules and the Arrow decode pass — already works on a
-static DataFrame, and the streaming engine's checkpoint gives exactly-once
-per-micro-batch audit appends (idempotent by batch_id, same ledger idea as
-plans/ledger.py). Cross-batch global rules (uniqueness over all time,
+static DataFrame. foreachBatch itself is only at-least-once, so both sinks
+are partitioned by batch_id and written with dynamic partition overwrite —
+a replayed batch replaces its own partition, making the OUTPUT effectively
+exactly-once (same ledger idea as plans/ledger.py). Cross-batch global rules (uniqueness over all time,
 drift vs a moving baseline) remain batch jobs over the accumulated table;
 per-batch uniqueness/RI/drift run fine inside the micro-batch.
 """
@@ -64,9 +65,12 @@ def validate_stream(
     """Attach the validation engine to a stream; returns the StreamingQuery.
 
     Each micro-batch runs the full ``ValidationRun`` plan (fused row scan,
-    column aggs, shuffle + payload families) and appends one audit row per
-    (rule, partition) plus per-rule batch summaries, keyed by batch_id so a
-    replayed micro-batch overwrites idempotently.
+    column aggs, shuffle + payload families) and writes one audit row per
+    (rule, partition) plus per-rule batch summaries. ``foreachBatch`` is
+    at-least-once, so both sinks are PARTITIONED BY batch_id and written
+    with dynamic partition overwrite: a replayed micro-batch replaces
+    exactly its own batch_id partition — effectively exactly-once output
+    (same ledger idea as plans/ledger.py's (run_id, pt) partitions).
     """
     spark = stream_df.sparkSession
 
@@ -76,11 +80,19 @@ def validate_stream(
                             collect_violation_rows=violations_path is not None)
         report = run.run(batch_df, ctx)
         audit = run.audit_rows(report).withColumn("batch_id", F.lit(batch_id))
-        audit.coalesce(1).write.mode("append").parquet(audit_path)
+        (
+            audit.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(audit_path)
+        )
         if violations_path is not None and report.violations is not None:
             (
                 report.violations.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
                 .parquet(violations_path)
             )
 

@@ -62,3 +62,27 @@ def test_stream_validation(spark, tmp_path):
     wait_for(q2)
     audit2 = spark.read.parquet(str(tmp_path / "audit"))
     assert audit2.count() == audit.count()
+
+    # at-least-once replay semantics: a REPROCESSED batch (fresh checkpoint,
+    # same inputs => same batch ids) overwrites its own batch_id partition
+    # instead of appending duplicates — effectively exactly-once output
+    orig = {
+        r.batch_id: r.cnt
+        for r in audit2.groupBy("batch_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    orig_total = audit2.count()
+    stream3 = read_clip_stream(spark, str(flat), max_files_per_trigger=1)
+    q3 = validate_stream(
+        stream3, rules,
+        audit_path=str(tmp_path / "audit"),
+        checkpoint_path=str(tmp_path / "ckpt_replay"),
+        available_now=True,
+    )
+    wait_for(q3)
+    audit3 = spark.read.parquet(str(tmp_path / "audit"))
+    assert audit3.count() == orig_total
+    per_batch = {
+        r.batch_id: r.cnt
+        for r in audit3.groupBy("batch_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert per_batch == orig

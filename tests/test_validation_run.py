@@ -58,6 +58,30 @@ def test_perfect_batch_partition_summaries(perfect_report):
     assert all(s["violation_count"] == 0 for s in perfect_report.partition_summaries)
 
 
+def test_scale_mode_never_collects_partition_width(spark):
+    """At-scale mode (collect_violation_rows=False): per-partition summaries
+    stay a DataFrame (never driver-collected — at 10^12 rows that list is a
+    driver OOM) and the audit rows are derived from it Spark-side."""
+    clips, ctx = make_fixture(spark, n=N, num_partitions=PARTS, corrupt={3: "1-5"})
+    run = ValidationRun(spark, build_audio_ruleset(), collect_violation_rows=False)
+    report = run.run(clips, ctx)
+    assert report.partition_summaries == []
+    assert report.partition_summary_df is not None
+    psum = report.partition_summary_df
+    assert {f.name for f in psum.schema.fields} == {
+        "rule_id", "column", "partition_id", "violation_count", "rows_scanned"
+    }
+    got = psum.groupBy("rule_id").agg(F.sum("violation_count").alias("v")).collect()
+    by_rule = {r.rule_id: r.v for r in got}
+    assert by_rule["1-5"] == 1
+    # audit: per-partition lineage present without any driver-side list
+    audit = run.audit_rows(report)
+    n_parts = audit.where(F.col("partition_id").isNotNull()).count()
+    assert n_parts == psum.count()
+    if ctx.get("_decode_results") is not None:
+        ctx["_decode_results"].unpersist()
+
+
 @pytest.mark.parametrize(
     "tag,rule_id,column,indices",
     [
