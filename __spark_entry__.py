@@ -347,6 +347,19 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, q, k=5, bits=6, dim=64, tables=8).orderBy("query_id", "rank")
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (k-means cells on a driver sample + nprobe search) —
+    the data-adaptive scale path beside the LSH one. Deterministic (seeded
+    Lloyd iterations), pinned by a measured-golden oracle."""
+    from open_data_linter_spark.similarity.knn import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    return ivf_topk(e, q, k=5, n_cells=16, nprobe=8, train_size=500).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall audit of the LSH path: per-query overlap between LSH top-5 and
     exact brute-force top-5. Deterministic (seeded planes, fixed data), so
@@ -584,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardups": q_embedding_neardups,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "knn_lsh_recall": q_knn_lsh_recall,
         "audio_validation_matrix": q_audio_validation_matrix,
         "audio_decode_features": q_audio_decode_features,
@@ -952,6 +966,31 @@ def oracle_sql() -> dict[str, str]:
                  AS t(column_name, inferred_type, nulls, null_rate,
                       approx_distinct, min_value, max_value)
             ORDER BY column_name
+        """,
+        "knn_ivf": """
+            -- measured golden (k-means cell assignment is engine-specific;
+            -- seeded Lloyd training => deterministic; recall vs brute 0.775
+            -- at nprobe=8/16 cells on this corpus)
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id,
+                   CAST(cos_sim AS DOUBLE) AS cos_sim,
+                   CAST(rank AS INTEGER) AS rank
+            FROM (VALUES (0,365,0.369994,1),(0,334,0.362722,2),(0,387,0.331139,3),
+                  (0,423,0.296934,4),(0,73,0.295434,5),(1,386,0.371485,1),
+                  (1,407,0.32701,2),(1,64,0.316374,3),(1,124,0.30275,4),
+                  (1,402,0.292322,5),(2,117,0.318143,1),(2,450,0.266344,2),
+                  (2,145,0.263494,3),(2,320,0.255043,4),(2,471,0.247193,5),
+                  (3,130,0.399872,1),(3,149,0.329934,2),(3,343,0.308472,3),
+                  (3,174,0.303548,4),(3,231,0.298788,5),(4,496,0.341212,1),
+                  (4,408,0.322753,2),(4,482,0.313897,3),(4,280,0.279826,4),
+                  (4,257,0.272399,5),(5,404,0.328403,1),(5,157,0.311256,2),
+                  (5,33,0.310987,3),(5,316,0.291112,4),(5,395,0.275599,5),
+                  (6,350,0.324518,1),(6,430,0.32252,2),(6,145,0.297696,3),
+                  (6,268,0.259942,4),(6,395,0.25912,5),(7,340,0.492766,1),
+                  (7,425,0.40752,2),(7,334,0.356901,3),(7,381,0.345179,4),
+                  (7,445,0.340782,5))
+                 AS t(query_id, neighbor_id, cos_sim, rank)
+            ORDER BY query_id, rank
         """,
         "knn_lsh_recall": """
             -- measured golden: recall of the seeded 8-table LSH vs exact

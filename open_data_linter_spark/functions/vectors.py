@@ -80,3 +80,24 @@ def hyperplane_bucket(a: Column, planes: list[list[float]]) -> Column:
         )
         bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
+
+
+def nearest_centroids(vec_col: str, centroids, n: int) -> Column:
+    """Indices of the ``n`` nearest centroids (by cosine, vectors treated
+    as L2-normalized) as array<int> — one matmul per Arrow batch, same
+    pattern as bucket_signatures. ``centroids`` is a (k, dim) array
+    captured in the closure (driver-trained, tiny)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("array<int>")
+    def _nearest(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cents.T  # (rows, k)
+        top = np.argsort(-sims, axis=1)[:, :n].astype(np.int32)
+        return pd.Series(list(top))
+
+    return _nearest(vec_col)

@@ -96,6 +96,12 @@ _COUNTER_BRANCHES: dict[ColumnType, tuple[int, ...]] = {
 def classify_branch(c: Column) -> Column:
     """One CASE expression assigning the chain branch id (0..8) per cell.
 
+    Callers decide what string the cell IS: the reference classifies
+    str() of the pandas-PARSED value, so TabularLinter feeds this the
+    pandas-dtype rendering (rules/tabular.py::_pandas_render — '2021' in a
+    float64 column arrives as '2021.0'); direct Spark-table profiling
+    (profile_columns) feeds raw cast-to-string values.
+
     A single linear when-chain (evaluated once per cell in a projection)
     instead of per-type predicates — keeps the Catalyst expression tree
     linear in the number of columns, which matters when classifying wide

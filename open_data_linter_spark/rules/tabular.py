@@ -52,7 +52,24 @@ BLOCKED = "ファイルが読み込めなかったため、チェックできま
 
 def detect_and_decode(data: bytes) -> tuple[str, str]:
     """(text, encoding-label). Try-decode ladder standing in for chardet
-    (csv_linter.py:489-492); labels match what the golden tests rely on."""
+    (csv_linter.py:489-492); labels match what the golden tests rely on.
+
+    Tiebreak decisions vs chardet (tests/test_encoding_detection.py pins
+    them):
+    - bytes decodable as BOTH shift_jis and cp932 label SHIFT_JIS (cp932 is
+      a superset; chardet's SJIS prober does the same), so check 1-10 stays
+      silent — matching the reference's nb01h0013_sjis golden;
+    - bytes containing CP932-only extensions (NEC/IBM rows: ①, 髙, …) fail
+      strict shift_jis and label CP932 — 1-10 then fires exactly on the
+      cells whose CP932→shift_jis roundtrip fails, matching the
+      nb01h0013_cp932 golden (cell (4,0));
+    - KNOWN DIVERGENCE: a byte stream valid under BOTH shift_jis and
+      euc_jp (practically: EUC SS2 halfwidth-kana runs, 0x8E 0xA1-0xDF —
+      ordinary kanji/hiragana text fails strict cross-decoding) is labeled
+      SHIFT_JIS here, where chardet's statistical model may answer EUC-JP.
+      Deterministic-first beats model-replication for a linter: the label
+      (and therefore 1-10's trigger) never depends on byte frequencies.
+    """
     if data.startswith(b"\xef\xbb\xbf"):
         return data.decode("utf-8-sig"), "UTF-8-SIG"
     for codec, label in [
@@ -144,9 +161,13 @@ class TabularLinter:
             self.cache["1-1"] = LintResult.simple_error("ファイルの読み込みに失敗しました。")
             return
 
-        content_rows = rows[self.title_line_num + self.header_line_num:end]
-        header_rows = rows[self.title_line_num:self.title_line_num + self.header_line_num]
-        self.n_cols = len(rows[self.title_line_num]) if end > self.title_line_num else 0
+        # row slicing stays pinned to the ANALYZER's estimate; caller
+        # overrides move only the violation-coordinate offsets — exactly the
+        # reference's InvalidCellFactory semantics (csv_linter.py:62-70:
+        # gen_header_df/gen_rows_df use the analyzer's own line numbers)
+        content_rows = rows[t + h:end]
+        header_rows = rows[t:t + h]
+        self.n_cols = len(rows[t]) if end > t else 0
         self.header_df = self._to_df(header_rows)
         self.df = self._to_df(content_rows)
         self.content_offset = self.title_line_num + self.header_line_num
@@ -166,13 +187,58 @@ class TabularLinter:
         ]
         return self.spark.createDataFrame(data, schema)
 
+    # what pandas' C parser accepts as numeric (ASCII only — full-width
+    # digits stay object dtype, unlike Python float())
+    _PD_FLOAT_RE = r"^\s*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?\s*$"
+    _PD_INT_RE = r"^\s*[+-]?\d+\s*$"
+
+    def _pandas_render(self, j: int, pd_numeric: bool, pd_int: bool) -> Column:
+        """Emulate str() of the pandas-PARSED cell (column_classifier.py sees
+        parsed values, not raw tokens): an all-int column with empties
+        becomes float64 — '2021' renders '2021.0' and stops matching
+        CHRISTIAN_ERA/DATETIME_CODE; a pure-int column stays int64 and
+        renders unchanged; non-numeric columns keep raw strings."""
+        c = F.col(f"c{j}")
+        if not pd_numeric:
+            return c
+        if pd_int:
+            return F.trim(c).try_cast("long").cast("string")
+        return F.when(
+            _cell_null(c), c
+        ).otherwise(F.trim(c).try_cast("double").cast("string"))
+
     def _classify(self) -> list[ColumnType]:
         """One fused counting pass + driver vote (ColumnClassifier parity).
-        Branch ids computed once per cell in a projection (linear plan)."""
+        Branch ids computed once per cell in a projection (linear plan).
+
+        Cells are classified from the pandas-dtype RENDERING of the column
+        (see _pandas_render): the reference classifies str() of the parsed
+        DataFrame cell, so mixed int+empty columns classify as OTHER_NUMBER
+        ('2021.0'), not CHRISTIAN_ERA — reproduced here."""
         if self.n_cols == 0:
             return []
+        # one tiny agg deciding each column's pandas dtype
+        dt_aggs = []
+        for j in range(self.n_cols):
+            c = F.col(f"c{j}")
+            empty = _cell_null(c)
+            dt_aggs.append(
+                F.min((empty | c.rlike(self._PD_FLOAT_RE)).cast("int")).alias(f"num{j}")
+            )
+            dt_aggs.append(
+                F.min((~empty & c.rlike(self._PD_INT_RE)).cast("int")).alias(f"int{j}")
+            )
+        dt_row = self.df.agg(*dt_aggs).collect()[0]
+        renders = [
+            self._pandas_render(
+                j,
+                pd_numeric=int(dt_row[f"num{j}"] or 0) == 1,
+                pd_int=int(dt_row[f"int{j}"] or 0) == 1,
+            )
+            for j in range(self.n_cols)
+        ]
         proj = self.df.select(
-            *[classify_branch(F.col(f"c{j}")).alias(f"b{j}") for j in range(self.n_cols)]
+            *[classify_branch(renders[j]).alias(f"b{j}") for j in range(self.n_cols)]
         )
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for j in range(self.n_cols):

@@ -3,13 +3,17 @@
 - ``brute_force_topk``: exact cosine top-k per query — cross join + window
   rank. Correctness baseline; O(n·q) but embarrassingly parallel (queries
   broadcast when small).
-- ``lsh_topk``: random-hyperplane bucket restriction with multi-probe
-  (query probes its own bucket plus 1-bit-flip neighbors) — the scale path:
-  the join key (bucket) turns the cross join into a hash join, and recall
-  is tuned by bits/probes.
-
-An IVF variant at 100 TB would replace buckets with learned centroid cells
-(k-means on a sample) — same join shape, different assignment.
+- ``lsh_topk``: random-hyperplane bucket restriction with multi-table
+  OR-construction + 1-bit multi-probe — data-independent scale path: the
+  join key (table, bucket) turns the cross join into a hash join, recall
+  tuned by bits/tables.
+- ``ivf_topk``: learned centroid cells (k-means on a driver-side sample,
+  Lloyd iterations in numpy) with nprobe nearest cells per query — the
+  data-ADAPTIVE scale path (FAISS IVF-Flat shape): assignment is one
+  vectorized matmul per Arrow batch, search is a hash join on cell id.
+  Beats LSH on clustered data at equal candidate volume; the sample-train/
+  broadcast-centroids split is exactly how it runs at 10^12 rows (train on
+  ~1e5 rows, centroids are a few MB of literals).
 """
 
 from __future__ import annotations
@@ -18,7 +22,11 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from open_data_linter_spark.functions.vectors import bucket_signatures, cosine
+from open_data_linter_spark.functions.vectors import (
+    bucket_signatures,
+    cosine,
+    nearest_centroids,
+)
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -105,6 +113,79 @@ def lsh_topk(
         q = q.select("query_id", "qv", "table", F.col("qbucket").alias("bucket"))
     scored = (
         c.join(F.broadcast(q), on=["table", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _rank_topk(scored, k)
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    train_size: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """IVF coarse quantizer: Lloyd's k-means on a bounded driver-side
+    sample (spherical: vectors and centroids L2-normalized, so argmax dot
+    == argmax cosine). The sample is capped — at 10^12 rows this is the
+    standard train-on-a-sample step, not a full collect."""
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(train_size).collect()],
+        dtype=np.float64,
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(iters):
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_size: int = 20_000,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-Flat top-k: corpus rows hash-join queries on centroid cell id;
+    each query probes its ``nprobe`` nearest cells; exact cosine re-ranks.
+
+    Expected candidate volume per query ≈ nprobe/n_cells of the corpus —
+    tune both for the recall/cost point. All per-row work is one matmul per
+    Arrow batch (nearest_centroids); no Python loop touches rows.
+    """
+    cents = train_centroids(corpus, n_cells, vec_col, train_size, seed=seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).select(
+        "neighbor_id", "cv",
+        F.element_at(nearest_centroids("cv", cents, 1), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).select(
+        "query_id", "qv",
+        F.explode(nearest_centroids("qv", cents, nprobe)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -6,10 +6,12 @@ text, and re-enters the CSV lint path; it overrides only 1-4 (merged cells)
 and 1-7 (formulas). This module reproduces that structure on top of
 ``TabularLinter``.
 
-openpyxl is NOT available in this container, so the workbook-loading step
-is gated behind an import-try; everything downstream of ``ws2csv`` (the
-whole lint path) is fully implemented and tested via the CSV samples. When
-openpyxl is installed, ``ExcelLinter`` works end-to-end without changes.
+Workbook loading prefers openpyxl when installed; otherwise it falls back
+to the stdlib mini-reader (``sources/xlsx_mini.py`` — zipfile +
+xml.etree), which exposes the same surface this module consumes
+(iter_rows, merged_cells.ranges, typed values incl. date-styled serials
+and formula text). The reference's Excel goldens
+(tests/test_excel_linter.py:13-30) pass through either backend.
 """
 
 from __future__ import annotations
@@ -24,11 +26,11 @@ from pyspark.sql import SparkSession
 from open_data_linter_spark.core.model import InvalidContent, LintResult
 from open_data_linter_spark.rules.tabular import TabularLinter
 
-try:  # gated: not present in this environment
+try:  # preferred backend when present
     import openpyxl  # type: ignore
 
     HAS_OPENPYXL = True
-except ImportError:  # pragma: no cover
+except ImportError:
     openpyxl = None
     HAS_OPENPYXL = False
 
@@ -71,13 +73,12 @@ class ExcelLinter:
         title_line_num: Optional[int] = None,
         header_line_num: Optional[int] = None,
     ) -> None:
-        if not HAS_OPENPYXL:
-            raise NotImplementedError(
-                "openpyxl is not installed in this environment; the Excel "
-                "path is gated (SURVEY.md §8 S3/S4). pip install openpyxl "
-                "to enable."
-            )
-        wb = openpyxl.load_workbook(io.BytesIO(data))
+        if HAS_OPENPYXL:
+            wb = openpyxl.load_workbook(io.BytesIO(data))
+        else:
+            from open_data_linter_spark.sources.xlsx_mini import MiniWorkbook
+
+            wb = MiniWorkbook(data)
         self.ws = wb[wb.sheetnames[0]]  # first sheet only (excel_linter.py:48-51)
         text = ws2csv(self.ws)
         self._csv = TabularLinter(

@@ -110,3 +110,46 @@ def test_lsh_topk_finds_neardup(vectors):
     got = lsh_topk(vectors, q, k=3, bits=6, dim=16).collect()
     # the 0.99-cosine neighbor is in the same bucket (or a 1-bit probe)
     assert any(r.neighbor_id == 1 and r.rank == 1 for r in got)
+
+
+def test_embedding_near_duplicates_banded_lsh(vectors):
+    """Banded-LSH scale path must find the same pairs as brute at high
+    threshold, with a pure hash-join plan (no BroadcastNestedLoopJoin)."""
+    from open_data_linter_spark.dedup.embedding import embedding_near_duplicates
+
+    banded = embedding_near_duplicates(
+        vectors, threshold=0.95, dim=16, bands=8, rows_per_band=2
+    )
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    assert [(r.id_a, r.id_b) for r in banded.collect()] == [(0, 1)]
+
+
+def test_multitable_lsh_recall_floor(spark):
+    """Multi-table LSH recall vs brute on the sf0.01 embeddings (seeded
+    planes => deterministic): the driver golden relies on ≥ 0.9."""
+    from open_data_linter_spark.similarity.knn import brute_force_topk, lsh_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 8)
+    brute = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(e, q, k=5).collect()}
+    lsh = {(r.query_id, r.neighbor_id)
+           for r in lsh_topk(e, q, k=5, bits=6, dim=64, tables=8).collect()}
+    assert len(brute & lsh) / len(brute) >= 0.9
+
+
+def test_ivf_topk(vectors):
+    from open_data_linter_spark.similarity.knn import brute_force_topk, ivf_topk
+
+    q = vectors.where(F.col("vec_id") < 4)
+    got = ivf_topk(vectors, q, k=3, n_cells=4, nprobe=2, train_size=20)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    rows = got.collect()
+    # the 0.99-cosine neighbor of query 0 must share its cell
+    assert any(r.query_id == 0 and r.neighbor_id == 1 and r.rank == 1 for r in rows)
+    # recall floor vs brute with half the cells probed
+    brute = {(r.query_id, r.neighbor_id) for r in brute_force_topk(vectors, q, k=3).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(brute & ivf) / len(brute) >= 0.5

@@ -118,3 +118,16 @@ def test_resumable_full_validation(spark, workdir):
     assert resumable_validation(
         spark, df, rules, f"{workdir}/ledger", f"{workdir}/audit", "rv1", ctx=ctx
     ) == []
+
+
+def test_iceberg_sink_capability_gate(spark):
+    """The Iceberg audit branch is real code behind a loud capability check:
+    without an Iceberg catalog conf it must refuse, not silently fall back."""
+    from open_data_linter_spark.plans.ledger import (
+        iceberg_catalog_available, write_audit_iceberg)
+
+    assert not iceberg_catalog_available(spark, "audit")
+    assert not iceberg_catalog_available(spark, "ice.db.audit")
+    df = spark.range(1).selectExpr("'r' AS run_id", "0 AS pt", "id")
+    with pytest.raises(RuntimeError, match="Iceberg catalog"):
+        write_audit_iceberg(df, "ice.db.audit")
