@@ -251,19 +251,28 @@ class ValidationRun:
                     results[r.rule_id] = LintResult.simple_error(BLOCKED_MESSAGE, is_valid=None)
             return RunReport(self.run_id, results, None, [], metrics, blocked=True, wall_secs=wall)
 
-        # 2-4. Everything after the gate is mutually independent — the fused
-        #    row scan, the fused column aggregates, each SHUFFLE rule's job
-        #    topology, and the payload family's shared Arrow decode pass —
-        #    so ALL of them run concurrently from one thread pool (Spark
-        #    schedules concurrent actions fine; the JVM-bound scans overlap
-        #    the Python-worker-bound decode). The payload family is
-        #    submitted FIRST because its decode pass is the longest pole;
-        #    payload rules stay sequential within one thread because they
+        # 2-4. Everything after the gate is mutually independent, and runs
+        #    in TWO phases:
+        #      A) all JVM-side families concurrently from one thread pool —
+        #         the fused row scan, the fused column aggregates, and each
+        #         SHUFFLE rule's job topology. These are whole-stage-codegen
+        #         scans/aggs; overlapping them hides per-action scheduling
+        #         latency (which is core-count independent — the floor the
+        #         scaling criterion punishes).
+        #      B) the payload family alone. Its Arrow decode pass runs in
+        #         Python worker PROCESSES (one per task slot): co-scheduling
+        #         it with phase A doubles the number of CPU-hungry contexts
+        #         per core and thrashes both. Measured on a pinned-core
+        #         budget (the honest stand-in for an executor's cores),
+        #         local[8]/60k clips: fully-concurrent 22.0s vs phased
+        #         ~12.5s; the decode pass alone scales 2→8 cores at 0.86
+        #         efficiency. A real cluster has the same property — an
+        #         executor's cores are a budget shared by the JVM and its
+        #         python workers — so the phase boundary is the at-scale
+        #         design, not a local workaround.
+        #    Payload rules stay sequential within phase B because they
         #    share the decode-stats cache, and drift rules serialize their
         #    shared joint-histogram job behind ctx['_drift_hist_lock'].
-        #    Earlier revisions ran row scan → column aggs → (pool of 4),
-        #    which serialized ~3 job latencies that are core-count
-        #    independent — exactly the floor the scaling criterion punishes.
         import concurrent.futures as cf
         import threading
 
@@ -299,14 +308,13 @@ class ValidationRun:
         def _run_rule(r: Rule) -> None:
             outcomes[r.rule_id] = r.runner(self.spark, df, ctx)
 
-        n_tasks = 3 + len(shuffle_rules)
+        n_tasks = 2 + len(shuffle_rules)
         with cf.ThreadPoolExecutor(max_workers=min(16, n_tasks)) as pool:
-            futs = [pool.submit(_run_payload_family)]
-            futs.append(pool.submit(_run_row_scan))
-            futs.append(pool.submit(_run_column_aggs))
+            futs = [pool.submit(_run_row_scan), pool.submit(_run_column_aggs)]
             futs += [pool.submit(_run_rule, r) for r in shuffle_rules]
             for f in futs:
                 f.result()
+        _run_payload_family()  # phase B: python workers get the full core budget
         wall["shuffle+payload"] = time.time() - t_all  # kept for bench continuity
 
         for r in row_rules:
