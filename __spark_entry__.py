@@ -566,6 +566,48 @@ def q_column_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column_name")
 
 
+_DRIFT_EDGES = [0, 50, 100, 150, 200, 250, 300, 350, 400, 450]
+
+
+def q_windowed_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day KS/chi² drift of events.value vs the whole-table baseline.
+
+    The batch drift rule (rules/drift.py) scores ONE histogram driver-side
+    with numpy; this is its many-window distributed twin: every day's KS and
+    chi² verdict is computed with Catalyst window functions in one shuffle
+    keyed by day (rules/drift.py::windowed_drift_scores). The streaming
+    windowed histograms (streaming/stateful.py) feed the same scorer.
+    """
+    from open_data_linter_spark.rules.drift import _bin_expr, windowed_drift_scores
+
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    binned = e.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        _bin_expr("value", _DRIFT_EDGES).alias("bin"),
+    )
+    # ONE scan of the base table: the (day, bin, cnt) histogram is tiny
+    # (#days × #bins); checkpoint it so its three consumers (scores grid,
+    # bins, baseline) don't each re-scan events — at 10^12 rows the rescans,
+    # not the window functions, would dominate
+    win_hist = (
+        binned.groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    baseline = win_hist.groupBy("bin").agg(F.sum("cnt").alias("count"))
+    s = windowed_drift_scores(win_hist, baseline, alpha=0.01, win_cols=("day",))
+    return s.select(
+        "day",
+        "n",
+        F.round("ks_stat", 6).alias("ks_stat"),
+        F.round("ks_crit", 6).alias("ks_crit"),
+        "ks_drifted",
+        F.round("chi2_stat", 6).alias("chi2_stat"),
+        F.round("chi2_crit", 6).alias("chi2_crit"),
+        "chi2_drifted",
+    ).orderBy("day")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -584,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_extendedprice": q_histogram_extendedprice,
         "events_user_activity": q_events_user_activity,
         "events_sessionization": q_events_sessionization,
+        "windowed_drift_events": q_windowed_drift_events,
         "profile_documents": q_profile_documents,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -622,6 +665,58 @@ _FIX = os.path.join(_REPO, "tests", "data")
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "windowed_drift_events": """
+            WITH ev AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(CASE WHEN value >= 450 THEN 10 WHEN value >= 400 THEN 9
+                          WHEN value >= 350 THEN 8 WHEN value >= 300 THEN 7
+                          WHEN value >= 250 THEN 6 WHEN value >= 200 THEN 5
+                          WHEN value >= 150 THEN 4 WHEN value >= 100 THEN 3
+                          WHEN value >= 50 THEN 2 WHEN value >= 0 THEN 1
+                          ELSE 0 END AS DOUBLE) AS bin
+              FROM events WHERE value IS NOT NULL
+            ), o AS (
+              SELECT day, bin, CAST(COUNT(*) AS DOUBLE) AS o FROM ev GROUP BY day, bin
+            ), e AS (
+              SELECT bin, CAST(COUNT(*) AS DOUBLE) AS e FROM ev GROUP BY bin
+            ), grid AS (
+              SELECT d.day, b.bin FROM (SELECT DISTINCT day FROM ev) d
+              CROSS JOIN (SELECT DISTINCT bin FROM ev) b
+            ), cells AS (
+              SELECT g.day, g.bin, COALESCE(o.o, 0) AS o, COALESCE(e.e, 0) AS e
+              FROM grid g LEFT JOIN o ON o.day = g.day AND o.bin = g.bin
+              LEFT JOIN e ON e.bin = g.bin
+            ), cum AS (
+              SELECT day, o, e,
+                     SUM(o) OVER (PARTITION BY day) AS n,
+                     SUM(e) OVER (PARTITION BY day) AS m,
+                     SUM(o) OVER (PARTITION BY day ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS co,
+                     SUM(e) OVER (PARTITION BY day ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce
+              FROM cells
+            ), terms AS (
+              SELECT day, n, m, ABS(co / n - ce / m) AS gap,
+                     CASE WHEN e * n / m > 0
+                          THEN (o - e * n / m) * (o - e * n / m) / (e * n / m)
+                          ELSE 0 END AS chi2_term,
+                     CASE WHEN e > 0 THEN 1 ELSE 0 END AS pos
+              FROM cum
+            ), aggs AS (
+              SELECT day, MAX(gap) AS ks_stat, ANY_VALUE(n) AS n, ANY_VALUE(m) AS m,
+                     SUM(chi2_term) AS chi2_raw,
+                     CAST(GREATEST(1, SUM(pos) - 1) AS DOUBLE) AS k
+              FROM terms GROUP BY day
+            )
+            SELECT day, CAST(n AS BIGINT) AS n,
+                   ROUND(ks_stat, 6) AS ks_stat,
+                   ROUND(SQRT(-0.5 * LN(0.005)) * SQRT((n + m) / (n * m)), 6) AS ks_crit,
+                   ks_stat > SQRT(-0.5 * LN(0.005)) * SQRT((n + m) / (n * m)) AS ks_drifted,
+                   ROUND(chi2_raw, 6) AS chi2_stat,
+                   ROUND(k * POWER(1 - 2/(9*k) + 2.3263 * SQRT(2/(9*k)), 3), 6) AS chi2_crit,
+                   chi2_raw > k * POWER(1 - 2/(9*k) + 2.3263 * SQRT(2/(9*k)), 3) AS chi2_drifted
+            FROM aggs ORDER BY day
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

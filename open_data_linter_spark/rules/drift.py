@@ -207,3 +207,114 @@ def freeze_baseline(df: DataFrame, column: str, bin_edges: Sequence[float] | Non
         float(r["bin"]): int(r["count"])
         for r in histogram(df, column, bin_edges).collect()
     }
+
+
+def windowed_drift_scores(
+    win_hist: DataFrame,
+    baseline: DataFrame,
+    alpha: float = 0.01,
+    win_cols: Sequence[str] = ("win_start", "win_end"),
+) -> DataFrame:
+    """Per-window KS + chi-square vs a frozen baseline — fully distributed.
+
+    ``win_hist``: (win_cols..., bin, cnt) — e.g. the append-mode output of
+    ``streaming.stateful.windowed_histograms`` (each window's rows are final
+    once the watermark passes), or any batch ``groupBy(window, bin)``.
+    ``baseline``: (bin, count) — the frozen known-good histogram (tiny;
+    broadcast).
+
+    The batch drift rule scores ONE histogram driver-side with numpy; with
+    thousands-to-millions of windows that loop would serialize on the
+    driver, so here the same statistics (identical semantics to
+    ``ks_statistic``/``chi2_statistic``/``ks_critical``/``chi2_critical``
+    above, including the empty-side and zero-expected conventions) are
+    computed as Catalyst window functions partitioned by window: the
+    windows×bins grid is a broadcast cross join, CDFs are cumulative sums
+    ordered by bin, and every window's verdict lands in one shuffle by
+    window key. Scales with #windows, never the driver.
+    """
+    from pyspark.sql import Window as W
+
+    wk = list(win_cols)
+    z = {0.05: 1.6449, 0.01: 2.3263, 0.001: 3.0902}.get(alpha, 2.3263)
+    c_alpha = math.sqrt(-0.5 * math.log(alpha / 2.0))
+
+    base = baseline.select(
+        F.col("bin").cast("double").alias("bin"),
+        F.col("count").cast("double").alias("e"),
+    )
+    hist = win_hist.select(
+        *wk, F.col("bin").cast("double").alias("bin"),
+        F.col("cnt").cast("double").alias("o"),
+    )
+    bins = hist.select("bin").union(base.select("bin")).distinct()
+    grid = hist.select(*wk).distinct().crossJoin(F.broadcast(bins))
+    cells = (
+        grid.join(hist, wk + ["bin"], "left")
+        .join(F.broadcast(base), ["bin"], "left")
+        .select(*wk, "bin",
+                F.coalesce("o", F.lit(0.0)).alias("o"),
+                F.coalesce("e", F.lit(0.0)).alias("e"))
+    )
+
+    pw = W.partitionBy(*wk)
+    cum = pw.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    inf = F.lit(float("inf"))
+    scored = (
+        cells.withColumn("n", F.sum("o").over(pw))
+        .withColumn("m", F.sum("e").over(pw))
+        .withColumn(
+            "cdf_gap",
+            F.when(
+                (F.col("n") > 0) & (F.col("m") > 0),
+                F.abs(F.sum("o").over(cum) / F.col("n")
+                      - F.sum("e").over(cum) / F.col("m")),
+            ).otherwise(F.lit(1.0)),  # empty side => ks_statistic()'s 1.0
+        )
+        .withColumn(
+            "e_scaled",
+            F.when(F.col("m") > 0, F.col("e") * F.col("n") / F.col("m"))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "chi2_term",
+            F.when(
+                F.col("e_scaled") > 0,
+                (F.col("o") - F.col("e_scaled")) ** 2 / F.col("e_scaled"),
+            ).otherwise(
+                # observed in a zero-expected bin: infinite-evidence drift
+                F.when(F.col("o") > 0, inf).otherwise(F.lit(0.0))
+            ),
+        )
+    )
+
+    agg = scored.groupBy(*wk).agg(
+        F.max("cdf_gap").alias("ks_stat"),
+        F.first("n").alias("n"),
+        F.first("m").alias("m"),
+        F.sum("chi2_term").alias("chi2_raw"),
+        F.sum(F.when(F.col("e_scaled") > 0, 1).otherwise(0)).alias("pos_bins"),
+        F.count(F.lit(1)).alias("total_bins"),
+    )
+    dof = F.greatest(
+        F.lit(1.0),
+        (F.when((F.col("n") > 0) & (F.col("m") > 0), F.col("pos_bins"))
+         .otherwise(F.col("total_bins")) - 1).cast("double"),
+    )
+    chi2_stat = F.when(
+        (F.col("n") > 0) & (F.col("m") > 0), F.col("chi2_raw")
+    ).otherwise(inf)
+    return agg.select(
+        *wk,
+        F.col("n").cast("long").alias("n"),
+        F.col("ks_stat"),
+        F.when(
+            (F.col("n") > 0) & (F.col("m") > 0),
+            F.lit(c_alpha)
+            * F.sqrt((F.col("n") + F.col("m")) / (F.col("n") * F.col("m"))),
+        ).otherwise(F.lit(0.0)).alias("ks_crit"),
+        chi2_stat.alias("chi2_stat"),
+        (dof * (1.0 - 2.0 / (9.0 * dof)
+                + F.lit(z) * F.sqrt(2.0 / (9.0 * dof))) ** 3).alias("chi2_crit"),
+    ).withColumn("ks_drifted", F.col("ks_stat") > F.col("ks_crit")) \
+     .withColumn("chi2_drifted", F.col("chi2_stat") > F.col("chi2_crit"))
