@@ -104,3 +104,59 @@ def test_windowed_scores_compose_with_streaming_histograms(spark, tmp_path):
     assert not out[base].ks_drifted
     drifted = out[base + dt.timedelta(minutes=5)]
     assert drifted.ks_drifted and math.isinf(drifted.chi2_stat)
+
+
+def test_windowed_scores_property_random_histograms(spark):
+    """Hypothesis-style randomized parity (fixed seeds, one Spark round-trip).
+
+    Random per-window histograms — including zero counts, bins absent from
+    the baseline, and near-empty windows — must match the numpy helpers
+    bin-for-bin. One batched collect keeps Spark overhead at a single job.
+    """
+    import numpy as np
+
+    from open_data_linter_spark.rules.drift import windowed_drift_scores
+
+    rng = np.random.default_rng(20260816)
+    all_bins = [float(b) for b in range(1, 9)]
+    baseline = {b: int(rng.integers(0, 50)) for b in all_bins}
+    baseline = {b: c for b, c in baseline.items() if c > 0} or {1.0: 10}
+
+    windows = {}
+    for w in range(24):
+        nbins = int(rng.integers(1, len(all_bins) + 1))
+        chosen = rng.choice(all_bins, size=nbins, replace=False)
+        hist = {float(b): int(rng.integers(0, 40)) for b in chosen}
+        hist = {b: c for b, c in hist.items() if c > 0}
+        if not hist:
+            hist = {float(rng.choice(all_bins)): 1}
+        windows[f"w{w}"] = hist
+
+    rows = [(w, b, c) for w, h in windows.items() for b, c in h.items()]
+    win_hist = spark.createDataFrame(rows, "win string, bin double, cnt long")
+    base_df = spark.createDataFrame(
+        [(b, c) for b, c in baseline.items()], "bin double, count long"
+    )
+    got = {
+        r.win: r
+        for r in windowed_drift_scores(
+            win_hist, base_df, alpha=0.01, win_cols=("win",)
+        ).collect()
+    }
+    assert set(got) == set(windows)
+
+    grid_bins = sorted(
+        set(baseline) | {b for h in windows.values() for b in h}
+    )
+    for w, hist in windows.items():
+        obs = {b: hist.get(b, 0) for b in grid_bins}
+        exp = {b: baseline.get(b, 0) for b in grid_bins}
+        ks, ksc, chi2, chi2c = _np_scores(obs, exp)
+        r = got[w]
+        assert r.ks_stat == pytest.approx(ks, abs=1e-10), w
+        assert r.ks_crit == pytest.approx(ksc, abs=1e-10), w
+        if math.isinf(chi2):
+            assert math.isinf(r.chi2_stat), w
+        else:
+            assert r.chi2_stat == pytest.approx(chi2, rel=1e-10), w
+        assert r.chi2_crit == pytest.approx(chi2c, rel=1e-10), w
