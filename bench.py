@@ -41,6 +41,7 @@ HEADLINE = [
     "dup_custkeys_orders",
     "ri_orders_customer",
     "histogram_extendedprice",
+    "windowed_drift_events",
     "token_counts",
     "fingerprints",
     "minhash_neardups",
