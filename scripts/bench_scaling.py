@@ -215,6 +215,9 @@ configs CPU-pinned with taskset to exactly N / 4N hardware threads (JVM +
 python workers share the budget, as executor cgroups do on a real cluster).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    appendix = os.path.join(REPO, "BENCH", "APPENDIX.md")
+    if os.path.exists(appendix):  # curated narrative survives regeneration
+        md += "\n" + open(appendix).read()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(md)
