@@ -108,3 +108,27 @@ def test_uniqueness_partial_agg_before_shuffle(clips_parquet):
 
     salted_plan = explain_str(duplicate_keys(clips_parquet, salted=True), mode="simple")
     assert salted_plan.count("Exchange") == 2, salted_plan
+
+
+def test_windowed_drift_broadcasts_grid_and_baseline(spark):
+    """The windows×bins grid and the baseline must be broadcast — the only
+    shuffles in the scorer should be keyed by window (window functions +
+    final agg), so the plan scales with #windows, never #bins."""
+    from open_data_linter_spark.rules.drift import windowed_drift_scores
+
+    win_hist = spark.createDataFrame(
+        [("w1", 1.0, 10), ("w1", 2.0, 20), ("w2", 1.0, 5)],
+        "win string, bin double, cnt long",
+    )
+    baseline = spark.createDataFrame(
+        [(1.0, 100), (2.0, 200)], "bin double, count long"
+    )
+    plan = explain_str(
+        windowed_drift_scores(win_hist, baseline, win_cols=("win",))
+    )
+    # the tiny bins side of the grid cross join is broadcast, not shuffled
+    assert "BroadcastNestedLoopJoin" in plan and "Cross" in plan
+    # the bin-keyed baseline join is broadcast (a shuffle keyed by bin alone
+    # would bottleneck on #bins); joins keyed by (win, bin) may shuffle —
+    # they scale with #windows, which is the intended partitioning axis
+    assert "BroadcastHashJoin" in plan
