@@ -457,3 +457,22 @@ class ValidationRun:
 
 def empty_violations(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], VIOLATION_SCHEMA)
+
+
+def sample_violations(violations: DataFrame, sample_mod: int) -> DataFrame:
+    """Deterministic 1/sample_mod subsample of violation EVIDENCE rows.
+
+    Rule verdicts and violation COUNTS are exact upstream (the fused
+    counters); the violation sink exists as debugging evidence. At 10^12
+    rows a pathological rule (say a bad deploy making every clip fail 1-5)
+    emits 10^12 evidence rows — the sink, not the scan, becomes the job's
+    cost. Hash-keyed sampling keeps ~1/sample_mod rows per rule and is
+    deterministic in (rule_id, clip_id): replayed micro-batches and
+    resumed partitions re-select the SAME rows (rand() would break the
+    idempotent batch_id/pt overwrite sinks).
+    """
+    if sample_mod <= 1:
+        return violations
+    return violations.where(
+        F.pmod(F.xxhash64("rule_id", "clip_id"), F.lit(sample_mod)) == 0
+    )

@@ -61,6 +61,7 @@ def validate_stream(
     ctx_factory: Optional[Callable[[DataFrame], dict]] = None,
     violations_path: Optional[str] = None,
     available_now: bool = False,
+    violation_sample_mod: int = 1,
 ):
     """Attach the validation engine to a stream; returns the StreamingQuery.
 
@@ -88,8 +89,11 @@ def validate_stream(
             .parquet(audit_path)
         )
         if violations_path is not None and report.violations is not None:
+            from open_data_linter_spark.plans.run import sample_violations
+
             (
-                report.violations.withColumn("batch_id", F.lit(batch_id))
+                sample_violations(report.violations, violation_sample_mod)
+                .withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")

@@ -51,6 +51,9 @@ def main() -> int:
     p.add_argument("--resume-run-id", default=None)
     p.add_argument("--pt-col", default=None,
                    help="partition column for checkpoint-resumable mode")
+    p.add_argument("--violation-sample-mod", type=int, default=1,
+                   help="keep ~1/mod violation evidence rows (deterministic "
+                        "hash of (rule_id, clip_id); counts stay exact)")
     p.add_argument("--n-pts", type=int, default=8,
                    help="derived partition count when --pt-col is absent")
     args = p.parse_args()
@@ -123,8 +126,11 @@ def main() -> int:
     run = ValidationRun(spark, rules, collect_violation_rows=True)
     report = run.run(clips, ctx)
     if report.violations is not None:
-        report.violations.write.mode("overwrite").parquet(
-            os.path.join(args.out, "violations"))
+        from open_data_linter_spark.plans.run import sample_violations
+
+        sample_violations(
+            report.violations, args.violation_sample_mod
+        ).write.mode("overwrite").parquet(os.path.join(args.out, "violations"))
     run.audit_rows(report).write.mode("overwrite").parquet(
         os.path.join(args.out, "audit"))
     summary = {
