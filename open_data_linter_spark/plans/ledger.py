@@ -48,7 +48,11 @@ def iceberg_catalog_available(spark: SparkSession, table_ident: str) -> bool:
     """True when ``table_ident``'s catalog is configured as an Iceberg
     catalog in this session (the runtime jar registers
     org.apache.iceberg.spark.SparkCatalog / SparkSessionCatalog)."""
-    catalog = table_ident.split(".")[0] if table_ident.count(".") >= 2 else "spark_catalog"
+    if table_ident.count(".") >= 2:
+        catalog = table_ident.split(".")[0]
+    else:
+        # 1/2-part identifiers resolve through the session's default catalog
+        catalog = spark.conf.get("spark.sql.defaultCatalog", "spark_catalog")
     impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
     return bool(impl) and "iceberg" in impl.lower()
 

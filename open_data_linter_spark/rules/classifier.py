@@ -211,8 +211,11 @@ def profile_exact_long(df: DataFrame, columns: list[str]) -> DataFrame:
         aggs.append(F.min(F.col(c)).cast("string").alias(f"{c}__min"))
         aggs.append(F.max(F.col(c)).cast("string").alias(f"{c}__max"))
     one = df.agg(*aggs)
+    def _q(c: str) -> str:  # escape for the SQL string literal + backticks
+        return "'" + c.replace("'", "''") + "'"
+
     stack_args = ", ".join(
-        f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        f"{_q(c)}, `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
         for c in columns
     )
     return (

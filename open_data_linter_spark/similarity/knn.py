@@ -136,11 +136,17 @@ def train_centroids(
     sample (spherical: vectors and centroids L2-normalized, so argmax dot
     == argmax cosine). The sample is capped — at 10^12 rows this is the
     standard train-on-a-sample step, not a full collect."""
-    sample = np.array(
-        [r[0] for r in corpus.select(vec_col).limit(train_size).collect()],
-        dtype=np.float64,
-    )
+    rows = [
+        r[0]
+        for r in corpus.select(vec_col).where(F.col(vec_col).isNotNull())
+        .limit(train_size).collect()
+    ]
+    if not rows:
+        raise ValueError(f"ivf: no non-null vectors in column {vec_col!r}")
+    sample = np.array(rows, dtype=np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    # degrade gracefully on tiny corpora/samples: fewer cells, never a crash
+    n_cells = max(1, min(n_cells, len(sample)))
     rng = np.random.default_rng(seed)
     cents = sample[rng.choice(len(sample), size=n_cells, replace=False)]
     for _ in range(iters):
@@ -172,6 +178,7 @@ def ivf_topk(
     Arrow batch (nearest_centroids); no Python loop touches rows.
     """
     cents = train_centroids(corpus, n_cells, vec_col, train_size, seed=seed)
+    nprobe = max(1, min(nprobe, cents.shape[0]))  # tiny corpus => fewer cells
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     ).select(

@@ -98,6 +98,24 @@ def _serial_to_dt(serial: float, date1904: bool):
     return dt - datetime.timedelta(microseconds=dt.microsecond % 1000)
 
 
+def _rich_text(el) -> str:
+    """Cell text from an <si> or <is> element, in document order.
+
+    Takes the plain <t> child and each rich-text run's <r>/<t>, and SKIPS
+    <rPh> phonetic (furigana) runs — Excel stores Japanese reading hints as
+    <rPh><t>トウキョウ</t></rPh> next to <t>東京</t>; a descendant scan
+    would concatenate both (openpyxl reads only the display runs).
+    """
+    parts = []
+    for child in el:
+        tag = child.tag.rsplit("}", 1)[-1]
+        if tag == "t":
+            parts.append(child.text or "")
+        elif tag == "r":
+            parts.extend(t.text or "" for t in child.findall("{*}t"))
+    return "".join(parts)
+
+
 class MiniWorkbook:
     def __init__(self, data: bytes):
         zf = zipfile.ZipFile(io.BytesIO(data))
@@ -137,11 +155,7 @@ class MiniWorkbook:
             root = ET.fromstring(self._zf.read("xl/sharedStrings.xml"))
         except KeyError:
             return []
-        out = []
-        for si in root.findall(".//" + "{*}si"):
-            # concatenate all <t> descendants (plain + rich-text runs)
-            out.append("".join(t.text or "" for t in si.findall(".//" + "{*}t")))
-        return out
+        return [_rich_text(si) for si in root.findall(".//" + "{*}si")]
 
     def _read_date_styles(self) -> set[int]:
         """Indices into cellXfs whose numFmtId is date-like."""
@@ -169,15 +183,21 @@ class MiniWorkbook:
     def __getitem__(self, name: str) -> MiniSheet:
         root = ET.fromstring(self._zf.read(self._sheet_paths[name]))
         cells: dict[tuple[int, int], object] = {}
+        # the r attribute is OPTIONAL on both <row> and <c> (streaming
+        # writers omit it): track the implied position — next row below the
+        # previous one, next cell right of the previous one — in O(1)
+        cur_row = 0
         for row in root.findall(".//" + "{*}row"):
             r_attr = row.get("r")
+            cur_row = int(r_attr) if r_attr is not None else cur_row + 1
+            next_col = 1
             for c in row.findall(".//" + "{*}c"):
                 ref = c.get("r")
                 if ref:
                     rr, cc = _split_ref(ref)
-                else:  # cells without r: position after the previous one
-                    rr = int(r_attr)
-                    cc = max((c2 for r2, c2 in cells if r2 == rr), default=0) + 1
+                else:
+                    rr, cc = cur_row, next_col
+                next_col = cc + 1
                 cells[(rr, cc)] = self._cell_value(c)
         merged = []
         for mc in root.findall(".//" + "{*}mergeCell"):
@@ -196,7 +216,7 @@ class MiniWorkbook:
         v = c.find("{*}v")
         if t == "inlineStr":
             is_el = c.find("{*}is")
-            return "".join(tt.text or "" for tt in is_el.findall(".//" + "{*}t")) if is_el is not None else None
+            return _rich_text(is_el) if is_el is not None else None
         if v is None or v.text is None:
             return None
         text = v.text
@@ -206,6 +226,13 @@ class MiniWorkbook:
             return text
         if t == "b":
             return text in ("1", "true")
+        if t == "d":  # ISO-8601 date cell (strict-conformance producers)
+            try:
+                import datetime as _dt
+
+                return _dt.datetime.fromisoformat(text.rstrip("Z"))
+            except ValueError:
+                return text
         # numeric; date-styled numerics become datetime/time
         num = int(text) if re.fullmatch(r"-?\d+", text) else float(text)
         style = int(c.get("s", "-1"))

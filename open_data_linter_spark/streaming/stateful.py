@@ -45,6 +45,10 @@ def windowed_histograms(
     """
     return (
         stream_df.withWatermark(ts_col, watermark)
+        # drop NULLs like the batch histogram (rules/drift.py) — a NULL bin
+        # would silently vanish in windowed_drift_scores' bin-keyed joins
+        # while still inflating its dof
+        .where(F.col(column).isNotNull())
         .groupBy(
             F.window(F.col(ts_col), window).alias("win"),
             F.col(column).alias("bin"),

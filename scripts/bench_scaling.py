@@ -126,18 +126,29 @@ def main() -> None:
     # in the raw JSON.
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
     runs_log = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
-    key = {"n_clips": n_clips, "n_low": n_low, "n_high": n_high}
+    pinned = os.environ.get("SPARK_GRAFT_PIN_CPUS", "1") != "0"
+    # accept only runs of THIS exact protocol: same n_clips, same (N, 4N)
+    # pair, same pinning mode — a log can legitimately hold other configs
     low_runs, high_runs = [], []
     if os.path.exists(runs_log):
         for line in open(runs_log):
             r = json.loads(line)
-            if r.get("n_clips") == n_clips and r.get("cores") in (n_low, n_high):
+            if (
+                r.get("n_clips") == n_clips
+                and r.get("cores") in (n_low, n_high)
+                and r.get("pair_cfg", [n_low, n_high]) == [n_low, n_high]
+                and r.get("pin", True) == pinned
+            ):
                 (low_runs if r["cores"] == n_low else high_runs).append(r)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    import uuid
+
     with open(runs_log, "a") as logf:
         for _ in range(reps):  # interleaved: order effects (throttle windows) wash out
+            inv = uuid.uuid4().hex[:8]  # one id per (low, high) same-window pair
             for cores, bucket in ((n_low, low_runs), (n_high, high_runs)):
                 r = cold_run(cores, clips_dir, refs_dir, n_clips)
+                r.update(inv=inv, pin=pinned, pair_cfg=[n_low, n_high])
                 bucket.append(r)
                 logf.write(json.dumps(r) + "\n")
                 logf.flush()
@@ -146,12 +157,21 @@ def main() -> None:
     ratio = high["clips_per_sec"] / low["clips_per_sec"]
     eff = ratio / (n_high / n_low)
     # paired protocol: a RATIO should compare two runs from the same host
-    # window, so also score each interleaved (low, high) invocation pair —
-    # runs land in the log alternating low/high — and report the pair whose
-    # 4N side was cleanest (max high-side throughput picks the least-
-    # throttled window of the most demanding config; picking by pair
-    # efficiency could cherry-pick a throttled-low/clean-high pair).
-    pairs = list(zip(low_runs, high_runs))
+    # window. Pair by invocation id (each invocation runs low then high
+    # back-to-back); report the pair whose 4N side was cleanest (max
+    # high-side throughput picks the least-throttled window of the most
+    # demanding config; picking by pair efficiency could cherry-pick a
+    # throttled-low/clean-high pair). Unpaired runs (an invocation that
+    # died between its two cold runs) still count for best-of-each-side.
+    by_inv: dict = {}
+    for r in low_runs:
+        by_inv.setdefault(r.get("inv"), [None, None])[0] = r
+    for r in high_runs:
+        by_inv.setdefault(r.get("inv"), [None, None])[1] = r
+    pairs = [(lo, hi) for inv, (lo, hi) in by_inv.items()
+             if inv is not None and lo is not None and hi is not None]
+    if not pairs:
+        pairs = list(zip(low_runs, high_runs))  # legacy untagged logs
     best_pair = max(pairs, key=lambda p: p[1]["clips_per_sec"])
     pair_ratio = best_pair[1]["clips_per_sec"] / best_pair[0]["clips_per_sec"]
     pair_eff = pair_ratio / (n_high / n_low)
