@@ -191,6 +191,33 @@ class TabularLinter:
     # digits stay object dtype, unlike Python float())
     _PD_FLOAT_RE = r"^\s*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?\s*$"
     _PD_INT_RE = r"^\s*[+-]?\d+\s*$"
+    # pandas C-parser also parses inf/nan spellings into float64
+    _PD_INFNAN_RE = r"^[ \t]*[+-]?(?i:inf(?:inity)?|nan)[ \t]*$"
+    # pandas default na_values: these cells become NaN and do NOT block a
+    # column's numeric dtype (empirically pinned; NOTE: a whitespace-only
+    # cell ' ' is NOT NaN to pandas, unlike the reference's is_empty)
+    _PD_NA_TOKENS = [
+        "", "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
+        "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
+        "n/a", "nan", "null",
+    ]
+
+    def _pd_numeric_cell(self, c: Column) -> Column:
+        """Cell compatible with a pandas-numeric column dtype.
+
+        Java \\d and \\s here are ASCII — pandas' C tokenizer accepts only
+        ASCII digits and space/tab padding, so full-width digits (which
+        Python float() ACCEPTS, functions/predicates.is_number) correctly
+        force object dtype. Using is_number here once skipped check 1-5 on
+        a column mixing '１２３' with ' 1262 ' (found by differential fuzz
+        vs the reference, tests/test_differential_reference.py).
+        """
+        return (
+            c.isNull()
+            | c.isin(self._PD_NA_TOKENS)
+            | c.rlike(self._PD_FLOAT_RE)
+            | c.rlike(self._PD_INFNAN_RE)
+        )
 
     def _pandas_render(self, j: int, pd_numeric: bool, pd_int: bool) -> Column:
         """Emulate str() of the pandas-PARSED cell (column_classifier.py sees
@@ -223,7 +250,7 @@ class TabularLinter:
             c = F.col(f"c{j}")
             empty = _cell_null(c)
             dt_aggs.append(
-                F.min((empty | c.rlike(self._PD_FLOAT_RE)).cast("int")).alias(f"num{j}")
+                F.min(self._pd_numeric_cell(c).cast("int")).alias(f"num{j}")
             )
             dt_aggs.append(
                 F.min((~empty & c.rlike(self._PD_INT_RE)).cast("int")).alias(f"int{j}")
@@ -362,8 +389,7 @@ class TabularLinter:
         if self.n_cols == 0:
             return []
         aggs = [
-            F.min((_cell_null(F.col(f"c{j}")) | P.is_number(F.col(f"c{j}"))).cast("int"))
-            .alias(f"n{j}")
+            F.min(self._pd_numeric_cell(F.col(f"c{j}")).cast("int")).alias(f"n{j}")
             for j in range(self.n_cols)
         ]
         row = df.agg(*aggs).collect()[0]

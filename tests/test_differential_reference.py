@@ -1,0 +1,152 @@
+"""Differential fuzz: OUR TabularLinter vs the REFERENCE linter itself.
+
+The golden-sample parity tests pin the reference's own fixtures; this goes
+further and runs BOTH linters on seeded randomized CSVs, comparing every
+check's verdict and violation cells. The reference package imports from
+/root/reference (read-only, used as an executable spec — no code copied);
+its two absent dependencies are shimmed:
+
+- ``chardet``: fixed utf-8 answer — the corpus is valid UTF-8 by
+  construction, where real chardet's answer is utf-8/ascii too, so the
+  shim does not mask a divergence (encoding-detection divergence is pinned
+  separately in test_encoding_detection.py);
+- ``jeraconv``: 5-era arithmetic matching jeraconv's documented behavior
+  (the same table our Catalyst CASE uses — era parity itself is pinned by
+  the reference goldens, not by this test).
+"""
+
+import csv
+import io
+import re
+import sys
+import types
+
+import numpy as np
+import pytest
+
+CHECKS = ["1_1", "1_2", "1_3", "1_4", "1_5", "1_6", "1_7",
+          "1_10", "1_11", "1_12", "1_13", "2_x"]
+
+
+def _install_reference_shims():
+    if "chardet" not in sys.modules:
+        chardet = types.ModuleType("chardet")
+        chardet.detect = lambda data: {"encoding": "utf-8", "confidence": 0.99}
+        sys.modules["chardet"] = chardet
+    if "jeraconv" not in sys.modules:
+        pkg = types.ModuleType("jeraconv")
+        mod = types.ModuleType("jeraconv.jeraconv")
+        eras = {"明治": 1868, "大正": 1912, "昭和": 1926, "平成": 1989, "令和": 2019}
+        pat = re.compile(r"^(明治|大正|昭和|平成|令和)(元|\d{1,2})年?$")
+
+        class J2W:
+            def convert(self, s):
+                m = pat.match(str(s))
+                if not m:
+                    raise ValueError(s)
+                n = 1 if m.group(2) == "元" else int(m.group(2))
+                return eras[m.group(1)] + n - 1
+
+        mod.J2W = J2W
+        pkg.jeraconv = mod
+        sys.modules["jeraconv"] = pkg
+        sys.modules["jeraconv.jeraconv"] = mod
+    if "openpyxl" not in sys.modules:
+        # the reference package __init__ imports its ExcelLinter; we only
+        # exercise the CSV linter, so the import just needs to succeed
+        op = types.ModuleType("openpyxl")
+        op.load_workbook = None
+        cell = types.ModuleType("openpyxl.cell")
+        cell.Cell = type("Cell", (), {})
+        op.cell = cell
+        sys.modules["openpyxl"] = op
+        sys.modules["openpyxl.cell"] = cell
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+
+
+PREFS = ["北海道", "東京都", "大阪府", "京都府", "愛知県", "沖縄県"]
+BAD_PREFS = ["東京", "大阪", "愛知"]
+
+
+def _gen_csv(rng) -> bytes:
+    """Realistic open-data-ish table with seeded defect injection."""
+    n_rows = int(rng.integers(3, 12))
+    cols = []
+    header = []
+    kinds = rng.choice(
+        ["int", "str", "pref", "year", "era", "money", "mixed"],
+        size=int(rng.integers(2, 6)),
+    )
+    for j, kind in enumerate(kinds):
+        header.append(f"列{j}")
+        vals = []
+        for i in range(n_rows):
+            r = rng.random()
+            if kind == "int":
+                v = str(int(rng.integers(0, 5000)))
+                if r < 0.08:
+                    v = f" {v} "          # 1-5 whitespace
+                elif r < 0.12:
+                    v = f"{v}円"          # 1-3 unit in cell
+                elif r < 0.16:
+                    v = "１２３"          # full-width
+            elif kind == "str":
+                v = str(rng.choice(["備考", "テスト", "abc", "na"]))
+                if r < 0.1:
+                    v = ""
+            elif kind == "pref":
+                v = str(rng.choice(PREFS if r > 0.15 else BAD_PREFS))
+            elif kind == "year":
+                v = str(int(rng.integers(1980, 2026)))
+            elif kind == "era":
+                v = f"平成{int(rng.integers(1, 31))}年"
+                if r < 0.1:
+                    v = "平成99年"
+            elif kind == "money":
+                v = str(int(rng.integers(0, 10**6)))
+                if r < 0.1:
+                    v = "***"             # 1-13 masked
+                elif r < 0.15:
+                    v = "1,234"           # 1-2 multiple data / formatted
+            else:  # mixed: numbers with stray strings
+                v = str(int(rng.integers(0, 100))) if r > 0.2 else "不明"
+            vals.append(v)
+        cols.append(vals)
+    rows = [header] + [[c[i] for c in cols] for i in range(n_rows)]
+    if rng.random() < 0.3:                # title line before the header
+        rows.insert(0, ["統計表", *[""] * (len(cols) - 1)])
+    if rng.random() < 0.2:                # 2-x empty row
+        rows.insert(int(rng.integers(1, len(rows))), [""] * len(cols))
+    buf = io.StringIO()
+    csv.writer(buf, lineterminator="\n").writerows(rows)
+    return buf.getvalue().encode("utf-8")
+
+
+def _norm(result) -> tuple:
+    cells = set()
+    for ic in result.invalid_contents:
+        cells.update(tuple(c) for c in ic.invalid_cells)
+    return (result.is_valid, frozenset(cells))
+
+
+def test_differential_vs_reference(spark):
+    _install_reference_shims()
+    from opendatalinter.csv_linter import CSVLinter as RefLinter
+
+    from open_data_linter_spark.rules.tabular import TabularLinter
+
+    rng = np.random.default_rng(20260817)
+    mismatches = []
+    for trial in range(25):
+        data = _gen_csv(rng)
+        ref = RefLinter(data, "t.csv")
+        ours = TabularLinter(spark, data, "t.csv")
+        for name in CHECKS:
+            r = _norm(getattr(ref, f"check_{name}")())
+            o = _norm(getattr(ours, f"check_{name}")())
+            if r != o:
+                mismatches.append(
+                    (trial, name, r, o, data.decode("utf-8")[:300])
+                )
+    assert not mismatches, "\n\n".join(map(repr, mismatches[:5]))
