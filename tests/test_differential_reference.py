@@ -28,11 +28,31 @@ CHECKS = ["1_1", "1_2", "1_3", "1_4", "1_5", "1_6", "1_7",
           "1_10", "1_11", "1_12", "1_13", "2_x"]
 
 
+@pytest.fixture
+def reference_linter():
+    """Import the reference CSVLinter under dependency shims, then REMOVE
+    the shims and the reference modules from sys.modules — the fake
+    openpyxl must not leak into tests that gate on a real import
+    (sources/excel.py falls back to xlsx_mini when openpyxl is absent)."""
+    added = _install_reference_shims()
+    try:
+        from opendatalinter.csv_linter import CSVLinter
+
+        yield CSVLinter
+    finally:
+        for mod in added + [m for m in list(sys.modules) if m.startswith("opendatalinter")]:
+            sys.modules.pop(mod, None)
+        if "/root/reference" in sys.path:
+            sys.path.remove("/root/reference")
+
+
 def _install_reference_shims():
+    added = []
     if "chardet" not in sys.modules:
         chardet = types.ModuleType("chardet")
         chardet.detect = lambda data: {"encoding": "utf-8", "confidence": 0.99}
         sys.modules["chardet"] = chardet
+        added.append("chardet")
     if "jeraconv" not in sys.modules:
         pkg = types.ModuleType("jeraconv")
         mod = types.ModuleType("jeraconv.jeraconv")
@@ -51,6 +71,7 @@ def _install_reference_shims():
         pkg.jeraconv = mod
         sys.modules["jeraconv"] = pkg
         sys.modules["jeraconv.jeraconv"] = mod
+        added += ["jeraconv", "jeraconv.jeraconv"]
     if "openpyxl" not in sys.modules:
         # the reference package __init__ imports its ExcelLinter; we only
         # exercise the CSV linter, so the import just needs to succeed
@@ -61,8 +82,10 @@ def _install_reference_shims():
         op.cell = cell
         sys.modules["openpyxl"] = op
         sys.modules["openpyxl.cell"] = cell
+        added += ["openpyxl", "openpyxl.cell"]
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
+    return added
 
 
 PREFS = ["北海道", "東京都", "大阪府", "京都府", "愛知県", "沖縄県"]
@@ -130,9 +153,8 @@ def _norm(result) -> tuple:
     return (result.is_valid, frozenset(cells))
 
 
-def test_differential_vs_reference(spark):
-    _install_reference_shims()
-    from opendatalinter.csv_linter import CSVLinter as RefLinter
+def test_differential_vs_reference(spark, reference_linter):
+    RefLinter = reference_linter
 
     from open_data_linter_spark.rules.tabular import TabularLinter
 
