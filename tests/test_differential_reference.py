@@ -172,3 +172,70 @@ def test_differential_vs_reference(spark, reference_linter):
                     (trial, name, r, o, data.decode("utf-8")[:300])
                 )
     assert not mismatches, "\n\n".join(map(repr, mismatches[:5]))
+
+
+def _gen_adjacency_csv(rng) -> bytes:
+    """Corpus slanted at the reference's trickiest logic: the 1-11/1-12
+    cross-column adjacency checks (era years need an adjacent western
+    year/datetime-code column; prefecture codes need the matching name
+    adjacent) plus datetime codes and bracketed numbers."""
+    n_rows = int(rng.integers(4, 10))
+    layout = rng.choice(["era_west", "era_alone", "code_name", "code_wrongname",
+                         "code_alone", "dtcode", "brackets"])
+    cols, header = [], []
+
+    def col(name, gen):
+        header.append(name)
+        cols.append([gen(i) for i in range(n_rows)])
+
+    prefs_by_code = {1: "北海道", 13: "東京都", 27: "大阪府", 26: "京都府",
+                     23: "愛知県", 47: "沖縄県"}
+    codes = list(prefs_by_code)
+    if layout == "era_west":
+        years = [int(rng.integers(1, 31)) for _ in range(n_rows)]
+        col("和暦", lambda i: f"平成{years[i]}年")
+        col("西暦", lambda i: str(1988 + years[i] + (0 if rng.random() > 0.2 else 1)))
+    elif layout == "era_alone":
+        col("和暦", lambda i: f"令和{int(rng.integers(1, 8))}年")
+        col("値", lambda i: str(int(rng.integers(0, 100))))
+    elif layout in ("code_name", "code_wrongname"):
+        picked = [int(rng.choice(codes)) for _ in range(n_rows)]
+        col("コード", lambda i: str(picked[i]))
+        if layout == "code_name":
+            col("都道府県", lambda i: prefs_by_code[picked[i]])
+        else:
+            col("都道府県", lambda i: str(rng.choice(list(prefs_by_code.values()))))
+    elif layout == "code_alone":
+        col("コード", lambda i: str(int(rng.choice(codes))))
+        col("備考", lambda i: "x")
+    elif layout == "dtcode":
+        col("年度", lambda i: str(rng.choice(["2021", "202104", "2021年度", "令和3年度"])))
+        col("値", lambda i: str(int(rng.integers(0, 9999))))
+    else:  # brackets / mixed-number forms (check 1-2)
+        col("件数", lambda i: str(rng.choice(["12(3)", "12", "45(6)", "7個", "8.5"])))
+        col("比", lambda i: str(rng.choice(["1:2", "3-4", "5", "6/7"])))
+    if rng.random() < 0.4:  # extra plain column on the far side
+        col("合計", lambda i: str(int(rng.integers(0, 10**5))))
+    rows = [header] + [[c[i] for c in cols] for i in range(n_rows)]
+    buf = io.StringIO()
+    csv.writer(buf, lineterminator="\n").writerows(rows)
+    return buf.getvalue().encode("utf-8")
+
+
+def test_differential_adjacency_vs_reference(spark, reference_linter):
+    RefLinter = reference_linter
+
+    from open_data_linter_spark.rules.tabular import TabularLinter
+
+    rng = np.random.default_rng(77)
+    mismatches = []
+    for trial in range(21):
+        data = _gen_adjacency_csv(rng)
+        ref = RefLinter(data, "t.csv")
+        ours = TabularLinter(spark, data, "t.csv")
+        for name in CHECKS:
+            r = _norm(getattr(ref, f"check_{name}")())
+            o = _norm(getattr(ours, f"check_{name}")())
+            if r != o:
+                mismatches.append((trial, name, r, o, data.decode("utf-8")[:300]))
+    assert not mismatches, "\n\n".join(map(repr, mismatches[:5]))
