@@ -211,11 +211,15 @@ def profile_exact_long(df: DataFrame, columns: list[str]) -> DataFrame:
         aggs.append(F.min(F.col(c)).cast("string").alias(f"{c}__min"))
         aggs.append(F.max(F.col(c)).cast("string").alias(f"{c}__max"))
     one = df.agg(*aggs)
-    def _q(c: str) -> str:  # escape for the SQL string literal + backticks
+    def _q(c: str) -> str:  # escape for the SQL string literal
         return "'" + c.replace("'", "''") + "'"
 
+    def _bq(c: str, suffix: str) -> str:  # escape for a backtick identifier
+        return "`" + c.replace("`", "``") + suffix + "`"
+
     stack_args = ", ".join(
-        f"{_q(c)}, `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        f"{_q(c)}, {_bq(c, '__nulls')}, {_bq(c, '__distinct')}, "
+        f"{_bq(c, '__min')}, {_bq(c, '__max')}"
         for c in columns
     )
     return (

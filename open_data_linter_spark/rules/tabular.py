@@ -16,8 +16,10 @@ module exists for semantic parity and for schemaless text ingestion.
 
 Semantics notes (pandas-parity):
 - the reference re-parses content through ``pd.read_csv`` so empty cells
-  become NaN; here cells stay strings and '' is treated as null where the
-  reference tests isnull (checks 1-6, 1-13, 2-x);
+  AND pandas na_values tokens ('nan', 'NULL', 'N/A', …) become NaN; here
+  cells stay strings and ``_cell_null`` reproduces that NaN set where the
+  reference tests isnull (checks 1-6, 1-13, 2-x) or iterates parsed values
+  (classification, 1-3 unit columns, numeric-dtype emulation);
 - encoding detection: chardet is not in this environment, so detection is
   try-decode in order utf-8 → shift_jis → cp932 → euc_jp — reproducing the
   chardet labels the golden encoding tests depend on
@@ -118,9 +120,20 @@ class HeaderEstimateError(ValueError):
     """errors.py:1-2 analog."""
 
 
+# pandas default na_values: pd.read_csv parses these tokens to NaN in ANY
+# column (empirically pinned); a whitespace-only cell ' ' is NOT NaN
+_PD_NA_TOKENS = [
+    "", "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
+    "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
+    "n/a", "nan", "null",
+]
+
+
 def _cell_null(c: Column) -> Column:
-    # '' ≡ NaN: the reference's pd.read_csv turns empty fields into NaN
-    return c.isNull() | (c == "")
+    """Cell the reference's pd.read_csv parses to NaN (df.isnull() is the
+    emptiness the reference's 1-6/2-x checks test — NOT funcs.is_empty,
+    which additionally matches '-'/'ー'/'なし' prefixes)."""
+    return c.isNull() | c.isin(_PD_NA_TOKENS)
 
 
 class TabularLinter:
@@ -192,15 +205,10 @@ class TabularLinter:
     _PD_FLOAT_RE = r"^\s*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?\s*$"
     _PD_INT_RE = r"^\s*[+-]?\d+\s*$"
     # pandas C-parser also parses inf/nan spellings into float64
+    _PD_INF_RE = r"^[ \t]*[+-]?(?i:inf(?:inity)?)[ \t]*$"
+    _PD_NAN_RE = r"^[ \t]*[+-]?(?i:nan)[ \t]*$"
     _PD_INFNAN_RE = r"^[ \t]*[+-]?(?i:inf(?:inity)?|nan)[ \t]*$"
-    # pandas default na_values: these cells become NaN and do NOT block a
-    # column's numeric dtype (empirically pinned; NOTE: a whitespace-only
-    # cell ' ' is NOT NaN to pandas, unlike the reference's is_empty)
-    _PD_NA_TOKENS = [
-        "", "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
-        "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
-        "n/a", "nan", "null",
-    ]
+    _PD_NA_TOKENS = _PD_NA_TOKENS  # module-level list (see _cell_null)
 
     def _pd_numeric_cell(self, c: Column) -> Column:
         """Cell compatible with a pandas-numeric column dtype.
@@ -213,8 +221,7 @@ class TabularLinter:
         vs the reference, tests/test_differential_reference.py).
         """
         return (
-            c.isNull()
-            | c.isin(self._PD_NA_TOKENS)
+            _cell_null(c)
             | c.rlike(self._PD_FLOAT_RE)
             | c.rlike(self._PD_INFNAN_RE)
         )
@@ -230,9 +237,21 @@ class TabularLinter:
             return c
         if pd_int:
             return F.trim(c).try_cast("long").cast("string")
-        return F.when(
-            _cell_null(c), c
-        ).otherwise(F.trim(c).try_cast("double").cast("string"))
+        # NA tokens and nan spellings parse to NaN: pd.isnull is True, so
+        # the reference's classifier counts them EMPTY — render NULL, never
+        # the string 'NaN' (Spark's NaN-double→string). inf spellings stay
+        # numbers: str(float('inf')) == 'inf' (sign preserved).
+        return (
+            F.when(
+                _cell_null(c) | c.rlike(self._PD_NAN_RE),
+                F.lit(None).cast("string"),
+            )
+            .when(
+                c.rlike(self._PD_INF_RE),
+                F.when(F.trim(c).startswith("-"), F.lit("-inf")).otherwise(F.lit("inf")),
+            )
+            .otherwise(F.trim(c).try_cast("double").cast("string"))
+        )
 
     def _classify(self) -> list[ColumnType]:
         """One fused counting pass + driver vote (ColumnClassifier parity).
@@ -348,7 +367,10 @@ class TabularLinter:
             if self.column_classify[j].is_number():
                 cell_flags.append((j, ~P.is_number(c) & P.is_include_number(c)))
             if self.column_classify[j] == ColumnType.NONE_CATEGORY:
-                qualifying = P.is_empty(c) | (
+                # parsed-NaN cells (NA tokens) are is_empty(NaN)=True in the
+                # reference's loop over the PARSED column — e.g. an all-'nan'
+                # column trips the unit-column flag (quirk kept for parity)
+                qualifying = _cell_null(c) | P.is_empty(c) | (
                     ~P.is_empty(c) & c.rlike(rx.NUMBER_STRING)
                 )
                 col_aggs[j] = F.sum(qualifying.cast("long"))

@@ -179,6 +179,10 @@ def ivf_topk(
     """
     cents = train_centroids(corpus, n_cells, vec_col, train_size, seed=seed)
     nprobe = max(1, min(nprobe, cents.shape[0]))  # tiny corpus => fewer cells
+    # null vectors are excluded from training above; exclude them from the
+    # scoring path too (np.stack in the assignment UDF can't take None)
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     ).select(

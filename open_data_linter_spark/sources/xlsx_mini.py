@@ -228,9 +228,7 @@ class MiniWorkbook:
             return text in ("1", "true")
         if t == "d":  # ISO-8601 date cell (strict-conformance producers)
             try:
-                import datetime as _dt
-
-                return _dt.datetime.fromisoformat(text.rstrip("Z"))
+                return datetime.datetime.fromisoformat(text.rstrip("Z"))
             except ValueError:
                 return text
         # numeric; date-styled numerics become datetime/time

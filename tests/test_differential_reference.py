@@ -239,3 +239,31 @@ def test_differential_adjacency_vs_reference(spark, reference_linter):
             if r != o:
                 mismatches.append((trial, name, r, o, data.decode("utf-8")[:300]))
     assert not mismatches, "\n\n".join(map(repr, mismatches[:5]))
+
+
+def test_differential_nan_na_cells(spark, reference_linter):
+    """pandas NA spellings parse to NaN (reference counts them EMPTY in
+    classification); the render must yield NULL, not the string 'NaN' —
+    the review's scenario: ['13','nan'] must classify PREFECTURE_CODE at
+    rate 1.0 and trip 1-12 in BOTH linters."""
+    RefLinter = reference_linter
+
+    from open_data_linter_spark.rules.tabular import TabularLinter
+
+    csvs = [
+        "コード,値\n13,7\nnan,8\n27,9\n",          # nan among pref codes
+        "a,b\nnan,x\nNaN,y\nNULL,z\n",             # all-NA numeric column
+        "年,件\n2021,5\nN/A,6\n2023,7\n",          # NA token in int column
+        "コード,県\n13,東京都\nnan,東京都\n",       # NA + adjacency
+    ]
+    mismatches = []
+    for i, text in enumerate(csvs):
+        data = text.encode("utf-8")
+        ref = RefLinter(data, "t.csv")
+        ours = TabularLinter(spark, data, "t.csv")
+        for name in CHECKS:
+            r = _norm(getattr(ref, f"check_{name}")())
+            o = _norm(getattr(ours, f"check_{name}")())
+            if r != o:
+                mismatches.append((i, name, r, o, text))
+    assert not mismatches, "\n\n".join(map(repr, mismatches))
