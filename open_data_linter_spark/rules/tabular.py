@@ -10,7 +10,8 @@ reference's OWN sample files and golden cell sets
 
 Scale positioning: this mode lints ONE file per linter instance (the
 reference's unit of work); the checks run as Spark jobs over the parsed
-frame, and fleet-scale linting parallelizes across files. The 10^12-row
+frame, and fleet linting parallelizes across files (plans/fleet.py
+``lint_files``: concurrent linters over one session). The 10^12-row
 path is the fixed-schema audio table engine (rules/audio_rules.py) — this
 module exists for semantic parity and for schemaless text ingestion.
 

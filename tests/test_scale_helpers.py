@@ -107,3 +107,24 @@ def test_stream_violation_sampling(spark, tmp_path):
         .collect()[0][0]
     )
     assert total == 64  # counts stay exact regardless of evidence sampling
+
+
+def test_lint_files_fleet(spark, tmp_path):
+    from open_data_linter_spark.plans.fleet import lint_files
+
+    good = tmp_path / "good.csv"
+    good.write_bytes("id,名前,年度\n1,名a,2020\n2,名b,2021\n".encode("utf-8"))
+    ws = tmp_path / "ws.csv"
+    ws.write_bytes("id,名前,年度\n1, 名a ,2020\n2,名b,2021\n".encode("utf-8"))
+    broken = tmp_path / "broken.txt"
+    broken.write_bytes(b"not a csv")
+
+    df = lint_files(spark, [str(good), str(ws), str(broken)], parallelism=3)
+    rows = {(r.path, r.check): r for r in df.collect()}
+    assert len(rows) == 3 * 12
+    assert rows[(str(good), "1-5")].is_valid is True
+    v = rows[(str(ws), "1-5")]
+    assert v.is_valid is False and v.n_violation_cells == 1
+    # wrong extension blocks through the 1-1 channel
+    assert rows[(str(broken), "1-1")].is_valid is False
+    assert rows[(str(broken), "1-2")].is_valid is None
