@@ -255,6 +255,8 @@ def test_differential_nan_na_cells(spark, reference_linter):
         "a,b\nnan,x\nNaN,y\nNULL,z\n",             # all-NA numeric column
         "年,件\n2021,5\nN/A,6\n2023,7\n",          # NA token in int column
         "コード,県\n13,東京都\nnan,東京都\n",       # NA + adjacency
+        'a,b\n"x\ny",2\n"v,w",3\nplain,4\n',      # quoted newline + comma cells
+        'id,メモ\n1,"行1\n行2"\n2,ok\n3,ok\n',     # 1-5 must flag the \n cell
     ]
     mismatches = []
     for i, text in enumerate(csvs):
