@@ -1,18 +1,26 @@
 """MinHash + LSH near-duplicate detection, DataFrame-native.
 
 Pipeline (all Catalyst, no UDF):
-  shingle(k-gram) → 64 permutation min-hashes (xxhash64 with per-permutation
-  seed, array_min) → band into b bands of r rows → explode bands →
+  shingle(k-gram) → xxhash64 each shingle once (array<long>) → 64
+  permutation min-hashes (re-hash the long with a per-permutation seed,
+  array_min) → band into b bands of r rows → explode bands →
   groupBy(band, band_hash) bucket join → candidate pairs → exact Jaccard
-  verification on the shingle sets.
+  verification on the hashed shingle sets.
 
 Scale notes:
 - the only big shuffle is the band-bucket self-join; bucket sizes are
   bounded by hashing (hot buckets = near-identical content, which is the
   signal, and AQE skew-split handles the residue);
-- candidate verification joins back to the (distinct) shingle sets by id —
-  at 100 TB these would be bucketed tables; candidates are a tiny fraction
-  of the corpus;
+- candidate verification joins back to the (distinct) hashed shingle sets
+  by id — at 100 TB these would be bucketed tables; candidates are a tiny
+  fraction of the corpus;
+- the checkpointed intermediate holds array<long>, never the shingle
+  strings: Jaccard over the hashed sets equals Jaccard over the string
+  sets (xxhash64 collisions are negligible at any realistic doc size),
+  and the materialized bytes drop by roughly the mean shingle length;
+- single-file inputs arrive as one partition — spread to the session's
+  parallelism BEFORE the shingling projection (never reducing an already
+  parallel input);
 - banding params (b=16, r=4) target J ≈ 0.7+: P(candidate) = 1-(1-J^r)^b.
 """
 
@@ -27,18 +35,28 @@ N_PERM_DEFAULT = 64
 
 
 def minhash_signature(shingle_col, n_perm: int = N_PERM_DEFAULT):
-    """Array of n_perm min-hashes.
+    """Array of n_perm min-hashes from a STRING shingle array.
 
-    One xxhash64 over the shingle STRING, then each permutation re-hashes
+    One xxhash64 over the shingle string, then each permutation re-hashes
     the resulting long with a per-permutation salt — hashing an 8-byte long
     is far cheaper than hashing the string n_perm times. (An affine a*h+b
     family would be cheaper still, but long-multiply overflow throws under
     ANSI mode.)
     """
     base = F.transform(shingle_col, lambda s: F.xxhash64(s))
+    return minhash_signature_from_hashes(base, n_perm)
+
+
+def minhash_signature_from_hashes(hash_col, n_perm: int = N_PERM_DEFAULT):
+    """Array of n_perm min-hashes from an already-hashed array<long>.
+
+    Feed this a materialized column (not an inline transform subtree):
+    Catalyst does not CSE across higher-order-function lambdas, so an
+    embedded subtree would re-hash every shingle string n_perm times.
+    """
     return F.array(
         *[
-            F.array_min(F.transform(base, lambda h, i=i: F.xxhash64(h, F.lit(i))))
+            F.array_min(F.transform(hash_col, lambda h, i=i: F.xxhash64(h, F.lit(i))))
             for i in range(n_perm)
         ]
     )
@@ -61,20 +79,42 @@ def minhash_near_duplicates(
     buckets (caused by near-universal shingles) dominate cost quadratically
     while contributing mostly sub-threshold pairs. Essential at scale; set
     None for exhaustive candidates.
+
+    Jaccard is computed on the xxhash64-hashed shingle sets — identical to
+    string-set Jaccard up to 64-bit hash collisions (~0 in practice) —
+    so only array<long> is ever checkpointed or shuffled.
     """
     rows_per_band = n_perm // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), k).alias("sh"),
-    ).where(F.size("sh") > 0)
-    # self-joins below would otherwise recompute shingling+signatures on BOTH
-    # sides; truncate lineage once (at cluster scale: persist to storage)
-    base = base.localCheckpoint(eager=True)
-    sig = base.select(
-        "id", "sh", minhash_signature(F.col("sh"), n_perm).alias("sig")
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    # Single-file parquet arrives as one partition; spread rows before the
+    # expensive shingling projection. Guarded so an already-wide cluster
+    # input is never shuffled down. The checkpoint sits BETWEEN the
+    # repartition and the shingle projection on purpose: Catalyst collapses
+    # a column-independent projection below a round-robin exchange, which
+    # would run all shingling on the narrow pre-shuffle side (measured: the
+    # whole pass serialized onto one core). Checkpointing the cheap
+    # (id, text) rows pins the boundary so hashing runs on `par` partitions.
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    src = src.persist()
+    hashed = src.select(
+        "id",
+        F.transform(shingles(F.col("__t"), k), lambda s: F.xxhash64(s)).alias("hs"),
+    ).where(F.size("hs") > 0)
+    # hashed feeds three consumers (signatures, both verify sides); persist
+    # so shingling runs once. At cluster scale: persist to storage / a
+    # bucketed table instead.
+    hashed = hashed.persist()
+    sig = hashed.select(
+        "id", minhash_signature_from_hashes(F.col("hs"), n_perm).alias("sig")
     )
     # band rows carry ONLY (id, band, band-hash): the candidate self-join and
-    # its dedup never shuffle the shingle arrays (they re-join by id after)
+    # its dedup never shuffle the hash arrays (they re-join by id after).
+    # No second checkpoint — re-deriving band rows from the checkpointed
+    # hashes is one narrow stage, cheaper than an eager materialization
+    # (measured: the former second checkpoint cost more than it saved).
     banded = sig.select(
         "id",
         F.explode(
@@ -94,35 +134,38 @@ def minhash_near_duplicates(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    banded = banded.localCheckpoint(eager=True)
+    # Candidate pairs: ONE shuffle (groupBy band,bh), then in-bucket pair
+    # expansion as a Catalyst array comprehension — replaces the former
+    # bucket-count + filter-join + self-join + dropDuplicates chain (3-4
+    # exchanges on the same tiny keys). Hot buckets above the cap are
+    # dropped before expansion, so the flatten is bounded by cap² per
+    # bucket; the per-bucket member list fits comfortably in an executor
+    # row (cap defaults to 500 ids).
+    buckets = banded.groupBy("band", "bh").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
+    )
     if max_bucket_size is not None:
-        ok_buckets = (
-            banded.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("__m"))
-            .where(F.col("__m") <= max_bucket_size)
-            .select("band", "bh")
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
+    buckets = buckets.where(F.size("ids") >= 2)
+    pair_expr = F.flatten(
+        F.transform(
+            F.slice(F.col("ids"), 1, F.size("ids") - 1),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
         )
-        banded = banded.join(ok_buckets, ["band", "bh"])
-
-    left = banded.alias("l")
-    right = banded.alias("r")
+    )
     candidates = (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bh") == F.col("r.bh"),
-                F.col("l.id") < F.col("r.id"),
-            ],
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    verified = candidates.join(sh_a, "id_a").join(sh_b, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    hs_a = hashed.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    hs_b = hashed.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    verified = candidates.join(hs_a, "id_a").join(hs_b, "id_b")
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = F.size(F.array_union("hs_a", "hs_b")).cast("double")
     return (
         verified.select(
             "id_a",
