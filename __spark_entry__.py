@@ -697,8 +697,15 @@ def oracle_sql() -> dict[str, str]:
               FROM cells
             ), terms AS (
               SELECT day, n, m, ABS(co / n - ce / m) AS gap,
+                     -- mirror the engine (rules/drift.py): observed counts
+                     -- in a zero-expected bin mean +inf chi2, not 0. With a
+                     -- marginal baseline (every observed bin is in the
+                     -- baseline) the o > 0 branch is unreachable here, but
+                     -- the semantics must match in case the baseline ever
+                     -- excludes a bin.
                      CASE WHEN e * n / m > 0
                           THEN (o - e * n / m) * (o - e * n / m) / (e * n / m)
+                          WHEN o > 0 THEN CAST('infinity' AS DOUBLE)
                           ELSE 0 END AS chi2_term,
                      CASE WHEN e > 0 THEN 1 ELSE 0 END AS pos
               FROM cum

@@ -43,8 +43,17 @@ def lint_files(
                              "1_7", "1_10", "1_11", "1_12", "1_13", "2_x"]
 
     def one(path: str) -> list[tuple]:
-        with open(path, "rb") as f:
-            data = f.read()
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError as e:
+            # blocked file (missing / permission denied): report every
+            # requested check as is_valid=None — the documented 1-1 error
+            # channel — instead of aborting the whole batch
+            return [
+                (path, name.replace("_", "-"), None, 0, str(e))
+                for name in check_names
+            ]
         linter = TabularLinter(spark, data, os.path.basename(path))
         rows = []
         for name in check_names:

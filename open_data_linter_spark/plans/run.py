@@ -315,7 +315,12 @@ class ValidationRun:
             for f in futs:
                 f.result()
         _run_payload_family()  # phase B: python workers get the full core budget
-        wall["shuffle+payload"] = time.time() - t_all  # kept for bench continuity
+        # canonical key: the whole phase-A+B span (all rule families).
+        # 'shuffle+payload' is a legacy alias for the SAME value — kept so
+        # the 33 raw runs in BENCH/scaling_runs.jsonl (recorded after the
+        # phased-scheduling change, same scope) stay comparable by key.
+        wall["families_total"] = time.time() - t_all
+        wall["shuffle+payload"] = wall["families_total"]
 
         for r in row_rules:
             total = row_out["totals"].get(r.rule_id, 0)

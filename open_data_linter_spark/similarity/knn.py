@@ -91,6 +91,10 @@ def lsh_topk(
     planes = rng.standard_normal((tables, bits, dim))
     planes /= np.linalg.norm(planes, axis=2, keepdims=True)
 
+    # null vectors can't be signed (np.stack in bucket_signatures raises on
+    # None) and can't be neighbors — drop them up front, same as ivf_topk
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     ).select(

@@ -112,6 +112,21 @@ def test_lsh_topk_finds_neardup(vectors):
     assert any(r.neighbor_id == 1 and r.rank == 1 for r in got)
 
 
+def test_lsh_topk_null_vectors(spark, vectors):
+    """A NULL embedding anywhere must be skipped, not crash the signature
+    UDF (ADVICE r2: np.stack raises on None in bucket_signatures)."""
+    from open_data_linter_spark.similarity.knn import lsh_topk
+
+    withnull = vectors.union(
+        spark.createDataFrame([(99, None)], vectors.schema)
+    )
+    q = withnull.where(F.col("vec_id").isin(0, 99))
+    got = lsh_topk(withnull, q, k=3, bits=6, dim=16).collect()
+    assert any(r.neighbor_id == 1 and r.rank == 1 for r in got)
+    assert all(r.query_id == 0 for r in got)  # null query contributes nothing
+    assert all(r.neighbor_id != 99 for r in got)
+
+
 def test_embedding_near_duplicates_banded_lsh(vectors):
     """Banded-LSH scale path must find the same pairs as brute at high
     threshold, with a pure hash-join plan (no BroadcastNestedLoopJoin)."""

@@ -128,3 +128,25 @@ def test_lint_files_fleet(spark, tmp_path):
     # wrong extension blocks through the 1-1 channel
     assert rows[(str(broken), "1-1")].is_valid is False
     assert rows[(str(broken), "1-2")].is_valid is None
+
+
+def test_lint_files_unreadable_path(spark, tmp_path):
+    """An unreadable PATH (missing file / directory) must produce blocked
+    rows for that file, not abort the whole batch (VERDICT r2 defect #1)."""
+    from open_data_linter_spark.plans.fleet import lint_files
+
+    good = tmp_path / "good.csv"
+    good.write_bytes("id,名前,年度\n1,名a,2020\n2,名b,2021\n".encode("utf-8"))
+    missing = tmp_path / "nope.csv"  # never created
+    adir = tmp_path / "subdir.csv"
+    adir.mkdir()  # open(rb) -> IsADirectoryError (OSError)
+
+    df = lint_files(spark, [str(good), str(missing), str(adir)], parallelism=3)
+    rows = {(r.path, r.check): r for r in df.collect()}
+    assert len(rows) == 3 * 12  # batch completed for all three
+    assert rows[(str(good), "1-5")].is_valid is True
+    for bad in (missing, adir):
+        for check in ("1-1", "1-2", "2-x"):
+            r = rows[(str(bad), check)]
+            assert r.is_valid is None and r.n_violation_cells == 0
+            assert r.message
