@@ -319,7 +319,10 @@ def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH candidates + exact-cosine verify (the scale
     path: hash joins on (band, bucket), no BroadcastNestedLoopJoin). The
     oracle is the exact brute-force SQL twin — banding parameters are
-    chosen so per-pair recall at 0.45 is ~1-5e-4 (r=2, b=16)."""
+    chosen so per-pair MISS probability at cos 0.45 is ~1.6e-4 (r=2,
+    b=16). Adversarially measured: recall ≥0.99 on 200 planted pairs in
+    the [0.45, 0.50] danger zone
+    (tests/test_dedup_similarity.py::test_banded_embedding_recall_danger_zone)."""
     from open_data_linter_spark.dedup.embedding import embedding_near_duplicates
 
     e = _t(spark, sf_dir, "embeddings")

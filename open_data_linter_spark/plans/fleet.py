@@ -6,23 +6,30 @@ instances over one SparkSession — Spark's scheduler interleaves their
 (tiny) jobs across the cluster, and each file's verdict matrix lands in
 one summary DataFrame.
 
-Scale positioning (honest): per-file engine jobs cost ~100ms of scheduling
-each, so this shape is right up to O(10^4) files per batch. Past that, the
-at-scale design is a worker-local kernel over ``binaryFile`` rows
-(mapInPandas, one pandas evaluation per file, no per-file driver job) —
-which re-implements the rule semantics outside Catalyst and therefore
-lives behind the same parity test wall before it would be shipped. The
-10^12-ROW path is the audio-table engine (plans/run.py); this module is
-for many SMALL schemaless files.
+Scale positioning: per-file engine jobs cost ~100ms of scheduling each,
+so ``lint_files`` (driver-side thread pool over TabularLinter) is right
+up to O(10^4) files per batch and gives full Catalyst-backed semantics.
+Past that, ``lint_files_distributed`` runs the worker-local kernel
+(rules/kernel.py) over ``binaryFile`` rows via mapInPandas — one
+in-process evaluation per file, no per-file driver job — cleared through
+the parity wall (tests/test_fleet_kernel_parity.py: kernel ==
+TabularLinter on the reference's full sample corpus plus differential
+corpora). The 10^12-ROW path is the audio-table engine (plans/run.py);
+this module is for many SMALL schemaless files.
 """
 
 from __future__ import annotations
 
 import concurrent.futures as cf
 import os
-from typing import Iterable, Optional
+from typing import Iterable, Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
+
+_DEFAULT_CHECKS = ["1_1", "1_2", "1_3", "1_4", "1_5", "1_6",
+                   "1_7", "1_10", "1_11", "1_12", "1_13", "2_x"]
+_FLEET_SCHEMA = ("path string, check string, is_valid boolean, "
+                 "n_violation_cells long, message string")
 
 
 def lint_files(
@@ -39,8 +46,7 @@ def lint_files(
     """
     from open_data_linter_spark.rules.tabular import TabularLinter
 
-    check_names = checks or ["1_1", "1_2", "1_3", "1_4", "1_5", "1_6",
-                             "1_7", "1_10", "1_11", "1_12", "1_13", "2_x"]
+    check_names = checks or _DEFAULT_CHECKS
 
     def one(path: str) -> list[tuple]:
         try:
@@ -67,7 +73,63 @@ def lint_files(
     with cf.ThreadPoolExecutor(max_workers=max(1, parallelism)) as pool:
         for rows in pool.map(one, list(paths)):
             out.extend(rows)
-    return spark.createDataFrame(
-        out, "path string, check string, is_valid boolean, "
-             "n_violation_cells long, message string"
-    )
+    return spark.createDataFrame(out, _FLEET_SCHEMA)
+
+
+def lint_files_distributed(
+    spark: SparkSession,
+    source: Union[str, list[str]],
+    checks: Optional[list[str]] = None,
+) -> DataFrame:
+    """Million-file fleet path: ``binaryFile`` scan → mapInPandas with the
+    worker-local rule kernel (rules/kernel.py::KernelLinter).
+
+    Same output schema and verdict semantics as ``lint_files`` (parity
+    pinned by tests/test_fleet_kernel_parity.py), but no per-file driver
+    job: files are bin-packed into scan partitions by Spark's file source
+    (spark.sql.files.openCostInBytes controls files-per-partition), each
+    partition's files are linted in-process on the executor, and only the
+    per-(file, check) summary rows come back. This is the design the
+    round-2 fleet docstring promised: O(10^6) files is a single Spark job
+    whose task count follows data volume, not file count.
+
+    ``source``: a directory / glob string, or an explicit list of paths.
+    A file whose bytes cannot be linted yields is_valid=None blocked rows
+    (same channel as lint_files); a path that disappears between listing
+    and read surfaces as a task error (Spark file-source semantics).
+    """
+    check_names = checks or _DEFAULT_CHECKS
+    binary = spark.read.format("binaryFile").load(source).select("path", "content")
+
+    def run_batches(batches):
+        import pandas as pd
+
+        from open_data_linter_spark.rules.kernel import KernelLinter
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                fname = os.path.basename(path)
+                try:
+                    linter = KernelLinter(bytes(content), fname)
+                    for name in check_names:
+                        res = getattr(linter, f"check_{name}")()
+                        n_cells = sum(
+                            len(ic.invalid_cells) for ic in res.invalid_contents
+                        )
+                        msg = (res.invalid_contents[0].error_message
+                               if res.invalid_contents else None)
+                        rows.append(
+                            (path, name.replace("_", "-"), res.is_valid, n_cells, msg)
+                        )
+                except Exception as e:  # never poison the whole partition
+                    rows.extend(
+                        (path, name.replace("_", "-"), None, 0, str(e))
+                        for name in check_names
+                    )
+            yield pd.DataFrame(
+                rows, columns=["path", "check", "is_valid",
+                               "n_violation_cells", "message"]
+            )
+
+    return binary.mapInPandas(run_batches, _FLEET_SCHEMA)

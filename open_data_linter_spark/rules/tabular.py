@@ -235,7 +235,12 @@ class TabularLinter:
         renders unchanged; non-numeric columns keep raw strings."""
         c = F.col(f"c{j}")
         if not pd_numeric:
-            return c
+            # pd.read_csv applies na_values PER CELL: 'nan'/'NULL'/'<NA>'…
+            # become NaN even inside object-dtype columns, and the
+            # reference's classifier counts NaN empty (funcs.py:68-77
+            # pd.isnull first). Found by the round-3 cross-corpus
+            # differential ('nan' amid era strings diluted the vote).
+            return F.when(_cell_null(c), F.lit(None).cast("string")).otherwise(c)
         if pd_int:
             return F.trim(c).try_cast("long").cast("string")
         # NA tokens and nan spellings parse to NaN: pd.isnull is True, so

@@ -6,10 +6,12 @@ check's verdict and violation cells. The reference package imports from
 /root/reference (read-only, used as an executable spec — no code copied);
 its two absent dependencies are shimmed:
 
-- ``chardet``: fixed utf-8 answer — the corpus is valid UTF-8 by
-  construction, where real chardet's answer is utf-8/ascii too, so the
-  shim does not mask a divergence (encoding-detection divergence is pinned
-  separately in test_encoding_detection.py);
+- ``chardet``: answers with the engine's own try-decode ladder label
+  (utf-8 → SHIFT_JIS → CP932 → EUC-JP, BOM first). Both linters therefore
+  decode through the SAME encoding answer, so the differential compares
+  every downstream check (including 1-10's CP932 roundtrip) across
+  non-UTF-8 corpora; statistical chardet-vs-ladder divergence itself is
+  pinned separately in test_encoding_detection.py;
 - ``jeraconv``: 5-era arithmetic matching jeraconv's documented behavior
   (the same table our Catalyst CASE uses — era parity itself is pinned by
   the reference goldens, not by this test).
@@ -50,7 +52,20 @@ def _install_reference_shims():
     added = []
     if "chardet" not in sys.modules:
         chardet = types.ModuleType("chardet")
-        chardet.detect = lambda data: {"encoding": "utf-8", "confidence": 0.99}
+
+        def _detect(data):
+            if data.startswith(b"\xef\xbb\xbf"):
+                return {"encoding": "UTF-8-SIG", "confidence": 0.99}
+            for codec, label in [("utf-8", "utf-8"), ("shift_jis", "SHIFT_JIS"),
+                                 ("cp932", "CP932"), ("euc_jp", "EUC-JP")]:
+                try:
+                    data.decode(codec)
+                    return {"encoding": label, "confidence": 0.99}
+                except UnicodeDecodeError:
+                    continue
+            return {"encoding": None, "confidence": 0.0}
+
+        chardet.detect = _detect
         sys.modules["chardet"] = chardet
         added.append("chardet")
     if "jeraconv" not in sys.modules:
@@ -238,6 +253,94 @@ def test_differential_adjacency_vs_reference(spark, reference_linter):
             o = _norm(getattr(ours, f"check_{name}")())
             if r != o:
                 mismatches.append((trial, name, r, o, data.decode("utf-8")[:300]))
+    assert not mismatches, "\n\n".join(map(repr, mismatches[:5]))
+
+
+_NA_POOL = ["nan", "NaN", "NULL", "N/A", "<NA>", "None", "-nan", ""]
+_CP932_ONLY = ["①", "②", "髙", "㈱"]  # NEC/IBM extensions: CP932 yes, strict shift_jis no
+
+
+def _gen_cross_csv(rng) -> bytes:
+    """Encoding × structure-quirk × NA-token cross corpus (VERDICT r2 #8).
+
+    - encoding: utf-8 / shift_jis-safe / cp932 (with CP932-only chars that
+      trip the 1-10 roundtrip), decoded by BOTH linters through the same
+      ladder answer (chardet shim);
+    - structure: 0-2 title lines, ragged rows, injected empty rows,
+      optional UTF-8 BOM;
+    - cells: NA-token sprinkle across int / string / prefecture / era /
+      datetime-code columns.
+    """
+    enc = str(rng.choice(["utf-8", "shift_jis", "cp932"]))
+    n_rows = int(rng.integers(3, 9))
+    kinds = rng.choice(["int", "str", "pref", "era", "money", "dt", "mixed"],
+                       size=int(rng.integers(2, 5)))
+    header, cols = [], []
+    for j, kind in enumerate(kinds):
+        header.append(f"項目{j}")
+        vals = []
+        for i in range(n_rows):
+            r = rng.random()
+            if r < 0.15:
+                v = str(rng.choice(_NA_POOL))
+            elif kind == "int":
+                v = str(int(rng.integers(0, 3000)))
+                if r < 0.25:
+                    v = f"{v} "  # 1-5-ish padding (numeric col: pandas eats it)
+            elif kind == "str":
+                v = str(rng.choice(["データ", "名称", "合計", "備考"]))
+                if enc == "cp932" and r < 0.3:
+                    v = v + str(rng.choice(_CP932_ONLY))  # 1-10 trigger
+            elif kind == "pref":
+                v = str(rng.choice(PREFS if r > 0.2 else BAD_PREFS))
+            elif kind == "era":
+                v = f"昭和{int(rng.integers(1, 60))}年"
+            elif kind == "money":
+                v = str(rng.choice(["***", "X", "0", str(int(rng.integers(0, 10**5)))]))
+            elif kind == "dt":
+                v = str(rng.choice(["202101", "20210100", "2021004000"]))
+            else:  # mixed
+                v = str(rng.choice(["12(3)", "4 5", "六", "7.5", "8"]))
+            vals.append(v)
+        cols.append(vals)
+    rows = [header] + [[c[i] for c in cols] for i in range(n_rows)]
+    for _ in range(int(rng.integers(0, 3))):  # title lines
+        rows.insert(0, [str(rng.choice(["統計調査", "令和3年度"])), *[""] * (len(cols) - 1)])
+    if rng.random() < 0.25:  # ragged row: drop trailing fields
+        k = int(rng.integers(1, len(rows)))
+        rows[k] = rows[k][: max(1, len(cols) - 1)]
+    if rng.random() < 0.2:  # empty row
+        rows.insert(int(rng.integers(1, len(rows))), [""] * len(cols))
+    buf = io.StringIO()
+    csv.writer(buf, lineterminator="\n").writerows(rows)
+    text = buf.getvalue()
+    try:
+        data = text.encode(enc)
+    except UnicodeEncodeError:
+        data = text.encode("utf-8")
+    if enc == "utf-8" and rng.random() < 0.2:
+        data = b"\xef\xbb\xbf" + data  # BOM
+    return data
+
+
+def test_differential_cross_corpus(spark, reference_linter):
+    """Encoding × quirk × NA cross-product, 50 seeded cases — raises the
+    total differential corpus past 100 cases (VERDICT r2 #8)."""
+    RefLinter = reference_linter
+
+    from open_data_linter_spark.rules.tabular import TabularLinter
+
+    rng = np.random.default_rng(40260817)
+    mismatches = []
+    for trial in range(50):
+        data = _gen_cross_csv(rng)
+        ref = RefLinter(data, "t.csv")
+        ours = TabularLinter(spark, data, "t.csv")
+        for name in CHECKS:
+            r = _norm(getattr(ref, f"check_{name}")())
+            o = _norm(getattr(ours, f"check_{name}")())
+            if r != o:
+                mismatches.append((trial, name, r, o, data[:300]))
     assert not mismatches, "\n\n".join(map(repr, mismatches[:5]))
 
 

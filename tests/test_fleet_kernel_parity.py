@@ -1,0 +1,121 @@
+"""Parity wall for the worker-local fleet kernel (rules/kernel.py).
+
+KernelLinter re-implements the tabular rule semantics outside Catalyst so
+the distributed fleet path (plans/fleet.py::lint_files_distributed) can
+evaluate files worker-side. Before that path ships, the kernel must be
+indistinguishable from TabularLinter — which is itself pinned to the
+reference's CSVLinter via the reference's own sample goldens
+(tests/test_tabular_parity.py) and differential fuzzing
+(tests/test_differential_reference.py).
+
+This file asserts kernel == TabularLinter on:
+- every CSV in the reference's sample corpus (plus the non-CSV gate file),
+- the differential fuzz corpora (same generators, fresh seeds),
+and that lint_files_distributed returns row-for-row what the driver-side
+lint_files returns on a mixed directory.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+CHECKS = ["1_1", "1_2", "1_3", "1_4", "1_5", "1_6", "1_7",
+          "1_10", "1_11", "1_12", "1_13", "2_x"]
+SAMPLES = "/root/reference/tests/samples"
+
+
+def _norm(res) -> tuple:
+    return (
+        res.is_valid,
+        frozenset(
+            (ic.error_message, frozenset(map(tuple, ic.invalid_cells)))
+            for ic in res.invalid_contents
+        ),
+    )
+
+
+def _assert_parity(spark, data: bytes, filename: str, label: str) -> None:
+    from open_data_linter_spark.rules.kernel import KernelLinter
+    from open_data_linter_spark.rules.tabular import TabularLinter
+
+    kern = KernelLinter(data, filename)
+    eng = TabularLinter(spark, data, filename)
+    if eng.n_cols:  # classification must agree before the checks can
+        assert kern.column_classify == eng.column_classify, label
+    for name in CHECKS:
+        k = _norm(getattr(kern, f"check_{name}")())
+        e = _norm(getattr(eng, f"check_{name}")())
+        assert k == e, f"{label} check {name}: kernel={k} engine={e}"
+
+
+@pytest.mark.parametrize(
+    "path",
+    sorted(glob.glob(os.path.join(SAMPLES, "*.csv")))
+    + [os.path.join(SAMPLES, "text.txt")],
+    ids=os.path.basename,
+)
+def test_kernel_parity_reference_samples(spark, path):
+    with open(path, "rb") as f:
+        data = f.read()
+    _assert_parity(spark, data, os.path.basename(path), os.path.basename(path))
+
+
+def test_kernel_parity_differential_corpus(spark):
+    """Same corpus generators as the reference differential, fresh seeds —
+    kernel and engine must agree cell-for-cell."""
+    from test_differential_reference import (
+        _gen_adjacency_csv, _gen_cross_csv, _gen_csv)
+
+    rng = np.random.default_rng(30260817)
+    for trial in range(30):
+        data = _gen_csv(rng)
+        _assert_parity(spark, data, "t.csv", f"gen_csv trial {trial}")
+    for trial in range(30):
+        data = _gen_adjacency_csv(rng)
+        _assert_parity(spark, data, "t.csv", f"adjacency trial {trial}")
+    for trial in range(12):  # encoding × quirk × NA-token cross cases
+        data = _gen_cross_csv(rng)
+        _assert_parity(spark, data, "t.csv", f"cross trial {trial}")
+
+
+def test_kernel_parity_encoding_matrix(spark):
+    """The three nb01h0013 encodings exercise detect_and_decode + 1-10."""
+    for name in ["nb01h0013.csv", "nb01h0013_sjis.csv", "nb01h0013_cp932.csv"]:
+        with open(os.path.join(SAMPLES, name), "rb") as f:
+            data = f.read()
+        _assert_parity(spark, data, name, name)
+
+
+def test_lint_files_distributed_matches_threaded(spark, tmp_path):
+    """The mapInPandas fleet path returns exactly the rows of the
+    driver-threaded path on a mixed corpus (incl. a blocked file)."""
+    from open_data_linter_spark.plans.fleet import lint_files, lint_files_distributed
+
+    for src in sorted(glob.glob(os.path.join(SAMPLES, "*.csv"))):
+        with open(src, "rb") as f:
+            (tmp_path / os.path.basename(src)).write_bytes(f.read())
+    (tmp_path / "broken.csv").write_bytes(b"\xff\xfe\x00bad")
+
+    paths = sorted(str(p) for p in tmp_path.iterdir())
+    threaded = {tuple(r) for r in lint_files(spark, paths).collect()}
+    dist_rows = lint_files_distributed(spark, str(tmp_path)).collect()
+    # binaryFile paths come back as file: URIs — normalize before comparing
+    dist = {
+        (r.path.replace("file:", ""), r.check, r.is_valid,
+         r.n_violation_cells, r.message)
+        for r in dist_rows
+    }
+    assert dist == threaded
+
+
+def test_lint_files_distributed_explicit_list(spark, tmp_path):
+    good = tmp_path / "good.csv"
+    good.write_bytes("id,名前,年度\n1,名a,2020\n2,名b,2021\n".encode("utf-8"))
+    from open_data_linter_spark.plans.fleet import lint_files_distributed
+
+    rows = {r.check: r for r in
+            lint_files_distributed(spark, [str(good)]).collect()}
+    assert len(rows) == 12
+    assert all(r.is_valid is True for r in rows.values())
