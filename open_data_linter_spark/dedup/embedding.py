@@ -49,8 +49,10 @@ def _banded_candidates(
     )
     band_rows = (
         base.select("id", F.posexplode(buckets).alias("band", "bucket"))
-        # the self-join otherwise recomputes the projection lineage twice
-        .localCheckpoint(eager=True)
+        # the self-join otherwise recomputes the bucket projection (b·r
+        # dot products per row) on both sides; lazy persist — base is
+        # already partition-spread by the caller
+        .persist()
     )
     l, r = band_rows.alias("l"), band_rows.alias("r")
     return (
@@ -88,7 +90,21 @@ def embedding_near_duplicates(
 
     if bands:
         assert dim, "dim required for LSH planes"
+        # single-file inputs arrive as one partition; spread BEFORE the
+        # per-row hyperplane dot products, and persist so the candidate
+        # banding and both verification sides share one materialization
+        # (same boundary discipline as dedup/minhash.py — measured 15-22s
+        # -> ~2s at sf0.1 without it)
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if base.rdd.getNumPartitions() < par:
+            base = base.repartition(par)
+        base = base.persist()
         cand = _banded_candidates(base, bands, rows_per_band, dim, seed)
+        # at loose thresholds the candidate set is large (the docstring's
+        # caveat) and AQE coalesces the verify stage by the SMALL pair-row
+        # size, under-parallelizing the per-pair cosine work — spread the
+        # pairs explicitly before attaching vectors
+        cand = cand.repartition(par)
         va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
         vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
         return (
