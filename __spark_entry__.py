@@ -539,19 +539,68 @@ def q_tabular_lint_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_data_linter_spark.rules.tabular import TabularLinter
 
     samples = "/root/reference/tests/samples"
-    rows = []
-    for fname in ("perfect.csv", "check_1_2.csv", "check_1_13.csv"):
-        path = os.path.join(samples, fname)
-        if not os.path.exists(path):  # reference absent in some environments
-            continue
-        with open(path, "rb") as f:
+    fnames = [
+        f for f in ("perfect.csv", "check_1_2.csv", "check_1_13.csv")
+        if os.path.exists(os.path.join(samples, f))
+    ]
+
+    def one(fname: str) -> list[tuple]:
+        # each linter is many tiny Spark jobs; run the files concurrently
+        # (same shape as plans/fleet.lint_files) — Spark's scheduler
+        # interleaves them, ~3x less wall than sequential
+        with open(os.path.join(samples, fname), "rb") as f:
             lin = TabularLinter(spark, f.read(), fname)
+        out = []
         for check in ("1_1", "1_2", "1_5", "1_13", "2_x"):
             res = getattr(lin, f"check_{check}")()
             n_cells = sum(len(ic.invalid_cells) for ic in res.invalid_contents)
-            rows.append((fname, check, res.is_valid, n_cells))
+            out.append((fname, check, res.is_valid, n_cells))
+        return out
+
+    import concurrent.futures as cf
+
+    rows: list[tuple] = []
+    with cf.ThreadPoolExecutor(max_workers=max(1, len(fnames))) as pool:
+        for out in pool.map(one, fnames):  # map preserves file order
+            rows.extend(out)
     return spark.createDataFrame(
         rows, "file string, check string, is_valid boolean, n_invalid_cells int"
+    )
+
+
+def q_fleet_lint_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed fleet path: binaryFile scan → mapInPandas worker-local
+    kernel (rules/kernel.py) over a deterministic 4-file corpus (clean /
+    whitespace / unit+header / undecodable-blocked). The oracle VALUES pin
+    was recorded from the driver-threaded TabularLinter path
+    (plans/fleet.lint_files), so this gate cross-checks kernel == Catalyst
+    engine verdicts per (file, check) — the same parity wall as
+    tests/test_fleet_kernel_parity.py, enforced by the driver."""
+    _ensure_pkg(spark)
+    import os
+    import tempfile
+
+    from open_data_linter_spark.plans.fleet import lint_files_distributed
+
+    d = tempfile.mkdtemp(prefix="fleet_gate_")
+    corpus = {
+        "clean.csv": "id,名前,年度\n1,名a,2020\n2,名b,2021\n",
+        "ws.csv": "id,名前,年度\n1, 名a ,2020\n2,名b,2021\n",
+        "unit.csv": "id,,年度\n3,3円,2020\n4,4円,2021\n",
+        "blocked.csv": None,  # undecodable bytes -> 1-1 error channel
+    }
+    for name, text in corpus.items():
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(b"\xff\xfe\x00bad" if text is None else text.encode("utf-8"))
+    out = lint_files_distributed(spark, d)
+    return (
+        out.select(
+            F.element_at(F.split("path", "/"), -1).alias("file"),
+            "check",
+            "is_valid",
+            "n_violation_cells",
+        )
+        .orderBy("file", "check")
     )
 
 
@@ -649,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "knn_lsh_recall": q_knn_lsh_recall,
+        "fleet_lint_matrix": q_fleet_lint_matrix,
         "audio_validation_matrix": q_audio_validation_matrix,
         "audio_decode_features": q_audio_decode_features,
         "bpe_token_counts": q_bpe_token_counts,
@@ -997,6 +1047,67 @@ def oracle_sql() -> dict[str, str]:
                   (7,381,0.345179,5))
                  AS t(query_id, neighbor_id, cos_sim, rank)
             ORDER BY query_id, rank
+        """,
+        "fleet_lint_matrix": """
+            -- measured golden recorded from the driver-threaded
+            -- TabularLinter path (plans/fleet.lint_files) on the same
+            -- 4-file corpus: the driver gate therefore asserts the
+            -- worker-local kernel == the Catalyst engine per (file, check)
+            SELECT CAST(file AS VARCHAR) AS file,
+                   CAST("check" AS VARCHAR) AS "check",
+                   CAST(is_valid AS BOOLEAN) AS is_valid,
+                   CAST(n_violation_cells AS BIGINT) AS n_violation_cells
+            FROM (VALUES
+                  ('blocked.csv','1-1',FALSE,0),
+                  ('blocked.csv','1-10',NULL,0),
+                  ('blocked.csv','1-11',NULL,0),
+                  ('blocked.csv','1-12',NULL,0),
+                  ('blocked.csv','1-13',NULL,0),
+                  ('blocked.csv','1-2',NULL,0),
+                  ('blocked.csv','1-3',NULL,0),
+                  ('blocked.csv','1-4',NULL,0),
+                  ('blocked.csv','1-5',NULL,0),
+                  ('blocked.csv','1-6',NULL,0),
+                  ('blocked.csv','1-7',NULL,0),
+                  ('blocked.csv','2-x',NULL,0),
+                  ('clean.csv','1-1',TRUE,0),
+                  ('clean.csv','1-10',TRUE,0),
+                  ('clean.csv','1-11',TRUE,0),
+                  ('clean.csv','1-12',TRUE,0),
+                  ('clean.csv','1-13',TRUE,0),
+                  ('clean.csv','1-2',TRUE,0),
+                  ('clean.csv','1-3',TRUE,0),
+                  ('clean.csv','1-4',TRUE,0),
+                  ('clean.csv','1-5',TRUE,0),
+                  ('clean.csv','1-6',TRUE,0),
+                  ('clean.csv','1-7',TRUE,0),
+                  ('clean.csv','2-x',TRUE,0),
+                  ('unit.csv','1-1',TRUE,0),
+                  ('unit.csv','1-10',TRUE,0),
+                  ('unit.csv','1-11',TRUE,0),
+                  ('unit.csv','1-12',TRUE,0),
+                  ('unit.csv','1-13',TRUE,0),
+                  ('unit.csv','1-2',TRUE,0),
+                  ('unit.csv','1-3',FALSE,1),
+                  ('unit.csv','1-4',TRUE,0),
+                  ('unit.csv','1-5',TRUE,0),
+                  ('unit.csv','1-6',FALSE,1),
+                  ('unit.csv','1-7',TRUE,0),
+                  ('unit.csv','2-x',TRUE,0),
+                  ('ws.csv','1-1',TRUE,0),
+                  ('ws.csv','1-10',TRUE,0),
+                  ('ws.csv','1-11',TRUE,0),
+                  ('ws.csv','1-12',TRUE,0),
+                  ('ws.csv','1-13',TRUE,0),
+                  ('ws.csv','1-2',TRUE,0),
+                  ('ws.csv','1-3',TRUE,0),
+                  ('ws.csv','1-4',TRUE,0),
+                  ('ws.csv','1-5',FALSE,1),
+                  ('ws.csv','1-6',TRUE,0),
+                  ('ws.csv','1-7',TRUE,0),
+                  ('ws.csv','2-x',TRUE,0))
+                 AS t(file, "check", is_valid, n_violation_cells)
+            ORDER BY file, "check"
         """,
         "audio_validation_matrix": """
             -- measured golden: per-rule pass/fail matrix of the full engine
