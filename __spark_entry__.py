@@ -578,11 +578,14 @@ def q_fleet_lint_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_fleet_kernel_parity.py, enforced by the driver."""
     _ensure_pkg(spark)
     import os
-    import tempfile
 
     from open_data_linter_spark.plans.fleet import lint_files_distributed
 
-    d = tempfile.mkdtemp(prefix="fleet_gate_")
+    # fixed path, rewritten idempotently: repeated gate runs must not
+    # accumulate tmpdirs (and the files must exist when the returned lazy
+    # DataFrame is collected)
+    d = "/tmp/odl_fleet_gate"
+    os.makedirs(d, exist_ok=True)
     corpus = {
         "clean.csv": "id,名前,年度\n1,名a,2020\n2,名b,2021\n",
         "ws.csv": "id,名前,年度\n1, 名a ,2020\n2,名b,2021\n",

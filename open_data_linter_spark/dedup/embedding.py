@@ -28,6 +28,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from open_data_linter_spark.dedup._cache import persist_scoped
 from open_data_linter_spark.functions.vectors import cosine, hyperplane_bucket
 
 
@@ -52,8 +53,8 @@ def _banded_candidates(
         # the self-join otherwise recomputes the bucket projection (b·r
         # dot products per row) on both sides; lazy persist — base is
         # already partition-spread by the caller
-        .persist()
     )
+    band_rows = persist_scoped("embedding.band_rows", band_rows)
     l, r = band_rows.alias("l"), band_rows.alias("r")
     return (
         l.join(
@@ -98,7 +99,7 @@ def embedding_near_duplicates(
         par = df.sparkSession.sparkContext.defaultParallelism
         if base.rdd.getNumPartitions() < par:
             base = base.repartition(par)
-        base = base.persist()
+        base = persist_scoped("embedding.base", base)
         cand = _banded_candidates(base, bands, rows_per_band, dim, seed)
         # at loose thresholds the candidate set is large (the docstring's
         # caveat) and AQE coalesces the verify stage by the SMALL pair-row

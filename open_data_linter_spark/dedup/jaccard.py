@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from open_data_linter_spark.dedup._cache import persist_scoped
 from open_data_linter_spark.functions.text import shingles
 
 
@@ -36,10 +37,10 @@ def ngram_jaccard_pairs(
     # shingling on `par` partitions (measured 20s -> ~2s at sf0.1).
     if src.rdd.getNumPartitions() < par:
         src = src.repartition(par)
-    src = src.persist()
-    base = src.select(
+    src = persist_scoped("jaccard.src", src)
+    base = persist_scoped("jaccard.base", src.select(
         "id", shingles(F.col("__t"), k).alias("sh")
-    ).where(F.size("sh") > 0).persist()  # reused by sizes + inverted index
+    ).where(F.size("sh") > 0))  # reused by sizes + inverted index
     sizes = base.select("id", F.size("sh").alias("n_sh"))
     inv = base.select("id", F.explode("sh").alias("shingle"))
     if max_shingle_df is not None:
@@ -51,7 +52,7 @@ def ngram_jaccard_pairs(
         )
     # both self-join sides read this; persist instead of an eager
     # checkpoint (lazy, no extra materialization job)
-    inv = inv.persist()
+    inv = persist_scoped("jaccard.inv", inv)
     l, r = inv.alias("l"), inv.alias("r")
     inter = (
         l.join(r, on=[F.col("l.shingle") == F.col("r.shingle"),

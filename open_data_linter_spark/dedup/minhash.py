@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from open_data_linter_spark.dedup._cache import persist_scoped
 from open_data_linter_spark.functions.text import shingles
 
 N_PERM_DEFAULT = 64
@@ -90,15 +91,15 @@ def minhash_near_duplicates(
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
     # Single-file parquet arrives as one partition; spread rows before the
     # expensive shingling projection. Guarded so an already-wide cluster
-    # input is never shuffled down. The checkpoint sits BETWEEN the
+    # input is never shuffled down. The persist sits BETWEEN the
     # repartition and the shingle projection on purpose: Catalyst collapses
     # a column-independent projection below a round-robin exchange, which
     # would run all shingling on the narrow pre-shuffle side (measured: the
-    # whole pass serialized onto one core). Checkpointing the cheap
-    # (id, text) rows pins the boundary so hashing runs on `par` partitions.
+    # whole pass serialized onto one core). Persisting the cheap (id, text)
+    # rows pins the boundary so hashing runs on `par` partitions.
     if src.rdd.getNumPartitions() < par:
         src = src.repartition(par)
-    src = src.persist()
+    src = persist_scoped("minhash.src", src)
     hashed = src.select(
         "id",
         F.transform(shingles(F.col("__t"), k), lambda s: F.xxhash64(s)).alias("hs"),
@@ -106,7 +107,7 @@ def minhash_near_duplicates(
     # hashed feeds three consumers (signatures, both verify sides); persist
     # so shingling runs once. At cluster scale: persist to storage / a
     # bucketed table instead.
-    hashed = hashed.persist()
+    hashed = persist_scoped("minhash.hashed", hashed)
     sig = hashed.select(
         "id", minhash_signature_from_hashes(F.col("hs"), n_perm).alias("sig")
     )

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from open_data_linter_spark.dedup._cache import persist_scoped
+
 N_BITS = 64
 N_BANDS = 4  # 16 bits per band
 
@@ -56,10 +58,10 @@ def simhash_near_duplicates(
     # (the map side of the groupBy) run at session parallelism, not on the
     # one scan partition (same pathology as dedup/minhash.py)
     if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par).persist()
+        src = persist_scoped("simhash.src", src.repartition(par))
     # the banded self-join would recompute the 64-bit-sum aggregation on
     # both sides; persist (lazy) instead of an eager checkpoint
-    sigs = simhash_signatures(src, text_col, id_col).persist()
+    sigs = persist_scoped("simhash.sigs", simhash_signatures(src, text_col, id_col))
     band_width = N_BITS // N_BANDS
     mask = (1 << band_width) - 1
     banded = sigs.select(

@@ -26,8 +26,8 @@ from typing import Iterable, Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
-_DEFAULT_CHECKS = ["1_1", "1_2", "1_3", "1_4", "1_5", "1_6",
-                   "1_7", "1_10", "1_11", "1_12", "1_13", "2_x"]
+from open_data_linter_spark.rules.tabular import CHECK_NAMES as _DEFAULT_CHECKS
+
 _FLEET_SCHEMA = ("path string, check string, is_valid boolean, "
                  "n_violation_cells long, message string")
 
@@ -112,6 +112,9 @@ def lint_files_distributed(
                 fname = os.path.basename(path)
                 try:
                     linter = KernelLinter(bytes(content), fname)
+                    # buffer per file: a check raising mid-loop must not
+                    # leave partial rows next to the blocked rows
+                    file_rows = []
                     for name in check_names:
                         res = getattr(linter, f"check_{name}")()
                         n_cells = sum(
@@ -119,14 +122,15 @@ def lint_files_distributed(
                         )
                         msg = (res.invalid_contents[0].error_message
                                if res.invalid_contents else None)
-                        rows.append(
+                        file_rows.append(
                             (path, name.replace("_", "-"), res.is_valid, n_cells, msg)
                         )
                 except Exception as e:  # never poison the whole partition
-                    rows.extend(
+                    file_rows = [
                         (path, name.replace("_", "-"), None, 0, str(e))
                         for name in check_names
-                    )
+                    ]
+                rows.extend(file_rows)
             yield pd.DataFrame(
                 rows, columns=["path", "check", "is_valid",
                                "n_violation_cells", "message"]

@@ -48,6 +48,7 @@ from open_data_linter_spark.rules.classifier import (
 )
 from open_data_linter_spark.rules.tabular import (
     BLOCKED,
+    CHECK_NAMES,
     HeaderEstimateError,
     _PD_NA_TOKENS,
     detect_and_decode,
@@ -106,15 +107,46 @@ def _is_empty(v: Optional[str]) -> bool:
     return v is None or _EMPTY_RE.search(v) is not None
 
 
-def _is_number(v: Optional[str]) -> bool:
-    """float() accepts it (funcs.py:15-25) — native Python semantics."""
+# Engine-equivalent numeric acceptance. The engine's is_number is
+# translate(full-width) + try_cast("double") (functions/predicates.py:35-52)
+# whose empirical grammar (probed against Spark 4) is Java-style: ASCII
+# decimals with optional d/D/f/F suffix, hex floats 0x..p.., sign-able
+# inf/infinity and UNsigned nan (any case), ASCII-control/space trim. That
+# differs from bare Python float() on: '1_0' (PEP 515 — engine rejects),
+# '1d'/'0x1p3' (engine accepts), '-nan' (engine rejects), non-fullwidth
+# Unicode digits like '١٢' (engine rejects). The kernel must match the
+# ENGINE (the parity wall's contract), not bare float().
+_CTRL_WS = "".join(chr(i) for i in range(0x21))
+_DEC_NUM_RE = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?[dDfF]?", re.ASCII)
+_HEX_NUM_RE = re.compile(
+    r"[+-]?0[xX]([0-9a-fA-F]+\.?[0-9a-fA-F]*|\.[0-9a-fA-F]+)[pP][+-]?\d+[dDfF]?",
+    re.ASCII,
+)
+_INF_NUM_RE = re.compile(r"[+-]?inf(inity)?", re.IGNORECASE)
+_NAN_NUM_RE = re.compile(r"nan", re.IGNORECASE)
+_FW_NUM_TRANS = str.maketrans("０１２３４５６７８９　", "0123456789 ")
+
+
+def _as_double(v: Optional[str]):
+    """functions/predicates.py::_as_double twin: parsed value or None."""
     if v is None:
-        return False
-    try:
-        float(v)
-        return True
-    except (ValueError, OverflowError):
-        return False
+        return None
+    s = v.translate(_FW_NUM_TRANS).strip(_CTRL_WS)
+    if not s:
+        return None
+    if _INF_NUM_RE.fullmatch(s):
+        return float("-inf") if s[0] == "-" else float("inf")
+    if _NAN_NUM_RE.fullmatch(s):
+        return float("nan")
+    if _DEC_NUM_RE.fullmatch(s):
+        return float(s.rstrip("dDfF"))
+    if _HEX_NUM_RE.fullmatch(s):
+        return float.fromhex(s.rstrip("dDfF"))
+    return None
+
+
+def _is_number(v: Optional[str]) -> bool:
+    return v is not None and _as_double(v) is not None
 
 
 def _is_include_number(v: Optional[str]) -> bool:
@@ -126,14 +158,17 @@ def _is_string(v: Optional[str]) -> bool:
 
 
 def _is_integer(v: Optional[str]) -> bool:
-    if not _is_number(v):
+    d = _as_double(v)
+    if d is None:
         return False
-    d = float(v)
     return d == d and d not in (float("inf"), float("-inf")) and d.is_integer()
 
 
 def _is_prefecture_code(v: Optional[str]) -> bool:
-    return _is_integer(v) and 1 <= float(v) <= 47
+    if not _is_integer(v):
+        return False
+    d = _as_double(v)
+    return 1 <= d <= 47
 
 
 def _is_datetime_code(v: Optional[str]) -> bool:
@@ -278,9 +313,13 @@ class KernelLinter:
             return None if _cell_null(v) else v
         if pd_int:
             try:
-                return str(int(_trim(v)))
+                n = int(_trim(v))
             except (ValueError, TypeError):
                 return None
+            # engine renders via try_cast("long"): int64 overflow is NULL
+            if not (-(1 << 63) <= n < (1 << 63)):
+                return None
+            return str(n)
         if _cell_null(v) or _PD_NAN_RE.search(v):
             return None
         if _PD_INF_RE.search(v):
@@ -587,8 +626,4 @@ class KernelLinter:
         return LintResult(True, [])
 
     def check_all(self) -> dict[str, LintResult]:
-        return {
-            name: getattr(self, f"check_{name.replace('-', '_')}")()
-            for name in ["1_1", "1_2", "1_3", "1_4", "1_5", "1_6", "1_7",
-                         "1_10", "1_11", "1_12", "1_13", "2_x"]
-        }
+        return {name: getattr(self, f"check_{name}")() for name in CHECK_NAMES}

@@ -52,6 +52,12 @@ from open_data_linter_spark.rules.classifier import (
 
 BLOCKED = "ファイルが読み込めなかったため、チェックできませんでした。"
 
+# the reference's 12 checks, canonical order — shared by TabularLinter,
+# the worker-local kernel (rules/kernel.py), and the fleet paths
+# (plans/fleet.py); one list so a new check can't be half-wired
+CHECK_NAMES = ["1_1", "1_2", "1_3", "1_4", "1_5", "1_6", "1_7",
+               "1_10", "1_11", "1_12", "1_13", "2_x"]
+
 
 def detect_and_decode(data: bytes) -> tuple[str, str]:
     """(text, encoding-label). Try-decode ladder standing in for chardet
@@ -657,8 +663,4 @@ class TabularLinter:
         return LintResult(False, [InvalidContent(message, cells)])
 
     def check_all(self) -> dict[str, LintResult]:
-        return {
-            name: getattr(self, f"check_{name.replace('-', '_')}")()
-            for name in ["1_1", "1_2", "1_3", "1_4", "1_5", "1_6", "1_7",
-                         "1_10", "1_11", "1_12", "1_13", "2_x"]
-        }
+        return {name: getattr(self, f"check_{name}")() for name in CHECK_NAMES}

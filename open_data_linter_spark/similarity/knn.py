@@ -66,31 +66,28 @@ def brute_force_topk(
     return _rank_topk(scored, k)
 
 
-def lsh_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    bits: int = 8,
-    dim: int = 64,
-    multiprobe: bool = True,
-    seed: int = 42,
-    tables: int = 1,
-) -> DataFrame:
-    """Approximate top-k via hyperplane buckets + 1-bit multi-probe.
-
-    ``tables`` > 1 is the classic multi-table (L hash tables) LSH
-    OR-construction: each table has independent planes; a corpus vector is
-    a candidate if it collides with the query (or a 1-bit probe of it) in
-    ANY table. Recall rises much faster than candidate volume because
-    collisions concentrate on genuinely-close vectors; the join stays a
-    hash join on (table, bucket).
-    """
+def lsh_planes(tables: int, bits: int, dim: int, seed: int = 42) -> np.ndarray:
+    """The (tables, bits, dim) unit hyperplanes lsh_topk hashes with —
+    exposed so measurement tooling (scripts/sweep_lsh_recall.py) probes
+    the SAME planes the shipped path uses."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((tables, bits, dim))
     planes /= np.linalg.norm(planes, axis=2, keepdims=True)
+    return planes
 
+
+def lsh_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Distinct (query_id, neighbor_id, qv, cv) candidate pairs colliding
+    in ≥1 table (multi-probe included) — the candidate stage of lsh_topk,
+    shared with the recall/candidate-volume sweep."""
+    bits = planes.shape[1]
     # null vectors can't be signed (np.stack in bucket_signatures raises on
     # None) and can't be neighbors — drop them up front, same as ivf_topk
     corpus = corpus.where(F.col(vec_col).isNotNull())
@@ -115,15 +112,40 @@ def lsh_topk(
         q = q.select("query_id", "qv", "table", F.explode(probes).alias("bucket"))
     else:
         q = q.select("query_id", "qv", "table", F.col("qbucket").alias("bucket"))
-    scored = (
+    return (
         c.join(F.broadcast(q), on=["table", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
-        )
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    dim: int = 64,
+    multiprobe: bool = True,
+    seed: int = 42,
+    tables: int = 1,
+) -> DataFrame:
+    """Approximate top-k via hyperplane buckets + 1-bit multi-probe.
+
+    ``tables`` > 1 is the classic multi-table (L hash tables) LSH
+    OR-construction: each table has independent planes; a corpus vector is
+    a candidate if it collides with the query (or a 1-bit probe of it) in
+    ANY table. Recall rises much faster than candidate volume because
+    collisions concentrate on genuinely-close vectors; the join stays a
+    hash join on (table, bucket).
+    """
+    planes = lsh_planes(tables, bits, dim, seed)
+    cand = lsh_candidates(corpus, queries, planes, vec_col, id_col, multiprobe)
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
     )
     return _rank_topk(scored, k)
 

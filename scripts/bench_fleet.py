@@ -92,10 +92,11 @@ def main() -> None:
     # sanity: every file produced 12 rows; blocked quarter fails 1-1;
     # ws+unit quarters fail 1-5 / (1-3 and 1-6)
     assert all(v[0] == n for v in by_check.values()), by_check
-    q = n // len(ORDER)
-    assert by_check["1-1"][2] == q, by_check["1-1"]
-    assert by_check["1-5"][2] == q, by_check["1-5"]
-    assert by_check["1-6"][2] == q, by_check["1-6"]
+    # exact per-flavor counts (n need not divide by 4)
+    flavor_n = {f: sum(1 for i in range(n) if ORDER[i % 4] == f) for f in ORDER}
+    assert by_check["1-1"][2] == flavor_n["blocked"], by_check["1-1"]
+    assert by_check["1-5"][2] == flavor_n["ws"], by_check["1-5"]
+    assert by_check["1-6"][2] == flavor_n["unit"], by_check["1-6"]
 
     line = {
         "metric": "fleet kernel throughput",

@@ -35,30 +35,14 @@ def main():
             got = lsh_topk(e, q, k=5, bits=bits, dim=64, tables=tables)
             lsh = {(r.query_id, r.neighbor_id) for r in got.collect()}
             recall = len(brute & lsh) / len(brute)
-            # candidate volume: distinct scored pairs before ranking
-            from open_data_linter_spark.functions.vectors import bucket_signatures
-            import numpy as np
-            rng = np.random.default_rng(42)
-            planes = rng.standard_normal((tables, bits, 64))
-            planes /= np.linalg.norm(planes, axis=2, keepdims=True)
-            c = e.where(F.col("embedding").isNotNull()).select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.posexplode(bucket_signatures("embedding", planes)).alias("table", "bucket"),
-            )
-            qq = q.where(F.col("embedding").isNotNull()).select(
-                F.col("vec_id").alias("query_id"),
-                F.posexplode(bucket_signatures("embedding", planes)).alias("table", "qbucket"),
-            )
-            probes = F.array(
-                F.col("qbucket"),
-                *[F.col("qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)],
-            )
-            qq = qq.select("query_id", "table", F.explode(probes).alias("bucket"))
-            cand = (
-                c.join(F.broadcast(qq), on=["table", "bucket"])
-                .where(F.col("neighbor_id") != F.col("query_id"))
-                .select("query_id", "neighbor_id").distinct().count()
-            )
+            # candidate volume: the SAME candidate stage the shipped path
+            # runs (similarity/knn.py lsh_planes + lsh_candidates), so the
+            # published table can't drift from the engine
+            from open_data_linter_spark.similarity.knn import (
+                lsh_candidates, lsh_planes)
+
+            planes = lsh_planes(tables, bits, 64)
+            cand = lsh_candidates(e, q, planes).count()
             print(f"| {tables} | {bits} | {recall:.3f} | {cand} | "
                   f"{cand / (8 * n):.3f} |", flush=True)
 

@@ -88,6 +88,23 @@ def test_kernel_parity_encoding_matrix(spark):
         _assert_parity(spark, data, name, name)
 
 
+def test_kernel_parity_numeric_grammar_edges(spark):
+    """Cells where bare Python float() and the engine's translate+try_cast
+    diverge (round-3 code review): PEP-515 underscores, Java d/f suffixes,
+    hex floats, signed nan, non-fullwidth Unicode digits, int64 overflow.
+    The kernel must match the ENGINE on all of them."""
+    csvs = [
+        "a,b\n1_0,2\n1_0,3\n1_0,4\n",            # float()-only acceptance
+        "a,b\n1d,2\n3f,4\n0x1p3,6\n",            # cast-only acceptance
+        "a,b\n-nan,1\nnan,2\nNAN,3\n",           # signed vs unsigned nan
+        "a,b\n١٢,1\n١٣,2\n١٤,3\n",               # Arabic-Indic digits
+        "a,b\n99999999999999999999,1\n5,2\n",    # int64-overflow render
+        "a,b\n1D,2\nInfinity,3\n-infinity,4\n",
+    ]
+    for i, text in enumerate(csvs):
+        _assert_parity(spark, text.encode("utf-8"), "t.csv", f"edge {i}")
+
+
 def test_lint_files_distributed_matches_threaded(spark, tmp_path):
     """The mapInPandas fleet path returns exactly the rows of the
     driver-threaded path on a mixed corpus (incl. a blocked file)."""
