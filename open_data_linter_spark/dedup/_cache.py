@@ -37,3 +37,24 @@ def persist_scoped(scope: str, df: DataFrame) -> DataFrame:
         out = df.persist()
         _LIVE[scope] = out
     return out
+
+
+def clear_scoped(blocking: bool = False) -> int:
+    """Unpersist and forget EVERY retained generation (all scopes).
+
+    The one-generation retention above still keeps the FINAL DataFrame of
+    each call-site scope (and a reference to its SparkSession) alive for
+    process lifetime; long-lived hosts call this at session teardown /
+    between tenants to release them. Returns the number of scopes cleared.
+    In-flight queries over a cleared cache silently recompute (Spark
+    semantics), so calling this concurrently is safe, never corrupting.
+    """
+    with _LOCK:
+        n = len(_LIVE)
+        for df in _LIVE.values():
+            try:
+                df.unpersist(blocking=blocking)
+            except Exception:
+                pass  # session already stopped; forgetting is the point
+        _LIVE.clear()
+    return n

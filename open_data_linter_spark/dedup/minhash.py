@@ -160,6 +160,10 @@ def minhash_near_duplicates(
     candidates = (
         buckets.select(F.explode(pair_expr).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        # duplicate id rows in the input sort adjacent in the bucket member
+        # list and would expand to (x, x) self-pairs (the old self-join's
+        # l.id < r.id excluded them structurally)
+        .where(F.col("id_a") != F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     hs_a = hashed.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))

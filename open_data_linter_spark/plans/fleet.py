@@ -31,6 +31,23 @@ from open_data_linter_spark.rules.tabular import CHECK_NAMES as _DEFAULT_CHECKS
 _FLEET_SCHEMA = ("path string, check string, is_valid boolean, "
                  "n_violation_cells long, message string")
 
+# blocked-rows message for the non-1-1 checks, mirroring rules/tabular.BLOCKED
+_BLOCKED_MSG = "ファイルが読み込めなかったため、チェックできませんでした。"
+
+
+def _blocked_rows(path: str, check_names: list, error: str) -> list:
+    """Fleet rows for a file that could not be linted at all, in the
+    KernelLinter/TabularLinter blocked shape: 1-1 fails (is_valid=False,
+    the error as message), every other check is is_valid=None blocked."""
+    rows = []
+    for name in check_names:
+        check = name.replace("_", "-")
+        if check == "1-1":
+            rows.append((path, check, False, 0, error))
+        else:
+            rows.append((path, check, None, 0, _BLOCKED_MSG))
+    return rows
+
 
 def lint_files(
     spark: SparkSession,
@@ -41,8 +58,9 @@ def lint_files(
     """Lint each file; one row per (file, check): (path, check, is_valid,
     n_violation_cells, message).
 
-    ``is_valid`` is None when the file was blocked (unreadable / structure
-    estimate failed) — matching the reference's 1-1 error channel.
+    Blocked files (unreadable bytes, OS errors, failed structure estimate)
+    follow the reference's 1-1 error channel: the 1-1 row is is_valid=False
+    with the error message, every other check is is_valid=None.
     """
     from open_data_linter_spark.rules.tabular import TabularLinter
 
@@ -53,13 +71,13 @@ def lint_files(
             with open(path, "rb") as f:
                 data = f.read()
         except OSError as e:
-            # blocked file (missing / permission denied): report every
-            # requested check as is_valid=None — the documented 1-1 error
-            # channel — instead of aborting the whole batch
-            return [
-                (path, name.replace("_", "-"), None, 0, str(e))
-                for name in check_names
-            ]
+            # blocked file (missing / permission denied): same shape as the
+            # data-level blocked channel (TabularLinter/KernelLinter) — the
+            # 1-1 readable gate FAILS (is_valid=False, the OS error as the
+            # message) and every other check is is_valid=None blocked, so
+            # consumers filtering `is_valid == False` on 1-1 see OS-level
+            # failures too, instead of aborting the whole batch
+            return _blocked_rows(path, check_names, str(e))
         linter = TabularLinter(spark, data, os.path.basename(path))
         rows = []
         for name in check_names:
@@ -94,8 +112,9 @@ def lint_files_distributed(
     whose task count follows data volume, not file count.
 
     ``source``: a directory / glob string, or an explicit list of paths.
-    A file whose bytes cannot be linted yields is_valid=None blocked rows
-    (same channel as lint_files); a path that disappears between listing
+    A file whose bytes cannot be linted yields the blocked shape (1-1
+    is_valid=False with the error, other checks is_valid=None — same
+    channel as lint_files); a path that disappears between listing
     and read surfaces as a task error (Spark file-source semantics).
     """
     check_names = checks or _DEFAULT_CHECKS
@@ -126,10 +145,9 @@ def lint_files_distributed(
                             (path, name.replace("_", "-"), res.is_valid, n_cells, msg)
                         )
                 except Exception as e:  # never poison the whole partition
-                    file_rows = [
-                        (path, name.replace("_", "-"), None, 0, str(e))
-                        for name in check_names
-                    ]
+                    # same blocked shape as lint_files' OSError channel:
+                    # 1-1 False with the error, the rest None blocked
+                    file_rows = _blocked_rows(path, check_names, str(e))
                 rows.extend(file_rows)
             yield pd.DataFrame(
                 rows, columns=["path", "check", "is_valid",

@@ -482,8 +482,10 @@ class KernelLinter:
 
     def _adjacent_ok(self, j: int, conditions: list) -> bool:
         """Left/right neighbor of type T satisfying the predicate on EVERY
-        row (rules/tabular.py:487-502). Empty content => min-over-zero-rows
-        is NULL => not ok."""
+        row (rules/tabular.py:487-502). A predicate may return None to mean
+        "this row is NULL in the engine's plan" — the engine aggregates with
+        F.min, which IGNORES NULL rows, so None rows are skipped here; if
+        every row is None (or content is empty) the min is NULL => not ok."""
         if not self.content:
             return False
         for adj in (j - 1, j + 1):
@@ -492,7 +494,9 @@ class KernelLinter:
             for ctype, pred in conditions:
                 if self.column_classify[adj] != ctype:
                     continue
-                if all(pred(r[j], r[adj]) for r in self.content):
+                vals = [pred(r[j], r[adj]) for r in self.content]
+                non_null = [v for v in vals if v is not None]
+                if non_null and all(non_null):
                     return True
         return False
 
@@ -512,7 +516,12 @@ class KernelLinter:
                 try:
                     return int(extracted.translate(_FW_DIGITS)) == year
                 except ValueError:
-                    return False
+                    # engine parity: try_cast yields NULL for an unparseable
+                    # extraction and F.min IGNORES the NULL row — skip, don't
+                    # fail (rules/tabular.py:524-529). Unreachable while the
+                    # capture groups are digit-only, but pinned to the
+                    # engine's semantics rather than an assumption.
+                    return None
             return pred
 
         conditions = [

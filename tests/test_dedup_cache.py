@@ -21,6 +21,30 @@ def test_persist_scoped_evicts_previous_generation(spark):
     c.unpersist()
 
 
+def test_clear_scoped_releases_every_generation(spark):
+    from open_data_linter_spark.dedup._cache import (
+        _LIVE,
+        clear_scoped,
+        persist_scoped,
+    )
+
+    clear_scoped()  # start from an empty registry regardless of test order
+    a = persist_scoped("t.clear_a", spark.range(10))
+    b = persist_scoped("t.clear_b", spark.range(20))
+    a.count(), b.count()
+    assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    assert clear_scoped(blocking=True) == 2
+    # final generations released AND forgotten — nothing retained for
+    # process lifetime (ADVICE r3 finding)
+    assert not a.storageLevel.useMemory
+    assert not b.storageLevel.useMemory
+    assert _LIVE == {}
+    # cleared plans still recompute, and the registry accepts new scopes
+    assert a.count() == 10
+    persist_scoped("t.clear_a", spark.range(3)).count()
+    assert clear_scoped() == 1
+
+
 def test_persist_scoped_evicted_plan_still_computes(spark):
     from open_data_linter_spark.dedup._cache import persist_scoped
 

@@ -60,6 +60,22 @@ def test_minhash_near_duplicates(docs):
     assert not any(5 in p for p in pairs)
 
 
+def test_minhash_duplicate_id_rows_no_self_pairs(spark):
+    """Duplicate id rows sort adjacent in a bucket member list; the pair
+    expansion must never emit (x, x) self-pairs (ADVICE r3)."""
+    from open_data_linter_spark.dedup.minhash import minhash_near_duplicates
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # same id twice
+        (2, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = minhash_near_duplicates(df, k=3, threshold=0.5).collect()
+    assert all(r.id_a != r.id_b for r in got)
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+
+
 def test_simhash_near_duplicates(docs):
     from open_data_linter_spark.dedup.simhash import simhash_near_duplicates
 

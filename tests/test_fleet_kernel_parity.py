@@ -136,3 +136,19 @@ def test_lint_files_distributed_explicit_list(spark, tmp_path):
             lint_files_distributed(spark, [str(good)]).collect()}
     assert len(rows) == 12
     assert all(r.is_valid is True for r in rows.values())
+
+
+def test_kernel_adjacent_ok_min_null_semantics():
+    """F.min parity for _adjacent_ok: a predicate returning None marks the
+    row NULL in the engine's plan and min IGNORES it; all-None collapses
+    to NULL => not ok (ADVICE r3, kernel check_1_11 era_vs)."""
+    from open_data_linter_spark.rules.kernel import KernelLinter
+
+    k = KernelLinter("a,b\nx,1\ny,2\n".encode("utf-8"), "t.csv")
+    ctype = k.column_classify[0]
+    # one None row skipped, remaining rows all True => ok
+    assert k._adjacent_ok(1, [(ctype, lambda t, a: None if a == "x" else True)])
+    # a False among the non-null rows => not ok
+    assert not k._adjacent_ok(1, [(ctype, lambda t, a: None if a == "x" else False)])
+    # every row None => min over zero non-null rows is NULL => not ok
+    assert not k._adjacent_ok(1, [(ctype, lambda t, a: None)])

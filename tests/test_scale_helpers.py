@@ -145,8 +145,14 @@ def test_lint_files_unreadable_path(spark, tmp_path):
     rows = {(r.path, r.check): r for r in df.collect()}
     assert len(rows) == 3 * 12  # batch completed for all three
     assert rows[(str(good), "1-5")].is_valid is True
+    # OS-level failures use the SAME blocked shape as undecodable bytes
+    # (ADVICE r3): the 1-1 readable gate FAILS, the other checks are None —
+    # so `is_valid == False on 1-1` catches every kind of unreadable file
     for bad in (missing, adir):
-        for check in ("1-1", "1-2", "2-x"):
+        gate = rows[(str(bad), "1-1")]
+        assert gate.is_valid is False and gate.n_violation_cells == 0
+        assert gate.message  # the OS error string
+        for check in ("1-2", "2-x"):
             r = rows[(str(bad), check)]
             assert r.is_valid is None and r.n_violation_cells == 0
             assert r.message
