@@ -80,13 +80,27 @@ def embedding_near_duplicates(
     seed: int = 42,
     bands: int | None = None,
     rows_per_band: int = 4,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Pairs (id_a < id_b, cosine >= threshold).
 
-    Default is the exact brute-force baseline. Pass ``bands`` (+ ``dim``)
-    for the banded-LSH scale path, or ``lsh_bits`` for the single-signature
-    variant.
+    Pass ``bands`` (+ ``dim``) for the banded-LSH scale path, or
+    ``lsh_bits`` for the single-signature variant. The exact O(n²)
+    brute-force baseline (a self-cross-join) needs an EXPLICIT
+    ``strategy="brute"`` opt-in — with neither LSH parameter nor the
+    opt-in this raises instead of silently planning a cross join that a
+    library user would first notice at cluster scale (round-3 verdict).
     """
+    if strategy not in ("auto", "brute"):
+        raise ValueError(f"unknown strategy {strategy!r}: 'auto' or 'brute'")
+    if strategy == "auto" and not bands and not lsh_bits:
+        raise ValueError(
+            "embedding_near_duplicates without bands=/lsh_bits= is the "
+            "O(n²) brute-force self-cross-join; pass bands= (banded LSH, "
+            "the scale path) or opt in explicitly with strategy='brute'"
+        )
+    if strategy == "brute":
+        bands = lsh_bits = None  # explicit brute overrides LSH params
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 
     if bands:

@@ -161,14 +161,35 @@ def train_centroids(
     """IVF coarse quantizer: Lloyd's k-means on a bounded driver-side
     sample (spherical: vectors and centroids L2-normalized, so argmax dot
     == argmax cosine). The sample is capped — at 10^12 rows this is the
-    standard train-on-a-sample step, not a full collect."""
-    rows = [
-        r[0]
-        for r in corpus.select(vec_col).where(F.col(vec_col).isNotNull())
-        .limit(train_size).collect()
-    ]
-    if not rows:
+    standard train-on-a-sample step, not a full collect.
+
+    The sample is a seeded UNIFORM draw across the whole corpus, never a
+    ``limit``: Spark's limit drains the first partitions, so on
+    ingestion-ordered data it would train the quantizer on one time-slice
+    of the corpus and skew every centroid there (round-3 verdict). A cheap
+    count sizes the Bernoulli fraction with a small overdraw; if the draw
+    lands over ``train_size`` it is trimmed driver-side with a seeded
+    uniform choice (NOT a limit — a limit over the sample would re-bias
+    toward early partitions)."""
+    src = corpus.select(vec_col).where(F.col(vec_col).isNotNull())
+    n = src.count()  # parquet metadata count — cheap even at 10^12 rows
+    if n == 0:
         raise ValueError(f"ivf: no non-null vectors in column {vec_col!r}")
+    if n <= train_size:
+        rows = [r[0] for r in src.collect()]
+    else:
+        # overdraw ~10% + slack so the binomial draw under-shooting
+        # train_size is vanishingly unlikely; per-partition seeded sampling
+        # keeps the pin regenerable for a fixed input layout
+        frac = min(1.0, (train_size * 1.1 + 100.0) / n)
+        rows = [r[0] for r in src.sample(False, frac, seed).collect()]
+        if not rows:  # astronomically unlikely binomial zero-draw
+            rows = [r[0] for r in src.limit(train_size).collect()]
+        if len(rows) > train_size:
+            pick = np.random.default_rng(seed).choice(
+                len(rows), size=train_size, replace=False
+            )
+            rows = [rows[i] for i in np.sort(pick)]
     sample = np.array(rows, dtype=np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     # degrade gracefully on tiny corpora/samples: fewer cells, never a crash

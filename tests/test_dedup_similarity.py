@@ -105,8 +105,27 @@ def vectors(spark):
 def test_embedding_near_duplicates(vectors):
     from open_data_linter_spark.dedup.embedding import embedding_near_duplicates
 
-    got = embedding_near_duplicates(vectors, threshold=0.95).collect()
+    got = embedding_near_duplicates(
+        vectors, threshold=0.95, strategy="brute"
+    ).collect()
     assert [(r.id_a, r.id_b) for r in got] == [(0, 1)]
+
+
+def test_embedding_brute_path_requires_opt_in(vectors):
+    """VERDICT r3 #3: default params must never silently plan the O(n²)
+    self-cross-join — the brute baseline is an explicit opt-in."""
+    import pytest as _pytest
+
+    from open_data_linter_spark.dedup.embedding import embedding_near_duplicates
+
+    with _pytest.raises(ValueError, match="brute"):
+        embedding_near_duplicates(vectors, threshold=0.95)
+    # the scale path stays the default shape: pure hash joins
+    banded = embedding_near_duplicates(
+        vectors, threshold=0.95, dim=16, bands=8, rows_per_band=2
+    )
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
 
 
 def test_brute_force_topk(vectors):
@@ -182,7 +201,8 @@ def test_banded_embedding_recall_danger_zone(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
     brute = {(r.id_a, r.id_b) for r in
-             embedding_near_duplicates(df, threshold=0.45).collect()}
+             embedding_near_duplicates(
+                 df, threshold=0.45, strategy="brute").collect()}
     banded = {(r.id_a, r.id_b) for r in embedding_near_duplicates(
         df, threshold=0.45, dim=dim, bands=16, rows_per_band=2
     ).collect()}
@@ -204,6 +224,36 @@ def test_multitable_lsh_recall_floor(spark):
     lsh = {(r.query_id, r.neighbor_id)
            for r in lsh_topk(e, q, k=5, bits=6, dim=64, tables=8).collect()}
     assert len(brute & lsh) / len(brute) >= 0.9
+
+
+def test_ivf_train_sample_covers_skewed_layout(spark):
+    """VERDICT r3 #2: with vectors SORTED by cluster (first partitions hold
+    one cluster only — the ingestion-ordered 100 TB layout), the k-means
+    training sample must still cover every cluster. The old ``.limit()``
+    drained the first partitions, training all centroids on cluster 0."""
+    import numpy as np
+
+    from open_data_linter_spark.similarity.knn import train_centroids
+
+    rng = np.random.default_rng(11)
+    dim, per, k = 16, 400, 4
+    centers = rng.standard_normal((k, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, i = [], 0
+    for c in range(k):  # cluster-major order => partition-skewed layout
+        for _ in range(per):
+            v = centers[c] + rng.standard_normal(dim) * 0.05
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartitionByRange(8, "vec_id")  # id-ordered partitions, 2 per cluster
+    cents = train_centroids(df, n_cells=8, train_size=100, seed=42)
+    # every true cluster center must be closely represented by a centroid;
+    # a first-partitions-only sample leaves clusters 1-3 near-orthogonal to
+    # every centroid (random 16-dim cosine << 0.9)
+    best = (centers @ np.asarray(cents).T).max(axis=1)
+    assert (best > 0.9).all(), best
 
 
 def test_ivf_topk(vectors):
