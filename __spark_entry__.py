@@ -299,8 +299,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dups — hash-permutation internals are engine-specific,
-    so no SQL oracle (rows-only check)."""
+    """MinHash+LSH near-dups vs a FULL exact SQL twin: the reported jaccard
+    is computed on xxhash64-hashed shingle sets (== string-set jaccard up
+    to 64-bit collisions), so DuckDB recomputes the entire exact pair set
+    with an inverted-index join and the result must match row-for-row.
+    Equality holds because every true pair in this corpus has J ≥ 0.9,
+    where b=16,r=4 banding misses with p = (1-J^4)^16 ≈ 1e-8. This twin
+    replaced a measured-values pin in round 4 — and writing it exposed a
+    real bug the pin had frozen: a two-parameter transform lambda silently
+    rebound the permutation salt to the array index, collapsing all 64
+    permutations into one hash (recall J instead of ~1; two jaccard-0.97
+    pairs missed)."""
     from open_data_linter_spark.dedup.minhash import minhash_near_duplicates
 
     d = _t(spark, sf_dir, "documents")
@@ -308,7 +317,15 @@ def q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups (rows-only: xxhash64 bit internals)."""
+    """SimHash near-dups. The 64 hamming bits are engine-internal (xxhash64
+    token hashes), but the oracle is SEMANTIC, not an echo: it re-derives
+    each reported pair's token-frequency cosine from the documents table —
+    the similarity SimHash provably approximates — and drops any reported
+    pair below 0.75 (true pairs here measure ≥ 0.78; random pairs ≪ that),
+    and zeroes the whole result if recall vs the exact token-cosine ≥ 0.98
+    pair set falls below 0.6 (measured 15/24 = 0.625 — 64-bit SimHash at
+    hamming ≤ 3 is intentionally stricter than raw cosine). Only the
+    hamming VALUES themselves remain pinned."""
     from open_data_linter_spark.dedup.simhash import simhash_near_duplicates
 
     d = _t(spark, sf_dir, "documents")
@@ -341,12 +358,16 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table LSH ANN (rows-only: bucket assignment is engine-specific;
-    recall vs brute force is pinned by knn_lsh_recall below). 12 tables
-    chosen from the round-3 sweep (scripts/sweep_lsh_recall.py, table in
-    BENCH/BASELINE.md): recall 0.975 -> 1.000 over 8-table for +24%
-    candidate volume (0.60 -> 0.74 of corpus per query at this tiny SF;
-    the fraction shrinks with corpus size as buckets stay O(n/2^bits))."""
+    """Multi-table LSH ANN vs the FULL exact SQL twin: measured recall is
+    1.000 at 12 tables (round-3 sweep, scripts/sweep_lsh_recall.py, table
+    in BENCH/BASELINE.md), so the LSH top-5 must EQUAL the brute-force
+    top-5 DuckDB recomputes independently — rank order included (both rank
+    by cos_sim desc, neighbor_id asc). This twin replaced a measured-values
+    pin in round 4; any recall regression now shows up as a row mismatch,
+    and knn_lsh_recall pins the same invariant per query. 12 tables over
+    8: recall 0.975 -> 1.000 for +24% candidate volume (0.60 -> 0.74 of
+    corpus per query at this tiny SF; the fraction shrinks with corpus
+    size as buckets stay O(n/2^bits))."""
     from open_data_linter_spark.similarity.knn import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -355,9 +376,14 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN (k-means cells on a driver sample + nprobe search) —
-    the data-adaptive scale path beside the LSH one. Deterministic (seeded
-    Lloyd iterations), pinned by a measured-golden oracle."""
+    """IVF-Flat ANN (k-means cells on a seeded uniform sample + nprobe
+    search) — the data-adaptive scale path beside the LSH one. The oracle
+    pins WHICH (query, neighbor) ids the probe surfaces (cell assignment is
+    engine-internal) but recomputes everything checkable from the raw
+    embeddings in SQL: cos_sim via list_cosine_similarity, rank via a
+    window over the reported set, and a recall-vs-exact-top-5 floor of
+    0.75 (measured 31/40 = 0.775 at nprobe=8/16 cells) that zeroes the
+    result if violated."""
     from open_data_linter_spark.similarity.knn import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -369,9 +395,11 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall audit of the LSH path: per-query overlap between LSH top-5 and
-    exact brute-force top-5. Deterministic (seeded planes, fixed data), so
-    the oracle pins the measured golden values — an independently-recorded
-    expectation, not a tautology (the SQL cannot run LSH)."""
+    exact brute-force top-5. The oracle asserts PERFECT recall semantically
+    — it derives the query ids from the embeddings table and expects
+    overlap 5 for every one (the SQL cannot run LSH, but "LSH top-5 ==
+    exact top-5" is the measured property of the 12-table configuration,
+    and knn_lsh's exact twin checks the same equality row-for-row)."""
     from open_data_linter_spark.similarity.knn import brute_force_topk, lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -993,62 +1021,121 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         # ------------------------------------------------------------------
-        # Measured-golden oracles (the reference's own golden-matrix test
-        # pattern, tests/test_csv_linter.py:36-40): these queries are fully
-        # deterministic — seeded synthesis / seeded hash planes / xxhash64 /
-        # partition-count-independent aggregations — but their internals
-        # (MinHash permutations, SimHash bits, LSH buckets, HLL registers,
-        # Arrow audio decode) cannot be re-run in SQL. The VALUES below were
-        # recorded from a verified run and pin the outputs exactly.
+        # Measured-golden / semantic oracles. Round 4 hardened this family:
+        # minhash_neardups and knn_lsh are now FULL exact SQL twins (no
+        # pins), simhash_neardups and knn_ivf pin only the engine-internal
+        # values (hamming bits / surfaced ids) while RECOMPUTING each
+        # reported pair's similarity from the raw tables and zeroing the
+        # result under a recall floor, and knn_lsh_recall derives its
+        # perfect-recall expectation from the data. The remaining VALUES
+        # pins (fleet/tabular/audio matrices, HLL registers, decode
+        # features, drift stats) are engine-deterministic outputs that SQL
+        # genuinely cannot re-run — the reference's own golden-matrix test
+        # pattern (tests/test_csv_linter.py:36-40).
         # ------------------------------------------------------------------
-        "minhash_neardups": """
-            -- measured golden (MinHash banding internals are engine-specific)
-            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
-                   CAST(jaccard AS DOUBLE) AS jaccard
-            FROM (VALUES (8,245,0.9875),(26,455,0.909091),(31,383,0.97619),
-                  (44,446,0.958333),(45,267,0.971831),(45,413,0.985915),
-                  (58,293,0.985507),(61,185,0.982143),(70,447,0.988889),
-                  (87,134,0.956522),(92,450,0.96),(98,290,0.988506),
-                  (107,387,0.972973),(120,332,0.971429),(152,178,0.972973),
-                  (166,323,0.983333),(267,413,0.985714),(285,301,0.989247),
-                  (295,374,0.967742),(310,389,0.962963),(326,457,0.971429),
-                  (393,420,0.987013),(458,462,0.983051))
-                 AS t(id_a, id_b, jaccard)
+        "minhash_neardups": r"""
+            -- FULL exact twin (round 4, formerly a measured-values pin):
+            -- recompute every bigram-shingle jaccard >= 0.5 pair with an
+            -- inverted-index join. Hashed-set jaccard == string-set jaccard
+            -- up to xxhash64 collisions, and b=16,r=4 banding recall at the
+            -- corpus's J >= 0.9 pairs is 1-(1-J^4)^16 ~ 1-1e-8, so the LSH
+            -- output must equal this set row-for-row.
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     string_split_regex(trim(lower(coalesce(text,''))), '\s+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT id,
+                     CASE WHEN len(t) >= 2 THEN
+                       list_distinct(list_transform(generate_series(1, len(t)-1),
+                                     i -> array_to_string(t[i:i+1], ' ')))
+                     WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                     ELSE [] END AS s
+              FROM toks
+            ), nonempty AS (
+              SELECT id, s, len(s) AS n_sh FROM sh WHERE len(s) > 0
+            ), inv AS (
+              SELECT id, unnest(s) AS shingle FROM nonempty
+            ), inter AS (
+              SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_inter
+              FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.id < r.id
+              GROUP BY l.id, r.id
+            )
+            SELECT i.id_a, i.id_b,
+                   round(i.n_inter * 1.0 / (a.n_sh + b.n_sh - i.n_inter), 6) AS jaccard
+            FROM inter i
+            JOIN nonempty a ON a.id = i.id_a
+            JOIN nonempty b ON b.id = i.id_b
+            WHERE i.n_inter * 1.0 / (a.n_sh + b.n_sh - i.n_inter) >= 0.5
             ORDER BY id_a, id_b
         """,
-        "simhash_neardups": """
-            -- measured golden (SimHash bit internals are engine-specific)
-            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
-                   CAST(hamming AS INTEGER) AS hamming
-            FROM (VALUES (8,245,2),(45,413,3),(58,293,0),(61,185,0),
-                  (70,447,1),(76,102,2),(98,290,2),(107,387,1),(120,332,3),
-                  (166,323,3),(251,473,3),(267,413,2),(285,301,0),
-                  (326,457,2),(393,420,0),(435,486,3),(458,462,2))
-                 AS t(id_a, id_b, hamming)
+        "simhash_neardups": r"""
+            -- SEMANTIC oracle (round 4): only the engine-internal hamming
+            -- values stay pinned. Every reported pair's token-frequency
+            -- cosine — the similarity SimHash approximates — is RECOMPUTED
+            -- from the documents table and the pair is dropped below 0.75
+            -- (measured true-pair min 0.78; random pairs are far lower),
+            -- and the whole result zeroes if recall vs the exact
+            -- token-cosine >= 0.98 pair set drops below 0.6 (measured
+            -- 15/24 = 0.625: hamming <= 3 on 64 bits is intentionally
+            -- stricter than raw cosine). A wrong-from-birth pair list or a
+            -- recall collapse now fails the row compare.
+            WITH reported AS (
+              SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+                     CAST(hamming AS INTEGER) AS hamming
+              FROM (VALUES (8,245,2),(45,413,3),(58,293,0),(61,185,0),
+                    (70,447,1),(76,102,2),(98,290,2),(107,387,1),(120,332,3),
+                    (166,323,3),(251,473,3),(267,413,2),(285,301,0),
+                    (326,457,2),(393,420,0),(435,486,3),(458,462,2))
+                   AS t(id_a, id_b, hamming)
+            ), tf AS (
+              SELECT doc_id AS id, tok, count(*)::DOUBLE AS c FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(coalesce(text,''))),
+                                                 '\s+')) AS tok
+                FROM documents
+              ) WHERE tok <> '' GROUP BY doc_id, tok
+            ), norms AS (
+              SELECT id, sqrt(sum(c*c)) AS nrm FROM tf GROUP BY id
+            ), cos AS (
+              SELECT l.id AS id_a, r.id AS id_b,
+                     sum(l.c * r.c) / (any_value(x.nrm) * any_value(y.nrm)) AS v
+              FROM tf l
+              JOIN tf r ON l.tok = r.tok AND l.id < r.id
+              JOIN norms x ON x.id = l.id
+              JOIN norms y ON y.id = r.id
+              GROUP BY l.id, r.id
+            ), exact AS (
+              SELECT id_a, id_b FROM cos WHERE v >= 0.98
+            ), checked AS (
+              SELECT rep.id_a, rep.id_b, rep.hamming
+              FROM reported rep JOIN cos ON cos.id_a = rep.id_a
+                                        AND cos.id_b = rep.id_b
+              WHERE cos.v >= 0.75
+            )
+            SELECT id_a, id_b, hamming FROM checked
+            WHERE (SELECT count(*) FROM reported r
+                   JOIN exact e ON e.id_a = r.id_a AND e.id_b = r.id_b) * 1.0
+                  >= 0.6 * (SELECT count(*) FROM exact)
             ORDER BY id_a, id_b
         """,
         "knn_lsh": """
-            -- measured golden (LSH bucket assignment is engine-specific;
-            -- recall vs brute force is independently pinned by knn_lsh_recall)
-            SELECT CAST(query_id AS BIGINT) AS query_id,
-                   CAST(neighbor_id AS BIGINT) AS neighbor_id,
-                   CAST(cos_sim AS DOUBLE) AS cos_sim,
-                   CAST(rank AS INTEGER) AS rank
-            FROM (VALUES (0,365,0.369994,1),(0,334,0.362722,2),(0,387,0.331139,3),
-                  (0,423,0.296934,4),(0,73,0.295434,5),(1,386,0.371485,1),
-                  (1,27,0.348208,2),(1,407,0.32701,3),(1,195,0.322744,4),
-                  (1,64,0.316374,5),(2,117,0.318143,1),(2,450,0.266344,2),
-                  (2,145,0.263494,3),(2,188,0.263272,4),(2,320,0.255043,5),
-                  (3,130,0.399872,1),(3,149,0.329934,2),(3,343,0.308472,3),
-                  (3,174,0.303548,4),(3,231,0.298788,5),(4,114,0.398513,1),
-                  (4,496,0.341212,2),(4,408,0.322753,3),(4,482,0.313897,4),
-                  (4,280,0.279826,5),(5,404,0.328403,1),(5,419,0.319237,2),
-                  (5,157,0.311256,3),(5,33,0.310987,4),(5,359,0.305821,5),
-                  (6,350,0.324518,1),(6,430,0.32252,2),(6,145,0.297696,3),
-                  (6,437,0.283031,4),(6,386,0.275196,5),(7,340,0.492766,1),
-                  (7,425,0.40752,2),(7,209,0.394463,3),(7,334,0.356901,4),
-                  (7,381,0.345179,5))
-                 AS t(query_id, neighbor_id, cos_sim, rank)
+            -- FULL exact twin (round 4, formerly a measured-values pin):
+            -- the 12-table LSH configuration has measured recall 1.000, so
+            -- its top-5 must EQUAL the brute-force top-5 recomputed here —
+            -- ranks included (both order by cos_sim desc, neighbor_id asc).
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim
+              FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id != q.vec_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cos_sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank
+            FROM ranked WHERE rank <= 5
             ORDER BY query_id, rank
         """,
         "fleet_lint_matrix": """
@@ -1191,37 +1278,61 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY column_name
         """,
         "knn_ivf": """
-            -- measured golden (k-means cell assignment is engine-specific;
-            -- seeded Lloyd training => deterministic; recall vs brute 0.775
-            -- at nprobe=8/16 cells on this corpus)
-            SELECT CAST(query_id AS BIGINT) AS query_id,
-                   CAST(neighbor_id AS BIGINT) AS neighbor_id,
-                   CAST(cos_sim AS DOUBLE) AS cos_sim,
-                   CAST(rank AS INTEGER) AS rank
-            FROM (VALUES (0,365,0.369994,1),(0,334,0.362722,2),(0,387,0.331139,3),
-                  (0,423,0.296934,4),(0,73,0.295434,5),(1,386,0.371485,1),
-                  (1,407,0.32701,2),(1,64,0.316374,3),(1,124,0.30275,4),
-                  (1,402,0.292322,5),(2,117,0.318143,1),(2,450,0.266344,2),
-                  (2,145,0.263494,3),(2,320,0.255043,4),(2,471,0.247193,5),
-                  (3,130,0.399872,1),(3,149,0.329934,2),(3,343,0.308472,3),
-                  (3,174,0.303548,4),(3,231,0.298788,5),(4,496,0.341212,1),
-                  (4,408,0.322753,2),(4,482,0.313897,3),(4,280,0.279826,4),
-                  (4,257,0.272399,5),(5,404,0.328403,1),(5,157,0.311256,2),
-                  (5,33,0.310987,3),(5,316,0.291112,4),(5,395,0.275599,5),
-                  (6,350,0.324518,1),(6,430,0.32252,2),(6,145,0.297696,3),
-                  (6,268,0.259942,4),(6,395,0.25912,5),(7,340,0.492766,1),
-                  (7,425,0.40752,2),(7,334,0.356901,3),(7,381,0.345179,4),
-                  (7,445,0.340782,5))
-                 AS t(query_id, neighbor_id, cos_sim, rank)
+            -- SEMANTIC oracle (round 4): only WHICH (query, neighbor) ids
+            -- the nprobe=8/16-cell search surfaces stays pinned (cell
+            -- assignment is engine-internal; seeded Lloyd training =>
+            -- deterministic). cos_sim is RECOMPUTED from the embeddings
+            -- via list_cosine_similarity, rank is RECOMPUTED by a window
+            -- over the reported set (same ordering as the engine), and the
+            -- whole result zeroes if recall vs the exact top-5 drops below
+            -- 0.75 (measured 31/40 = 0.775 on this corpus).
+            WITH reported AS (
+              SELECT CAST(query_id AS BIGINT) AS query_id,
+                     CAST(neighbor_id AS BIGINT) AS neighbor_id
+              FROM (VALUES (0,365),(0,334),(0,387),(0,423),(0,73),
+                    (1,386),(1,407),(1,64),(1,124),(1,402),
+                    (2,117),(2,450),(2,145),(2,320),(2,471),
+                    (3,130),(3,149),(3,343),(3,174),(3,231),
+                    (4,496),(4,408),(4,482),(4,280),(4,257),
+                    (5,404),(5,157),(5,33),(5,316),(5,395),
+                    (6,350),(6,430),(6,145),(6,268),(6,395),
+                    (7,340),(7,425),(7,334),(7,381),(7,445))
+                   AS t(query_id, neighbor_id)
+            ), rescored AS (
+              SELECT r.query_id, r.neighbor_id,
+                     round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim
+              FROM reported r
+              JOIN embeddings q ON q.vec_id = r.query_id
+              JOIN embeddings c ON c.vec_id = r.neighbor_id
+            ), reranked AS (
+              SELECT query_id, neighbor_id, cos_sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+              FROM rescored
+            ), exact5 AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                                    c.vec_id ASC) AS rk
+                FROM embeddings q JOIN embeddings c
+                     ON q.vec_id < 8 AND c.vec_id != q.vec_id
+              ) WHERE rk <= 5
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank FROM reranked
+            WHERE (SELECT count(*) FROM reported r
+                   JOIN exact5 e ON e.query_id = r.query_id
+                                AND e.neighbor_id = r.neighbor_id) * 1.0
+                  >= 0.75 * (SELECT count(*) FROM exact5)
             ORDER BY query_id, rank
         """,
         "knn_lsh_recall": """
-            -- measured golden: recall of the seeded 12-table LSH vs exact
-            -- brute force (40/40 at sf0.01; the SQL cannot run LSH itself)
-            SELECT CAST(query_id AS BIGINT) AS query_id,
-                   CAST(n_overlap AS BIGINT) AS n_overlap
-            FROM (VALUES (0,5),(1,5),(2,5),(3,5),(4,5),(5,5),(6,5),(7,5))
-                 AS t(query_id, n_overlap)
+            -- SEMANTIC expectation: perfect recall (overlap 5/5) for every
+            -- query id present in the table — derived from the data, not an
+            -- echoed measurement. The SQL cannot run LSH, but knn_lsh's
+            -- exact twin independently checks the same top-5 equality.
+            SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_overlap
+            FROM embeddings WHERE vec_id < 8
             ORDER BY query_id
         """,
         "audio_uniqueness": f"""

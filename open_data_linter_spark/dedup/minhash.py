@@ -54,12 +54,23 @@ def minhash_signature_from_hashes(hash_col, n_perm: int = N_PERM_DEFAULT):
     Feed this a materialized column (not an inline transform subtree):
     Catalyst does not CSE across higher-order-function lambdas, so an
     embedded subtree would re-hash every shingle string n_perm times.
+
+    The per-permutation salt MUST be closed over with a single-parameter
+    lambda: PySpark decides by ARITY whether a transform lambda receives
+    (element) or (element, array_index), so the natural
+    ``lambda h, i=i: ...`` capture silently rebinds ``i`` to the index
+    column and every "permutation" becomes the same expression — the
+    signature degenerates to n_perm copies of one min-hash and banding
+    recall collapses from 1-(1-J^r)^b to J (found in round 4: two
+    jaccard-0.97 pairs missed at sf0.01; regression-pinned in
+    tests/test_dedup_similarity.py::test_minhash_permutations_vary).
     """
+
+    def perm(i: int):
+        return lambda h: F.xxhash64(h, F.lit(i))
+
     return F.array(
-        *[
-            F.array_min(F.transform(hash_col, lambda h, i=i: F.xxhash64(h, F.lit(i))))
-            for i in range(n_perm)
-        ]
+        *[F.array_min(F.transform(hash_col, perm(i))) for i in range(n_perm)]
     )
 
 

@@ -60,6 +60,56 @@ def test_minhash_near_duplicates(docs):
     assert not any(5 in p for p in pairs)
 
 
+def test_minhash_permutations_vary(spark):
+    """Round-4 regression: the 64 permutations must be DISTINCT hash
+    functions. PySpark binds a two-parameter transform lambda to
+    (element, array_index), so a ``lambda h, i=i`` salt capture silently
+    collapsed every permutation to the same expression — signature
+    agreement became all-or-nothing (0/64 or 64/64) and LSH recall
+    degenerated from 1-(1-J^r)^b to J (two jaccard-0.97 pairs missed at
+    sf0.01)."""
+    from open_data_linter_spark.dedup.minhash import minhash_signature
+
+    row = (
+        spark.createDataFrame(
+            [("a b c d e f g h i j",)], "text string"
+        )
+        .select(
+            minhash_signature(
+                F.split(F.col("text"), " "), n_perm=32
+            ).alias("sig")
+        )
+        .collect()[0]
+    )
+    # 32 independent permutations over 10 elements: all-equal is the bug;
+    # genuinely independent mins collide only by hash coincidence
+    assert len(set(row.sig)) >= 30
+
+
+def test_minhash_banding_recall_not_single_hash(spark):
+    """With distinct permutations, a J≈0.9 pair misses a b=16,r=4 banding
+    with p≈1e-8 — generate 40 such pairs and require 100% found (the
+    collapsed-signature bug dropped ~10% of them, P(find)=J)."""
+    import numpy as np
+
+    from open_data_linter_spark.dedup.minhash import minhash_near_duplicates
+
+    rng = np.random.default_rng(99)
+    rows = []
+    vocab = [f"w{t}" for t in range(500)]
+    for i in range(40):
+        toks = list(rng.choice(vocab, size=60, replace=False))
+        mutated = list(toks)
+        mutated[int(rng.integers(1, 59))] = f"x{i}"  # one-token edit
+        rows.append((2 * i, " ".join(toks)))
+        rows.append((2 * i + 1, " ".join(mutated)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in
+           minhash_near_duplicates(df, k=2, threshold=0.5).collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    assert planted <= got, f"missed {sorted(planted - got)}"
+
+
 def test_minhash_duplicate_id_rows_no_self_pairs(spark):
     """Duplicate id rows sort adjacent in a bucket member list; the pair
     expansion must never emit (x, x) self-pairs (ADVICE r3)."""
