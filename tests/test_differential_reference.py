@@ -372,3 +372,37 @@ def test_differential_nan_na_cells(spark, reference_linter):
             if r != o:
                 mismatches.append((i, name, r, o, text))
     assert not mismatches, "\n\n".join(map(repr, mismatches))
+
+
+def test_differential_kernel_vs_reference_direct(reference_linter):
+    """VERDICT r3 #7: close the transitive loop one hop shorter. Kernel
+    parity was previously proven kernel == TabularLinter == reference; this
+    runs the SAME differential generators (fresh seeds) with the reference
+    CSVLinter on one side and the worker-local KernelLinter (the
+    million-file fleet path) DIRECTLY on the other — no Spark engine in
+    the loop at all."""
+    RefLinter = reference_linter
+
+    from open_data_linter_spark.rules.kernel import KernelLinter
+
+    rng = np.random.default_rng(42604)
+    corpora = (
+        [_gen_csv(rng) for _ in range(10)]
+        + [_gen_adjacency_csv(rng) for _ in range(8)]
+        + [_gen_cross_csv(rng) for _ in range(12)]
+        + [
+            "コード,値\n13,7\nnan,8\n27,9\n".encode("utf-8"),
+            "a,b\nnan,x\nNaN,y\nNULL,z\n".encode("utf-8"),
+            'id,メモ\n1,"行1\n行2"\n2,ok\n3,ok\n'.encode("utf-8"),
+        ]
+    )
+    mismatches = []
+    for trial, data in enumerate(corpora):
+        ref = RefLinter(data, "t.csv")
+        kern = KernelLinter(data, "t.csv")
+        for name in CHECKS:
+            r = _norm(getattr(ref, f"check_{name}")())
+            k = _norm(getattr(kern, f"check_{name}")())
+            if r != k:
+                mismatches.append((trial, name, r, k, data[:300]))
+    assert not mismatches, "\n\n".join(map(repr, mismatches[:5]))
