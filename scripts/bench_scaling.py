@@ -27,6 +27,21 @@ sys.path.insert(0, REPO)
 BUCKETS = 64  # clips ⋈ reference co-located: both sides bucketed by clip_id
 
 
+def _dataset_rows(clips_dir: str) -> int:
+    """Actual row count of a cached dataset (parquet footer metadata)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    try:
+        return sum(
+            _pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(os.path.join(clips_dir, "*.parquet"))
+        )
+    except Exception:
+        return -1  # unreadable cache => regenerate
+
+
 def synthesize(n_clips: int, parts: int, tmp: str) -> tuple[str, str]:
     from open_data_linter_spark.audio.synth import synthesize_clips, synthesize_reference
     from open_data_linter_spark.session import get_spark
@@ -110,9 +125,17 @@ def main() -> None:
     keep = os.environ.get("SPARK_GRAFT_SCALE_DATA")  # reuse dataset + runs
     tmp = keep or tempfile.mkdtemp(prefix="odl_scale_", dir=shm)
     t0 = time.time()
-    if keep and os.path.isdir(os.path.join(tmp, "clips")):
+    if keep and os.path.isdir(os.path.join(tmp, "clips")) and _dataset_rows(
+        os.path.join(tmp, "clips")
+    ) == n_clips:
         clips_dir, refs_dir = os.path.join(tmp, "clips"), os.path.join(tmp, "refs")
     else:
+        # ALWAYS verify the cached dataset's row count before reuse: round 3
+        # reused a 60k-clip dataset for the "120k" invocations, silently
+        # publishing 2x-inflated throughput (caught and corrected round 4)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
         clips_dir, refs_dir = synthesize(n_clips, parts, tmp)
     synth_sec = time.time() - t0
