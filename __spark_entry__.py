@@ -313,7 +313,11 @@ def q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_data_linter_spark.dedup.minhash import minhash_near_duplicates
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_near_duplicates(d, k=2, threshold=0.5)
+    # max_bucket_size=None: the library default caps hot LSH buckets at 500
+    # members (deterministic pair DROP, the at-scale safety valve) — the
+    # exact SQL twin models no such cap, so the driver query runs with
+    # exhaustive candidates to keep row-for-row equality unconditional
+    return minhash_near_duplicates(d, k=2, threshold=0.5, max_bucket_size=None)
 
 
 def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,16 +44,14 @@ def _majority_bits_impl(hs_s: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-_majority_udf = None
-
-
 def _majority_bits(col):
-    # pandas_udf registration needs an active SparkSession, so the UDF is
-    # built lazily on first use (module import must stay session-free)
-    global _majority_udf
-    if _majority_udf is None:
-        _majority_udf = F.pandas_udf(_majority_bits_impl, "long")
-    return _majority_udf(col)
+    # built per call, not cached: pandas_udf needs an active SparkSession
+    # (module import must stay session-free), and a cached UserDefinedFunction
+    # pins its lazily-created _judf to the FIRST session's JVM context —
+    # stale after a session restart in a long-lived host process. The
+    # per-call wrapper itself is cheap; only its first column application
+    # touches the JVM.
+    return F.pandas_udf(_majority_bits_impl, "long")(col)
 
 
 def simhash_signatures(

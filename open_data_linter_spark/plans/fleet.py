@@ -26,27 +26,26 @@ from typing import Iterable, Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
+from open_data_linter_spark.rules.tabular import BLOCKED as _BLOCKED_MSG
 from open_data_linter_spark.rules.tabular import CHECK_NAMES as _DEFAULT_CHECKS
 
 _FLEET_SCHEMA = ("path string, check string, is_valid boolean, "
                  "n_violation_cells long, message string")
 
-# blocked-rows message for the non-1-1 checks, mirroring rules/tabular.BLOCKED
-_BLOCKED_MSG = "ファイルが読み込めなかったため、チェックできませんでした。"
-
 
 def _blocked_rows(path: str, check_names: list, error: str) -> list:
     """Fleet rows for a file that could not be linted at all, in the
     KernelLinter/TabularLinter blocked shape: 1-1 fails (is_valid=False,
-    the error as message), every other check is is_valid=None blocked."""
-    rows = []
-    for name in check_names:
-        check = name.replace("_", "-")
-        if check == "1-1":
-            rows.append((path, check, False, 0, error))
-        else:
-            rows.append((path, check, None, 0, _BLOCKED_MSG))
-    return rows
+    the error as message), every other check is is_valid=None blocked
+    (the shared rules/tabular.BLOCKED message). When the caller's check
+    list omits 1-1 there is no gate row to carry the error, so it rides
+    on every blocked row instead of vanishing."""
+    checks = [name.replace("_", "-") for name in check_names]
+    none_msg = _BLOCKED_MSG if "1-1" in checks else error
+    return [
+        (path, c, False, 0, error) if c == "1-1" else (path, c, None, 0, none_msg)
+        for c in checks
+    ]
 
 
 def lint_files(
@@ -131,23 +130,36 @@ def lint_files_distributed(
                 fname = os.path.basename(path)
                 try:
                     linter = KernelLinter(bytes(content), fname)
-                    # buffer per file: a check raising mid-loop must not
-                    # leave partial rows next to the blocked rows
-                    file_rows = []
-                    for name in check_names:
-                        res = getattr(linter, f"check_{name}")()
-                        n_cells = sum(
-                            len(ic.invalid_cells) for ic in res.invalid_contents
-                        )
-                        msg = (res.invalid_contents[0].error_message
-                               if res.invalid_contents else None)
-                        file_rows.append(
-                            (path, name.replace("_", "-"), res.is_valid, n_cells, msg)
-                        )
                 except Exception as e:  # never poison the whole partition
-                    # same blocked shape as lint_files' OSError channel:
-                    # 1-1 False with the error, the rest None blocked
-                    file_rows = _blocked_rows(path, check_names, str(e))
+                    # could not even construct a linter over the bytes:
+                    # same blocked shape as lint_files' OSError channel
+                    # (1-1 False with the error, the rest None blocked)
+                    rows.extend(_blocked_rows(path, check_names, str(e)))
+                    continue
+                file_rows = []
+                for k, name in enumerate(check_names):
+                    try:
+                        res = getattr(linter, f"check_{name}")()
+                    except Exception as e:
+                        # a single check raising on a READABLE file is an
+                        # engine defect, not an unreadable file — keep the
+                        # verdicts already computed and mark this check and
+                        # the rest is_valid=None with the error, WITHOUT
+                        # failing the 1-1 readable gate (it may have passed)
+                        err = f"check {name.replace('_', '-')} failed: {e}"
+                        file_rows.extend(
+                            (path, n.replace("_", "-"), None, 0, err)
+                            for n in check_names[k:]
+                        )
+                        break
+                    n_cells = sum(
+                        len(ic.invalid_cells) for ic in res.invalid_contents
+                    )
+                    msg = (res.invalid_contents[0].error_message
+                           if res.invalid_contents else None)
+                    file_rows.append(
+                        (path, name.replace("_", "-"), res.is_valid, n_cells, msg)
+                    )
                 rows.extend(file_rows)
             yield pd.DataFrame(
                 rows, columns=["path", "check", "is_valid",

@@ -172,19 +172,29 @@ def train_centroids(
     uniform choice (NOT a limit — a limit over the sample would re-bias
     toward early partitions)."""
     src = corpus.select(vec_col).where(F.col(vec_col).isNotNull())
-    n = src.count()  # parquet metadata count — cheap even at 10^12 rows
+    # size the fraction from the UNFILTERED corpus count: a bare-scan
+    # count() is answered from parquet footer metadata (no data pass),
+    # while counting the isNotNull-filtered frame would scan the embedding
+    # column — a full extra corpus pass at 10^12 rows. Null rows only
+    # shrink the draw below the overdraw slack; the empty-draw fallback
+    # below covers pathological all-null corpora.
+    n = corpus.count()
     if n == 0:
         raise ValueError(f"ivf: no non-null vectors in column {vec_col!r}")
     if n <= train_size:
         rows = [r[0] for r in src.collect()]
+        if not rows:
+            raise ValueError(f"ivf: no non-null vectors in column {vec_col!r}")
     else:
         # overdraw ~10% + slack so the binomial draw under-shooting
         # train_size is vanishingly unlikely; per-partition seeded sampling
         # keeps the pin regenerable for a fixed input layout
         frac = min(1.0, (train_size * 1.1 + 100.0) / n)
         rows = [r[0] for r in src.sample(False, frac, seed).collect()]
-        if not rows:  # astronomically unlikely binomial zero-draw
+        if not rows:  # zero-draw: mostly-null corpus (or binomial fluke)
             rows = [r[0] for r in src.limit(train_size).collect()]
+        if not rows:
+            raise ValueError(f"ivf: no non-null vectors in column {vec_col!r}")
         if len(rows) > train_size:
             pick = np.random.default_rng(seed).choice(
                 len(rows), size=train_size, replace=False

@@ -80,7 +80,10 @@ def main() -> None:
                 logf.flush()
 
     # best same-window pair, selected by the cleanest 4N-side run (same
-    # pairing discipline as bench_scaling.py)
+    # pairing discipline as bench_scaling.py) — but ONLY among pairs whose
+    # N-side run is within 15% of the fastest N-side ever observed:
+    # picking by high-side speed alone is biased toward windows where the
+    # DENOMINATOR was storm-slowed, which inflates the ratio
     by_inv: dict = {}
     for r in low_runs:
         by_inv.setdefault(r.get("inv"), [None, None])[0] = r
@@ -90,12 +93,18 @@ def main() -> None:
              if inv is not None and lo is not None and hi is not None]
     if not pairs:
         raise SystemExit("no complete (low, high) pair accumulated yet")
-    lo, hi = max(pairs, key=lambda p: p[1]["files_per_sec"])
-    eff = (hi["files_per_sec"] / lo["files_per_sec"]) / (n_high / n_low)
+    best_lo_thr = max(r["files_per_sec"] for r in low_runs)
+    clean = [p for p in pairs if p[0]["files_per_sec"] >= 0.85 * best_lo_thr]
+    lo, hi = max(clean or pairs, key=lambda p: p[1]["files_per_sec"])
+    eff_raw = (hi["files_per_sec"] / lo["files_per_sec"]) / (n_high / n_low)
+    # physical cap: >1.0 can only mean residual denominator throttle
+    eff = min(eff_raw, 1.0)
 
     best_lo = max(low_runs, key=lambda r: r["files_per_sec"])
     best_hi = max(high_runs, key=lambda r: r["files_per_sec"])
-    eff_best = (best_hi["files_per_sec"] / best_lo["files_per_sec"]) / (n_high / n_low)
+    eff_best = min(
+        (best_hi["files_per_sec"] / best_lo["files_per_sec"]) / (n_high / n_low), 1.0
+    )
 
     section = f"""{MARK_BEGIN}
 
@@ -118,8 +127,11 @@ Best same-window pair:
 
 **Speedup {n_low}→{n_high} cores: {hi['files_per_sec']/lo['files_per_sec']:.2f}x ⇒
 scaling efficiency {eff:.3f}** (criterion ≥ 0.8 →
-**{"PASS" if eff >= 0.8 else "FAIL"}**). Best-of-each-side across all
-windows: {best_lo['files_per_sec']:,} → {best_hi['files_per_sec']:,}
+**{"PASS" if eff >= 0.8 else "FAIL"}**; raw pair ratio {eff_raw:.3f},
+capped at the physical 1.0 — a super-unit ratio only means the N-side of
+that window still carried residual throttle). Eligible pairs require the
+N-side within 15% of the fastest N-side run ever logged. Best-of-each-side
+across all windows: {best_lo['files_per_sec']:,} → {best_hi['files_per_sec']:,}
 files/sec, efficiency {eff_best:.3f}, over {len(low_runs)}/{len(high_runs)}
 accumulated cold runs.
 
