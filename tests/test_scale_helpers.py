@@ -156,3 +156,20 @@ def test_lint_files_unreadable_path(spark, tmp_path):
             r = rows[(str(bad), check)]
             assert r.is_valid is None and r.n_violation_cells == 0
             assert r.message
+
+
+def test_fleet_blocked_rows_shapes():
+    """Blocked-row channel shapes (r4 review): with 1-1 in the check list
+    the OS error rides on the failing gate row and the rest carry the
+    shared BLOCKED message; without 1-1 there is no gate row, so the error
+    must ride on every blocked row instead of vanishing."""
+    from open_data_linter_spark.plans.fleet import _blocked_rows
+    from open_data_linter_spark.rules.tabular import BLOCKED
+
+    rows = _blocked_rows("/x.csv", ["1_1", "1_2", "2_x"], "ENOENT boom")
+    assert rows[0] == ("/x.csv", "1-1", False, 0, "ENOENT boom")
+    assert rows[1] == ("/x.csv", "1-2", None, 0, BLOCKED)
+    assert rows[2] == ("/x.csv", "2-x", None, 0, BLOCKED)
+
+    rows = _blocked_rows("/x.csv", ["1_5", "2_x"], "EACCES boom")
+    assert all(r[2] is None and r[4] == "EACCES boom" for r in rows)
