@@ -134,6 +134,30 @@ def test_simhash_near_duplicates(docs):
     assert not any(5 in p for p in got)
 
 
+def test_simhash_empty_docs_excluded(spark):
+    """Empty/whitespace-only docs were absent from the former
+    explode+groupBy signature output; the Arrow projection path must keep
+    that contract (an all-zero signature would otherwise pair every empty
+    doc with every other empty doc at hamming 0)."""
+    from open_data_linter_spark.dedup.simhash import (
+        simhash_near_duplicates,
+        simhash_signatures,
+    )
+
+    rows = [
+        (1, "aaa bbb ccc ddd eee"),
+        (2, "aaa bbb ccc ddd eee"),
+        (3, ""),
+        (4, "   "),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.id for r in simhash_signatures(df).collect()}
+    assert sigs == {1, 2}
+    got = {(r.id_a, r.id_b) for r in simhash_near_duplicates(df).collect()}
+    assert got == {(1, 2)}
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     import numpy as np
