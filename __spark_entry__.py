@@ -298,6 +298,28 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, k=2, threshold=0.2, max_shingle_df=50)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs (round 4): the ngram-jaccard pair
+    list becomes connected components via min-label propagation with
+    pointer jumping (O(log diameter) Spark rounds,
+    dedup/cluster.py::connected_components); component_id = the minimum
+    member doc_id. The oracle is a FULL exact twin — DuckDB recomputes the
+    same pair set and closes the transitive reachability with a recursive
+    CTE."""
+    from open_data_linter_spark.dedup.cluster import connected_components
+    from open_data_linter_spark.dedup.jaccard import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=2, threshold=0.2, max_shingle_df=50)
+    return (
+        connected_components(pairs)
+        .select(
+            F.col("id").alias("doc_id"), F.col("comp").alias("component_id")
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dups vs a FULL exact SQL twin: the reported jaccard
     is computed on xxhash64-hashed shingle sets (== string-set jaccard up
@@ -726,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "whitespace_lint_documents": q_whitespace_lint_documents,
         "exact_dups": q_exact_dups,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_neardups": q_minhash_neardups,
         "simhash_neardups": q_simhash_neardups,
         "embedding_neardups": q_embedding_neardups,
@@ -1007,6 +1030,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN nonempty b ON b.id = i.id_b
             WHERE i.n_inter * 1.0 / (a.n_sh + b.n_sh - i.n_inter) >= 0.2
             ORDER BY id_a, id_b
+        """,
+        "dedup_clusters": r"""
+            -- FULL exact twin: recompute the ngram-jaccard pair set (same
+            -- CTE as the ngram_jaccard oracle) and close the transitive
+            -- reachability with a recursive CTE; component_id = min member
+            WITH RECURSIVE toks AS (
+              SELECT doc_id AS id,
+                     string_split_regex(trim(lower(coalesce(text,''))), '\s+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT id,
+                     CASE WHEN len(t) >= 2 THEN
+                       list_distinct(list_transform(generate_series(1, len(t)-1),
+                                     i -> array_to_string(t[i:i+1], ' ')))
+                     WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                     ELSE [] END AS s
+              FROM toks
+            ), nonempty AS (
+              SELECT id, s, len(s) AS n_sh FROM sh WHERE len(s) > 0
+            ), inv0 AS (
+              SELECT id, unnest(s) AS shingle FROM nonempty
+            ), inv AS (
+              SELECT id, shingle FROM inv0
+              WHERE shingle IN (
+                SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 50
+              )
+            ), inter AS (
+              SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_inter
+              FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.id < r.id
+              GROUP BY l.id, r.id
+            ), prs AS (
+              SELECT i.id_a, i.id_b
+              FROM inter i
+              JOIN nonempty a ON a.id = i.id_a
+              JOIN nonempty b ON b.id = i.id_b
+              WHERE i.n_inter * 1.0 / (a.n_sh + b.n_sh - i.n_inter) >= 0.2
+            ), edges AS (
+              SELECT id_a AS s, id_b AS d FROM prs
+              UNION
+              SELECT id_b, id_a FROM prs
+            ), reach(id, comp) AS (
+              SELECT s, s FROM edges
+              UNION
+              SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id
+            )
+            SELECT id AS doc_id, min(comp) AS component_id
+            FROM reach GROUP BY id ORDER BY doc_id
         """,
         "embedding_neardups": """
             -- cast to DOUBLE[]: the engine computes cosine in float64, and

@@ -3,3 +3,8 @@ from open_data_linter_spark.dedup.minhash import minhash_near_duplicates  # noqa
 from open_data_linter_spark.dedup.simhash import simhash_near_duplicates  # noqa: F401
 from open_data_linter_spark.dedup.jaccard import ngram_jaccard_pairs  # noqa: F401
 from open_data_linter_spark.dedup.embedding import embedding_near_duplicates  # noqa: F401
+from open_data_linter_spark.dedup.cluster import (  # noqa: F401
+    cluster_sizes,
+    connected_components,
+    deduplicate,
+)
