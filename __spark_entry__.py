@@ -298,6 +298,23 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, k=2, threshold=0.2, max_shingle_df=50)
 
 
+def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination screening (round 4): the first 10 docs
+    play the eval set; every corpus doc sharing ≥20% of an eval doc's
+    word-trigram set is flagged with exact shared-shingle counts and
+    coverage (the 0.05 floor keeps the genuine contamination plus the
+    top of the background-overlap tail: 18 rows at sf0.01). Broadcast inverted-index join — the corpus shingle stream is
+    never shuffled (per-doc distinct shingles from functions/text.py).
+    FULL exact DuckDB twin."""
+    from open_data_linter_spark.dedup.contamination import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return ngram_contamination(d, ev, k=3, min_coverage=0.05)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS, not just pairs (round 4): the ngram-jaccard pair
     list becomes connected components via min-label propagation with
@@ -748,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "whitespace_lint_documents": q_whitespace_lint_documents,
         "exact_dups": q_exact_dups,
         "ngram_jaccard": q_ngram_jaccard,
+        "contamination_screen": q_contamination_screen,
         "dedup_clusters": q_dedup_clusters,
         "minhash_neardups": q_minhash_neardups,
         "simhash_neardups": q_simhash_neardups,
@@ -1030,6 +1048,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN nonempty b ON b.id = i.id_b
             WHERE i.n_inter * 1.0 / (a.n_sh + b.n_sh - i.n_inter) >= 0.2
             ORDER BY id_a, id_b
+        """,
+        "contamination_screen": r"""
+            -- FULL exact twin: word-trigram shingle sets (same per-doc
+            -- distinct construction as the jaccard oracles), eval = the
+            -- first 10 docs, shared-count + coverage per (corpus, eval)
+            -- pair, self-ids excluded, coverage floor 0.05
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     string_split_regex(trim(lower(coalesce(text,''))), '\s+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT id,
+                     CASE WHEN len(t) >= 3 THEN
+                       list_distinct(list_transform(generate_series(1, len(t)-2),
+                                     i -> array_to_string(t[i:i+2], ' ')))
+                     WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                     ELSE [] END AS s
+              FROM toks
+            ), ev AS (
+              SELECT id AS eval_id, unnest(s) AS shingle FROM sh WHERE id < 10
+            ), evn AS (
+              SELECT eval_id, count(*) AS n_eval FROM ev GROUP BY eval_id
+            ), corp AS (
+              SELECT id AS doc_id, unnest(s) AS shingle FROM sh
+            ), j AS (
+              SELECT c.doc_id, e.eval_id, count(*) AS n_shared
+              FROM corp c JOIN ev e ON c.shingle = e.shingle
+                                   AND c.doc_id != e.eval_id
+              GROUP BY c.doc_id, e.eval_id
+            )
+            SELECT j.doc_id, j.eval_id, j.n_shared,
+                   round(j.n_shared * 1.0 / evn.n_eval, 6) AS eval_coverage
+            FROM j JOIN evn ON evn.eval_id = j.eval_id
+            WHERE j.n_shared * 1.0 / evn.n_eval >= 0.05
+            ORDER BY j.doc_id, j.eval_id
         """,
         "dedup_clusters": r"""
             -- FULL exact twin: recompute the ngram-jaccard pair set (same

@@ -8,3 +8,7 @@ from open_data_linter_spark.dedup.cluster import (  # noqa: F401
     connected_components,
     deduplicate,
 )
+from open_data_linter_spark.dedup.contamination import (  # noqa: F401
+    decontaminate,
+    ngram_contamination,
+)
