@@ -298,6 +298,25 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, k=2, threshold=0.2, max_shingle_df=50)
 
 
+def q_stratified_sample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-language sampling (round 4): exactly min(100, group
+    size) docs per lang via seeded-hash order (functions/sampling.py).
+    WHICH rows surface is engine-internal (xxhash64 order), so the oracle
+    checks the SQL-expressible contract: the per-group sampled count must
+    equal least(100, group size) — wrong-sized or unbalanced samples fail
+    the row compare; determinism/subset properties are pinned in
+    tests/test_sampling.py."""
+    from open_data_linter_spark.functions.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(d, "lang", 100, "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
 def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination screening (round 4): the first 10 docs
     play the eval set; every corpus doc sharing ≥20% of an eval doc's
@@ -765,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "whitespace_lint_documents": q_whitespace_lint_documents,
         "exact_dups": q_exact_dups,
         "ngram_jaccard": q_ngram_jaccard,
+        "stratified_sample_lang": q_stratified_sample_lang,
         "contamination_screen": q_contamination_screen,
         "dedup_clusters": q_dedup_clusters,
         "minhash_neardups": q_minhash_neardups,
@@ -1048,6 +1068,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN nonempty b ON b.id = i.id_b
             WHERE i.n_inter * 1.0 / (a.n_sh + b.n_sh - i.n_inter) >= 0.2
             ORDER BY id_a, id_b
+        """,
+        "stratified_sample_lang": """
+            -- semantic contract twin: a balanced per-group sample must
+            -- return exactly least(n, group size) rows per group
+            SELECT lang, CAST(least(100, count(*)) AS BIGINT) AS n_sampled
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "contamination_screen": r"""
             -- FULL exact twin: word-trigram shingle sets (same per-doc
