@@ -298,6 +298,22 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, k=2, threshold=0.2, max_shingle_df=50)
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (round 4): next-fit over id order
+    inside explicit id ranges (functions/packing.py) — deterministic and
+    layout-independent, so the oracle is a FULL exact twin replaying the
+    same recurrence with a recursive CTE over the same whitespace token
+    counts."""
+    from open_data_linter_spark.functions.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        pack_sequences(d, budget=512, range_size=100)
+        .select(F.col("id").alias("doc_id"), "n_tokens", "bin_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_stratified_sample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced per-language sampling (round 4): exactly min(100, group
     size) docs per lang via seeded-hash order (functions/sampling.py).
@@ -784,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "whitespace_lint_documents": q_whitespace_lint_documents,
         "exact_dups": q_exact_dups,
         "ngram_jaccard": q_ngram_jaccard,
+        "sequence_packing": q_sequence_packing,
         "stratified_sample_lang": q_stratified_sample_lang,
         "contamination_screen": q_contamination_screen,
         "dedup_clusters": q_dedup_clusters,
@@ -1068,6 +1085,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN nonempty b ON b.id = i.id_b
             WHERE i.n_inter * 1.0 / (a.n_sh + b.n_sh - i.n_inter) >= 0.2
             ORDER BY id_a, id_b
+        """,
+        "sequence_packing": r"""
+            -- FULL exact twin: replay the next-fit recurrence per id
+            -- range with a recursive CTE over the SAME whitespace token
+            -- counts (the token_counts oracle expression); bin_id =
+            -- range*1e6 + within-range bin sequence, new bin when the
+            -- current fill would overflow 512 (oversized docs get a bin
+            -- of their own; empty docs add 0 and never force a break)
+            WITH RECURSIVE d AS (
+              SELECT doc_id,
+                     CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                     doc_id // 100 AS rng,
+                     row_number() OVER (PARTITION BY (doc_id // 100)
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ), step(rng, rn, doc_id, n_tokens, bin_seq, filled) AS (
+              SELECT rng, rn, doc_id, n_tokens, 0, n_tokens
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.rng, d.rn, d.doc_id, d.n_tokens,
+                     CASE WHEN s.filled > 0 AND s.filled + d.n_tokens > 512
+                          THEN s.bin_seq + 1 ELSE s.bin_seq END,
+                     CASE WHEN s.filled > 0 AND s.filled + d.n_tokens > 512
+                          THEN d.n_tokens ELSE s.filled + d.n_tokens END
+              FROM step s JOIN d ON d.rng = s.rng AND d.rn = s.rn + 1
+            )
+            SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+                   CAST(rng * 1000000 + bin_seq AS BIGINT) AS bin_id
+            FROM step ORDER BY doc_id
         """,
         "stratified_sample_lang": """
             -- semantic contract twin: a balanced per-group sample must
