@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from open_data_linter_spark.dedup._cache import persist_scoped
 from open_data_linter_spark.functions.text import shingles
 
 
@@ -53,9 +54,19 @@ def ngram_contamination(
     ev_index = ev.join(ev_sizes, "eval_id")
     if broadcast_eval:
         ev_index = F.broadcast(ev_index)
-    corp = corpus.select(
-        F.col(corpus_id).alias("doc_id"),
-        F.explode(shingles(F.col(corpus_text), k)).alias("shingle"),
+    corp = corpus.select(F.col(corpus_id).alias("doc_id"),
+                         F.col(corpus_text).alias("__t"))
+    # single-file inputs arrive as ONE partition, and Catalyst collapses a
+    # column-independent projection below a round-robin exchange — spread
+    # the narrow (id, text) rows and PIN the boundary with a persist so
+    # the shingling projection runs at session parallelism (the same
+    # pathology and fix as dedup/minhash.py; guarded to never shrink an
+    # already-wide cluster input)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if corp.rdd.getNumPartitions() < par:
+        corp = persist_scoped("contamination.corp", corp.repartition(par))
+    corp = corp.select(
+        "doc_id", F.explode(shingles(F.col("__t"), k)).alias("shingle")
     )
     return (
         corp.join(ev_index, "shingle")
