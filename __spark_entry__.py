@@ -298,6 +298,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, k=2, threshold=0.2, max_shingle_df=50)
 
 
+def q_apss_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APSS prefix-filter all-pairs Jaccard (round 4): EXACT pairs over
+    distinct word-token sets at threshold 0.9 — prefix filtering
+    (rarity-ordered token prefixes of length |d|-ceil(t|d|)+1) bounds the
+    candidate join without any lossy df/bucket cap, so the oracle is a FULL
+    exact DuckDB all-pairs twin (dedup/apss.py)."""
+    from open_data_linter_spark.dedup.apss import apss_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return apss_jaccard_pairs(d, threshold=0.9)
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (round 4): next-fit over id order
     inside explicit id ranges (functions/packing.py) — deterministic and
@@ -800,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "whitespace_lint_documents": q_whitespace_lint_documents,
         "exact_dups": q_exact_dups,
         "ngram_jaccard": q_ngram_jaccard,
+        "apss_jaccard": q_apss_jaccard,
         "sequence_packing": q_sequence_packing,
         "stratified_sample_lang": q_stratified_sample_lang,
         "contamination_screen": q_contamination_screen,
@@ -1084,6 +1097,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN nonempty a ON a.id = i.id_a
             JOIN nonempty b ON b.id = i.id_b
             WHERE i.n_inter * 1.0 / (a.n_sh + b.n_sh - i.n_inter) >= 0.2
+            ORDER BY id_a, id_b
+        """,
+        "apss_jaccard": r"""
+            -- FULL exact twin: brute-force all-pairs Jaccard over distinct
+            -- lowercased whitespace token sets at threshold 0.9. The engine
+            -- uses prefix filtering, which is LOSSLESS — any divergence
+            -- (missed pair, wrong similarity) fails the row compare.
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t
+              FROM documents
+              WHERE trim(coalesce(text,'')) != ''
+            ), ne AS (
+              SELECT id, len(t) AS n FROM toks
+            ), inv AS (
+              SELECT id, unnest(t) AS tok FROM toks
+            ), inter AS (
+              SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_inter
+              FROM inv l JOIN inv r ON l.tok = r.tok AND l.id < r.id
+              GROUP BY l.id, r.id
+            )
+            SELECT i.id_a, i.id_b,
+                   round(i.n_inter * 1.0 / (a.n + b.n - i.n_inter), 6) AS jaccard
+            FROM inter i
+            JOIN ne a ON a.id = i.id_a
+            JOIN ne b ON b.id = i.id_b
+            WHERE round(i.n_inter * 1.0 / (a.n + b.n - i.n_inter), 6) >= 0.9
             ORDER BY id_a, id_b
         """,
         "sequence_packing": r"""

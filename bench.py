@@ -48,6 +48,7 @@ HEADLINE = [
     "ngram_jaccard",      # round 3: was 20s at sf0.1, unbenched — now 1.5s
     "simhash_neardups",   # round 3: added for dedup-family coverage
     "knn_bruteforce",
+    "apss_jaccard",          # round 4: exact all-pairs via prefix filter
     "dedup_clusters",       # round 4: iterative CC over the jaccard pairs
     "contamination_screen",  # round 4: broadcast eval inverted index
     "sequence_packing",      # round 4: per-range next-fit binning

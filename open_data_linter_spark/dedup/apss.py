@@ -1,0 +1,122 @@
+"""All-pairs similarity search (APSS) with prefix filtering — exact Jaccard.
+
+The inverted-index join in ``dedup/jaccard.py`` indexes EVERY token, so its
+join size is bounded only by the hot-token cap (which makes it lossy).
+Prefix filtering (Chaudhuri/Ganti/Kaushik SSJoin'06; Bayardo/Ma/Srikant
+WWW'07) keeps exactness while shrinking the index: order all tokens by a
+global rarity rank (ascending document frequency, token as tie-break) and
+index only each document's first ``|d| - ceil(t*|d|) + 1`` tokens. Any pair
+with Jaccard >= t must share at least one token inside BOTH prefixes:
+
+  J(A,B) >= t  =>  |A∩B| >= ceil(t*(|A|+|B|)/(1+t)) >= ceil(t*max(|A|,|B|))
+  (the last step needs min >= t*max, which every pair meeting the threshold
+  satisfies), and an overlap of a forces the (|d|-a+1)-prefixes to intersect.
+
+So the candidate join touches only the RAREST tokens of each document — the
+index is naturally skew-resistant (the near-universal tokens that create hot
+keys in the full inverted index never enter a low-threshold prefix), and no
+df cap / bucket cap is needed for correctness. Candidates then pass a length
+filter (min >= t*max) and exact hashed-set verification.
+
+Output is byte-identical to exact all-pairs Jaccard over the distinct
+whitespace token sets — the driver oracle recomputes it as a full DuckDB
+all-pairs twin (no pin).
+
+Scale: the expensive stages are (1) the token-df aggregation (one shuffle,
+map-side partials), (2) the per-doc rarity sort (one shuffle on id), (3) the
+prefix self-join (shuffle on rare tokens only — for t=0.8 the prefix is
+~20% of each doc), (4) verification joins on the candidate ids (tiny).
+The reference (volare-all/open-data-linter) has no similarity ops at all;
+this extends the engine per the training-data-pipeline mandate, sharing the
+tokenization contract with ``functions/text.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from open_data_linter_spark.dedup._cache import persist_scoped
+
+
+def apss_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard pairs (id_a < id_b, jaccard >= threshold) over distinct
+    lowercased whitespace tokens, via prefix-filtered candidate generation.
+
+    ``threshold`` must be in (0, 1]; lower thresholds lengthen the prefix
+    (t -> 0 degenerates to the full inverted index), so this shape is most
+    effective at t >= ~0.4.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    # Same single-partition-input discipline as dedup/minhash.py: spread
+    # BEFORE the tokenize projection, persist to pin the boundary.
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    src = persist_scoped("apss.src", src)
+    toks = src.where(F.trim(F.coalesce(F.col("__t"), F.lit(""))) != "").select(
+        "id",
+        F.array_distinct(
+            F.split(F.trim(F.lower(F.col("__t"))), r"\s+")
+        ).alias("toks"),
+    )
+    exploded = toks.select("id", F.explode("toks").alias("tok"))
+    # Global rarity order: ascending document frequency, token string as the
+    # deterministic tie-break. No materialized rank column (a global
+    # row_number would serialize on one partition) — the (tdf, tok) struct
+    # IS the sort key.
+    dfc = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("tdf"))
+    ordered = (
+        exploded.join(dfc, "tok")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("tdf", "tok"))).alias("st"))
+    )
+    n = F.size("st")
+    # prefix length |d| - ceil(t*|d|) + 1 (>= 1 for t <= 1)
+    prefix_len = (n - F.ceil(F.lit(float(threshold)) * n) + 1).cast("int")
+    pref = ordered.select(
+        "id",
+        n.alias("n_toks"),
+        # hashed token set for verification — only array<long> is persisted
+        # and shuffled past this point (same rationale as minhash.py)
+        F.transform(F.col("st"), lambda x: F.xxhash64(x["tok"])).alias("hs"),
+        F.slice(
+            F.transform(F.col("st"), lambda x: x["tok"]), F.lit(1), prefix_len
+        ).alias("prefix"),
+    )
+    pref = persist_scoped("apss.pref", pref)  # index + both verify sides
+    index = pref.select("id", "n_toks", F.explode("prefix").alias("tok"))
+    l, r = index.alias("l"), index.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[F.col("l.tok") == F.col("r.tok"), F.col("l.id") < F.col("r.id")],
+        )
+        # length filter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|)
+        .where(
+            F.least(F.col("l.n_toks"), F.col("r.n_toks"))
+            >= F.lit(float(threshold))
+            * F.greatest(F.col("l.n_toks"), F.col("r.n_toks"))
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hs_a = pref.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    hs_b = pref.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = F.size(F.array_union("hs_a", "hs_b")).cast("double")
+    return (
+        cand.join(hs_a, "id_a")
+        .join(hs_b, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
