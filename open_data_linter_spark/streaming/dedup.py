@@ -1,0 +1,171 @@
+"""Streaming deduplication — cross-micro-batch, bounded state.
+
+Two shapes the batch dedup family (dedup/) cannot express over an unbounded
+stream:
+
+- ``streaming_exact_dedup``: exact first-occurrence dedup on the normalized
+  content fingerprint (functions/text.py::normalized_fingerprint) via
+  ``dropDuplicatesWithinWatermark`` — the engine keeps fingerprint state
+  only inside the watermark horizon, so state is bounded by ingest rate x
+  watermark, not stream length. A duplicate arriving after the horizon
+  re-emits (the documented trade: exactness within the horizon, bounded
+  state forever).
+- ``streaming_minhash_candidates``: a CUSTOM stateful operator
+  (``applyInPandasWithState`` keyed by LSH band bucket) that emits
+  near-duplicate CANDIDATE pairs across micro-batches: each bucket
+  remembers its member ids, and a new arrival pairs with every remembered
+  member. State is O(#buckets x cap); a bucket that reaches
+  ``max_bucket_size`` saturates (new members are neither paired nor
+  remembered) — the streaming analog of the batch hot-bucket drop
+  (dedup/minhash.py), except saturation is prospective (already-emitted
+  pairs from a bucket's cold start are not retracted; retraction is not
+  expressible in append-mode streaming).
+
+A pair colliding in several bands emits once per band — downstream
+consumers ``dropDuplicates(["id_a", "id_b"])`` in batch land (or verify
+exact Jaccard, which dedups as a side effect). The reference
+(volare-all/open-data-linter) is batch-only; this extends the engine per
+the training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from open_data_linter_spark.dedup.minhash import minhash_signature
+from open_data_linter_spark.functions.text import normalized_fingerprint
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ingest_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """One survivor per normalized fingerprint, state bounded by the
+    watermark horizon. Emits the original columns plus ``fingerprint``.
+
+    Across micro-batches the FIRST-seen row wins (later batches hit the
+    fingerprint state and drop); within a single micro-batch the surviving
+    row among same-batch duplicates is arbitrary (no intra-batch order
+    guarantee — same as batch ``dropDuplicates``)."""
+    return (
+        stream_df.withColumn("fingerprint", normalized_fingerprint(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
+_CAND_STATE = T.StructType([T.StructField("ids", T.ArrayType(T.LongType()))])
+
+_CAND_OUTPUT = T.StructType(
+    [
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bh", T.LongType()),
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+    ]
+)
+
+
+def _bucket_update_fn(max_bucket_size: int):
+    def update(
+        key: Tuple[int, int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        ids = list(state.get[0]) if state.exists else []
+        known = set(ids)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            for raw in pdf["id"]:
+                i = int(raw)
+                if i in known:
+                    continue
+                if len(ids) >= max_bucket_size:
+                    continue  # saturated bucket: hot-key guard
+                for m in ids:
+                    a, b = (m, i) if m < i else (i, m)
+                    out_a.append(a)
+                    out_b.append(b)
+                ids.append(i)
+                known.add(i)
+        state.update((ids,))
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "band": [key[0]] * len(out_a),
+                    "bh": [key[1]] * len(out_a),
+                    "id_a": out_a,
+                    "id_b": out_b,
+                }
+            )
+
+    return update
+
+
+def streaming_minhash_candidates(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_perm: int = 64,
+    bands: int = 16,
+    max_bucket_size: int = 100,
+) -> DataFrame:
+    """Cross-batch near-dup candidate pairs via stateful LSH buckets.
+
+    ``id_col`` must be a long (the state schema is array<long>). Signature
+    and banding match dedup/minhash.py (same shingle/hash contract), so a
+    batch verification join over the emitted pairs reproduces the batch
+    pipeline's candidates for streams shorter than the bucket cap.
+    """
+    rows_per_band = n_perm // bands
+    from open_data_linter_spark.functions.text import shingles
+
+    # NOTE: unlike the batch path (dedup/minhash.py), there is no persist()
+    # available to pin the hashed-shingle array, so projection collapsing
+    # may re-hash shingle strings per permutation — acceptable at streaming
+    # per-batch rates; the candidate-state shuffle dominates.
+    sig = (
+        stream_df.select(
+            F.col(id_col).cast("long").alias("id"),
+            shingles(F.col(text_col), k).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .select("id", minhash_signature(F.col("sh"), n_perm).alias("sig"))
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    return banded.groupBy("band", "bh").applyInPandasWithState(
+        _bucket_update_fn(max_bucket_size),
+        outputStructType=_CAND_OUTPUT,
+        stateStructType=_CAND_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

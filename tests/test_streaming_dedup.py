@@ -1,0 +1,151 @@
+"""Cross-batch streaming dedup: exact fingerprint + stateful LSH buckets."""
+
+import datetime as dt
+import glob
+import os
+import shutil
+import time
+
+from pyspark.sql import types as T
+
+BASE = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _write_stream_file(spark, path, rows, schema, mtime):
+    df = spark.createDataFrame(rows, schema=schema)
+    df.coalesce(1).write.mode("overwrite").parquet(str(path))
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            os.utime(os.path.join(path, f), (mtime, mtime))
+
+
+def _flatten(tmp_path, *dirs):
+    flat = tmp_path / "flat"
+    flat.mkdir(exist_ok=True)
+    for d in dirs:
+        for f in glob.glob(str(d / "*.parquet")):
+            dst = flat / (d.name + "-" + os.path.basename(f))
+            shutil.copy(f, dst)
+            os.utime(dst, (os.path.getmtime(f), os.path.getmtime(f)))
+    return flat
+
+
+def test_streaming_exact_dedup_cross_batch(spark, tmp_path):
+    from open_data_linter_spark.streaming.dedup import streaming_exact_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ingest_ts", T.TimestampType()),
+        ]
+    )
+    now = time.time()
+    f1 = tmp_path / "f1"
+    _write_stream_file(
+        spark,
+        f1,
+        [
+            (1, "hello world one", BASE),
+            (2, "another document", BASE + dt.timedelta(seconds=5)),
+        ],
+        schema,
+        now - 20,
+    )
+    f2 = tmp_path / "f2"
+    _write_stream_file(
+        spark,
+        f2,
+        [
+            # same normalized fingerprint as doc 1 (case + extra whitespace)
+            (3, "Hello   WORLD one", BASE + dt.timedelta(seconds=30)),
+            (4, "a genuinely new doc", BASE + dt.timedelta(seconds=40)),
+        ],
+        schema,
+        now - 10,
+    )
+    flat = _flatten(tmp_path, f1, f2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    out = streaming_exact_dedup(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("exact_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from exact_dedup").collect()
+    # the cross-batch duplicate (doc 3) is dropped by fingerprint state
+    assert {r.doc_id for r in rows} == {1, 2, 4}
+    assert len({r.fingerprint for r in rows}) == 3
+
+
+def test_streaming_minhash_candidates_cross_batch(spark, tmp_path):
+    from open_data_linter_spark.streaming.dedup import (
+        streaming_minhash_candidates,
+    )
+
+    near = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet field toward the distant river bank at dawn"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    now = time.time()
+    f1 = tmp_path / "f1"
+    _write_stream_file(
+        spark,
+        f1,
+        [
+            (1, near),
+            (2, near + " today"),  # near-dup of 1, same batch
+            (5, "completely unrelated short text about spark engines"),
+        ],
+        schema,
+        now - 20,
+    )
+    f2 = tmp_path / "f2"
+    _write_stream_file(
+        spark,
+        f2,
+        [(3, near.replace("dawn", "dusk"))],  # near-dup arriving later
+        schema,
+        now - 10,
+    )
+    flat = _flatten(tmp_path, f1, f2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    cands = streaming_minhash_candidates(stream, k=3)
+    q = (
+        cands.writeStream.format("memory")
+        .queryName("mh_cands")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from mh_cands").collect()
+    pairs = {(r.id_a, r.id_b) for r in rows}
+    # intra-batch pair from batch 0
+    assert (1, 2) in pairs
+    # CROSS-BATCH pairs: doc 3 collided with remembered bucket members
+    assert (1, 3) in pairs and (2, 3) in pairs
+    # the unrelated doc never pairs
+    assert not any(5 in p for p in pairs)
+    # pair emission is per colliding band, but never duplicated per band
+    keys = [(r.band, r.bh, r.id_a, r.id_b) for r in rows]
+    assert len(keys) == len(set(keys))
