@@ -310,6 +310,17 @@ def q_apss_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apss_jaccard_pairs(d, threshold=0.9)
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication (round 4): per-doc fraction of word 8-gram
+    occurrences shared with >= 1 other document (dedup/spans.py — the
+    boilerplate/repeated-substring signal document-level dedup misses).
+    Deterministic occurrence counting, FULL exact DuckDB twin."""
+    from open_data_linter_spark.dedup.spans import duplicate_span_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_span_stats(d, k=8, min_df=2)
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (round 4): next-fit over id order
     inside explicit id ranges (functions/packing.py) — deterministic and
@@ -813,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dups": q_exact_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "apss_jaccard": q_apss_jaccard,
+        "duplicate_spans": q_duplicate_spans,
         "sequence_packing": q_sequence_packing,
         "stratified_sample_lang": q_stratified_sample_lang,
         "contamination_screen": q_contamination_screen,
@@ -1125,6 +1137,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN ne b ON b.id = i.id_b
             WHERE round(i.n_inter * 1.0 / (a.n + b.n - i.n_inter), 6) >= 0.9
             ORDER BY id_a, id_b
+        """,
+        "duplicate_spans": r"""
+            -- FULL exact twin: positional word 8-grams (short docs collapse
+            -- to one whole-doc gram, same fallback as the Spark
+            -- positional_shingles), gram doc-frequency over DISTINCT docs,
+            -- per-doc occurrence coverage of grams with df >= 2
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents
+              WHERE trim(coalesce(text,'')) != ''
+            ), g AS (
+              SELECT id,
+                     CASE WHEN len(t) >= 8 THEN
+                       list_transform(generate_series(1, len(t)-7),
+                                      i -> array_to_string(t[i:i+7], ' '))
+                     ELSE [array_to_string(t, ' ')] END AS gs
+              FROM toks
+            ), occ AS (
+              SELECT id, unnest(gs) AS gram FROM g
+            ), dup AS (
+              SELECT gram FROM occ GROUP BY gram
+              HAVING count(DISTINCT id) >= 2
+            ), nd AS (
+              SELECT id, CAST(count(*) AS BIGINT) AS n_dup_spans
+              FROM occ WHERE gram IN (SELECT gram FROM dup)
+              GROUP BY id
+            )
+            SELECT g.id AS doc_id,
+                   CAST(len(g.gs) AS BIGINT) AS n_spans,
+                   CAST(coalesce(nd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+                   round(coalesce(nd.n_dup_spans, 0) * 1.0 / len(g.gs), 6)
+                     AS dup_coverage
+            FROM g LEFT JOIN nd ON nd.id = g.id
+            ORDER BY doc_id
         """,
         "sequence_packing": r"""
             -- FULL exact twin: replay the next-fit recurrence per id

@@ -49,6 +49,7 @@ HEADLINE = [
     "simhash_neardups",   # round 3: added for dedup-family coverage
     "knn_bruteforce",
     "apss_jaccard",          # round 4: exact all-pairs via prefix filter
+    "duplicate_spans",       # round 4: repeated 8-gram coverage per doc
     "dedup_clusters",       # round 4: iterative CC over the jaccard pairs
     "contamination_screen",  # round 4: broadcast eval inverted index
     "sequence_packing",      # round 4: per-range next-fit binning

@@ -119,6 +119,23 @@ def shingles(c: Column, k: int = 3) -> Column:
     )
 
 
+def positional_shingles(c: Column, k: int = 3) -> Column:
+    """Word k-gram array WITHOUT dedup — one entry per occurrence position.
+
+    Same tokenize/fallback contract as ``shingles`` (short docs collapse to
+    one whole-doc gram), but repeated spans stay repeated: this is the
+    occurrence stream that span-level statistics (dedup/spans.py) count."""
+    toks = F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.when(n >= k, grams).otherwise(
+        F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
 def rolling_hashes(c: Column, k: int = 3) -> Column:
     """xxhash64 of each k-shingle — the 'rolling hash' fingerprint set."""
     return F.transform(shingles(c, k), lambda s: F.xxhash64(s))
