@@ -356,6 +356,30 @@ def q_stratified_sample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (round 4): per-lang quotas toward target
+    proportions 0.4/0.2/0.2/0.1/0.1 with saturation capping
+    (functions/sampling.py::mixture_sample). WHICH rows surface is
+    engine-internal hash order; the oracle recomputes the exact quota
+    formula least(size, floor(total*p)) per group — integer weights
+    normalize to exact doubles, so Spark and DuckDB floor identically."""
+    from open_data_linter_spark.functions.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        mixture_sample(
+            d,
+            "lang",
+            "doc_id",
+            total=400,
+            weights={"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1},
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
 def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination screening (round 4): the first 10 docs
     play the eval set; every corpus doc sharing ≥20% of an eval doc's
@@ -825,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "apss_jaccard": q_apss_jaccard,
         "duplicate_spans": q_duplicate_spans,
+        "mixture_sample_lang": q_mixture_sample,
         "sequence_packing": q_sequence_packing,
         "stratified_sample_lang": q_stratified_sample_lang,
         "contamination_screen": q_contamination_screen,
@@ -1208,6 +1233,26 @@ def oracle_sql() -> dict[str, str]:
             -- return exactly least(n, group size) rows per group
             SELECT lang, CAST(least(100, count(*)) AS BIGINT) AS n_sampled
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "mixture_sample_lang": r"""
+            -- contract twin (like stratified_sample_lang): the per-group
+            -- quota least(size, floor(total * p)) is exactly recomputable;
+            -- row identity is engine-internal seeded-hash order (pinned in
+            -- tests/test_sampling.py). Weights {4,2,2,1,1}/10 normalize to
+            -- exact doubles, CAST keeps DuckDB off decimal arithmetic so
+            -- the floor matches Spark's IEEE result bit-for-bit.
+            WITH s AS (
+              SELECT lang, count(*) AS n FROM documents GROUP BY lang
+            ), q AS (
+              SELECT lang,
+                     least(n, CAST(floor(400 * CAST(CASE lang
+                       WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2
+                       WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.1
+                       WHEN 'zh' THEN 0.1 ELSE 0 END AS DOUBLE)) AS BIGINT))
+                       AS n_sampled
+              FROM s
+            )
+            SELECT lang, n_sampled FROM q WHERE n_sampled > 0 ORDER BY lang
         """,
         "contamination_screen": r"""
             -- FULL exact twin: word-trigram shingle sets (same per-doc

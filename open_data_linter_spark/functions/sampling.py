@@ -1,6 +1,6 @@
 """Deterministic sampling for training-data curation.
 
-Two primitives, both seeded and replay-stable (the same rows come back on
+Three primitives, all seeded and replay-stable (the same rows come back on
 every run, resume, or cluster size — unlike ``df.sample``, whose
 per-partition RNG changes with the physical layout):
 
@@ -13,6 +13,9 @@ per-partition RNG changes with the physical layout):
   drown low-resource groups. One shuffle (window over the group key);
   hash-ordered, so the selection is uniform within the group and
   independent of input order.
+- ``mixture_sample``: per-group quotas toward a target mixture (explicit
+  weights or temperature p_g ∝ size_g**alpha), selection by the same
+  seeded hash order — domain reweighting for corpus construction.
 
 Skew note: a window sorts each group inside one task — fine up to ~10^8
 rows per group. Past that, pre-filter with ``hash_fraction_sample`` at a
@@ -43,6 +46,85 @@ def hash_fraction_sample(
     # map the signed 64-bit hash onto [0, 1) via its unsigned view
     u = (F.xxhash64(F.col(key_col), F.lit(seed)).cast("double") / F.lit(2.0**64)) + 0.5
     return df.where(u < F.lit(fraction))
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    total: int,
+    weights: dict[str, float] | None = None,
+    alpha: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Domain-mixture sampling: per-group quotas toward a target mixture.
+
+    Exactly one of ``weights`` / ``alpha``:
+
+    - ``weights``: explicit target proportions per group value (normalized
+      internally); groups absent from the dict get quota 0.
+    - ``alpha``: temperature-style reweighting p_g ∝ size_g**alpha (the
+      standard multilingual upsampling family — alpha=1 is proportional,
+      alpha→0 approaches uniform).
+
+    Each group contributes ``min(size_g, floor(total * p_g))`` rows, chosen
+    by the same seeded hash order as ``stratified_sample`` (deterministic,
+    layout-independent). When a group saturates (quota > availability) the
+    realized mixture deviates toward the available data — by design; the
+    per-group quota formula stays exactly recomputable in SQL, which is the
+    driver-oracle contract.
+
+    Fully distributed: group sizes, the weight normalizer, and quotas are
+    computed as (broadcast) joins — no driver-side collect.
+    """
+    if (weights is None) == (alpha is None):
+        raise ValueError("exactly one of weights / alpha is required")
+    if total < 1:
+        raise ValueError(f"total must be >= 1, got {total}")
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__s"))
+    if weights is not None:
+        wsum = float(sum(weights.values()))
+        if wsum <= 0:
+            raise ValueError("weights must sum to a positive value")
+        pairs: list = []
+        for k, v in weights.items():
+            pairs += [F.lit(k), F.lit(float(v) / wsum)]
+        p = F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col(group_col)), F.lit(0.0)
+        )
+        quota = sizes.select(
+            group_col,
+            F.least(
+                F.col("__s"),
+                F.floor(F.lit(float(total)) * p).cast("long"),
+            ).alias("__q"),
+        )
+    else:
+        wnorm = sizes.agg(
+            F.sum(F.pow(F.col("__s").cast("double"), F.lit(float(alpha)))).alias(
+                "__wsum"
+            )
+        )
+        quota = sizes.crossJoin(F.broadcast(wnorm)).select(
+            group_col,
+            F.least(
+                F.col("__s"),
+                F.floor(
+                    F.lit(float(total))
+                    * F.pow(F.col("__s").cast("double"), F.lit(float(alpha)))
+                    / F.col("__wsum")
+                ).cast("long"),
+            ).alias("__q"),
+        )
+    w = Window.partitionBy(group_col).orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed)).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__odl_rn", F.row_number().over(w))
+        .join(F.broadcast(quota), group_col)
+        .where(F.col("__odl_rn") <= F.col("__q"))
+        .drop("__odl_rn", "__q")
+    )
 
 
 def stratified_sample(

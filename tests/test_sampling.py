@@ -74,3 +74,76 @@ def test_stratified_two_phase_equals_one_phase(corpus):
     two = sorted(r.doc_id for r in
                  stratified_sample(pre, "lang", 20, "doc_id").collect())
     assert one == two
+
+
+def test_mixture_sample_weights_quotas(corpus):
+    from open_data_linter_spark.functions.sampling import mixture_sample
+
+    # 600 rows: 200 per lang. weights 0.5/0.3/0.2, total 300 ->
+    # en 150, es 90, ja 60 (none saturated)
+    got = (
+        mixture_sample(corpus, "lang", "doc_id", total=300,
+                       weights={"en": 0.5, "es": 0.3, "ja": 0.2})
+        .groupBy("lang").count().collect()
+    )
+    assert {(r.lang, r["count"]) for r in got} == {
+        ("en", 150), ("es", 90), ("ja", 60)}
+
+
+def test_mixture_sample_saturation_and_exclusion(corpus):
+    from open_data_linter_spark.functions.sampling import mixture_sample
+
+    # en quota floor(1000*0.8)=800 > 200 available -> capped at 200;
+    # ja absent from weights -> quota 0 (no rows)
+    got = dict(
+        (r.lang, r["count"])
+        for r in mixture_sample(corpus, "lang", "doc_id", total=1000,
+                                weights={"en": 0.8, "es": 0.2})
+        .groupBy("lang").count().collect()
+    )
+    assert got == {"en": 200, "es": 200}
+
+
+def test_mixture_sample_alpha_deterministic(corpus):
+    from open_data_linter_spark.functions.sampling import mixture_sample
+
+    # equal group sizes (200 each): p_g = 1/3 for any alpha ->
+    # floor(240/3) = 80 per lang
+    a = mixture_sample(corpus, "lang", "doc_id", total=240, alpha=0.5)
+    got = {(r.lang, r["count"]) for r in a.groupBy("lang").count().collect()}
+    assert got == {("en", 80), ("es", 80), ("ja", 80)}
+    # replay-stable row selection, and a subset of the stratified order
+    s1 = sorted(r.doc_id for r in a.collect())
+    s2 = sorted(r.doc_id for r in
+                mixture_sample(corpus, "lang", "doc_id", total=240,
+                               alpha=0.5).collect())
+    assert s1 == s2
+
+
+def test_mixture_sample_alpha_upsamples_low_resource(spark):
+    from open_data_linter_spark.functions.sampling import mixture_sample
+
+    # skewed corpus: 400 en / 25 ja (perfect squares -> exact sqrt doubles).
+    # alpha=0.5: p_en = 20/25, p_ja = 5/25 -> quotas 80 / 20 of total 100:
+    # ja share rises from 5.9% of the corpus to 20% of the sample
+    rows = [(i, "en", f"d{i}") for i in range(400)]
+    rows += [(1000 + i, "ja", f"j{i}") for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = dict(
+        (r.lang, r["count"])
+        for r in mixture_sample(df, "lang", "doc_id", total=100, alpha=0.5)
+        .groupBy("lang").count().collect()
+    )
+    assert got == {"en": 80, "ja": 20}
+
+
+def test_mixture_sample_validation(corpus):
+    from open_data_linter_spark.functions.sampling import mixture_sample
+
+    with pytest.raises(ValueError):
+        mixture_sample(corpus, "lang", "doc_id", total=10)
+    with pytest.raises(ValueError):
+        mixture_sample(corpus, "lang", "doc_id", total=10,
+                       weights={"en": 1.0}, alpha=0.5)
+    with pytest.raises(ValueError):
+        mixture_sample(corpus, "lang", "doc_id", total=0, weights={"en": 1.0})
