@@ -1,0 +1,161 @@
+"""Production entry point: curate a documents table end-to-end.
+
+Composes the training-data-pipeline operator families into the standard
+curation sequence (each stage is the library operator, nothing bespoke):
+
+  1. exact dedup           dedup/exact.distinct_by_fingerprint
+  2. near-dup dedup        dedup/minhash pairs -> cluster.deduplicate
+                           (connected components, min-id survivor)
+  3. decontamination       dedup/contamination.decontaminate vs an eval set
+  4. span-dup trim         dedup/spans.duplicate_span_stats coverage cap
+  5. quality filter        functions/text.quality_score floor
+  6. mixture sampling      functions/sampling.mixture_sample (temperature)
+  7. sequence packing      functions/packing.pack_sequences
+
+spark-submit shape:
+
+    spark-submit --py-files odl_spark.zip scripts/run_curation.py \
+        --docs /path/documents.parquet --out /path/out \
+        [--eval /path/eval.parquet] [--minhash-threshold 0.7] \
+        [--max-span-coverage 0.95] [--min-quality 0.2] \
+        [--mixture-alpha 0.7] [--mixture-total N] [--pack-budget 2048]
+
+Local demo:
+
+    python scripts/run_curation.py --docs /root/testdata/sf0.001/documents.parquet \
+        --out /tmp/curated
+
+Writes to --out:
+  curated/      the surviving rows (original schema + n_tokens + bin_id)
+  report.json   per-stage row counts + wall times (the funnel)
+
+Every stage is deterministic (seeded hashes, not RNG), so re-running
+reproduces the same corpus byte-for-byte — the replay property the
+sampling/packing operators are built around.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from open_data_linter_spark.dedup.cluster import deduplicate  # noqa: E402
+from open_data_linter_spark.dedup.contamination import decontaminate  # noqa: E402
+from open_data_linter_spark.dedup.exact import distinct_by_fingerprint  # noqa: E402
+from open_data_linter_spark.dedup.minhash import minhash_near_duplicates  # noqa: E402
+from open_data_linter_spark.dedup.spans import duplicate_span_stats  # noqa: E402
+from open_data_linter_spark.functions.packing import pack_sequences  # noqa: E402
+from open_data_linter_spark.functions.sampling import mixture_sample  # noqa: E402
+from open_data_linter_spark.functions.text import quality_score  # noqa: E402
+from open_data_linter_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--docs", required=True, help="documents parquet path")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--eval", default=None,
+                    help="eval-set parquet (doc_id,text); default: doc_id < 10"
+                         " of the corpus itself (demo mode)")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--minhash-threshold", type=float, default=0.7)
+    ap.add_argument("--contamination-k", type=int, default=5)
+    ap.add_argument("--contamination-coverage", type=float, default=0.5)
+    ap.add_argument("--max-span-coverage", type=float, default=0.95)
+    ap.add_argument("--span-k", type=int, default=8)
+    ap.add_argument("--min-quality", type=float, default=0.2)
+    ap.add_argument("--mixture-alpha", type=float, default=0.7)
+    ap.add_argument("--mixture-total", type=int, default=None,
+                    help="sample budget; default 80%% of the surviving rows")
+    ap.add_argument("--group-col", default="lang")
+    ap.add_argument("--pack-budget", type=int, default=2048)
+    args = ap.parse_args()
+
+    spark = get_spark("odl-curation", master=args.master)
+    t_start = time.time()
+    report: dict = {"stages": []}
+
+    def stage(name: str, df, t0: float):
+        n = df.count()
+        report["stages"].append(
+            {"stage": name, "rows": n, "sec": round(time.time() - t0, 2)}
+        )
+        print(f"  {name}: {n} rows [{report['stages'][-1]['sec']}s]")
+        return df
+
+    docs = spark.read.parquet(args.docs)
+    stage("input", docs, t_start)
+
+    t0 = time.time()
+    docs = distinct_by_fingerprint(docs)
+    docs = stage("exact_dedup", docs, t0)
+
+    t0 = time.time()
+    pairs = minhash_near_duplicates(docs, threshold=args.minhash_threshold)
+    docs = deduplicate(docs, pairs)
+    docs = stage("neardup_dedup", docs, t0)
+
+    t0 = time.time()
+    if args.eval:
+        ev = spark.read.parquet(args.eval).select(
+            F.col("doc_id").alias("eval_id"), "text"
+        )
+    else:
+        ev = docs.where(F.col("doc_id") < 10).select(
+            F.col("doc_id").alias("eval_id"), "text"
+        )
+    docs = decontaminate(
+        docs, ev, k=args.contamination_k,
+        min_coverage=args.contamination_coverage,
+    )
+    docs = stage("decontaminate", docs, t0)
+
+    t0 = time.time()
+    spans = duplicate_span_stats(docs, k=args.span_k).where(
+        F.col("dup_coverage") > args.max_span_coverage
+    ).select("doc_id")
+    docs = docs.join(spans, "doc_id", "left_anti")
+    docs = stage("span_trim", docs, t0)
+
+    t0 = time.time()
+    docs = docs.where(quality_score(F.col("text")) >= args.min_quality)
+    docs = stage("quality_filter", docs, t0)
+
+    t0 = time.time()
+    total = args.mixture_total
+    if total is None:
+        total = max(1, int(docs.count() * 0.8))
+    docs = mixture_sample(
+        docs, args.group_col, "doc_id", total=total, alpha=args.mixture_alpha
+    )
+    docs = stage("mixture_sample", docs, t0)
+
+    t0 = time.time()
+    packed = pack_sequences(docs, budget=args.pack_budget)
+    curated = docs.join(
+        packed.withColumnRenamed("id", "doc_id"), "doc_id"
+    )
+    os.makedirs(args.out, exist_ok=True)
+    curated.write.mode("overwrite").parquet(os.path.join(args.out, "curated"))
+    curated_back = spark.read.parquet(os.path.join(args.out, "curated"))
+    stage("packed_written", curated_back, t0)
+
+    report["n_bins"] = curated_back.select("bin_id").distinct().count()
+    report["total_sec"] = round(time.time() - t_start, 2)
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({"curation": report["stages"][-1]["rows"],
+                      "bins": report["n_bins"],
+                      "sec": report["total_sec"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

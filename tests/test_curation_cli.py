@@ -1,0 +1,59 @@
+"""End-to-end curation pipeline CLI: funnel shape + determinism."""
+
+import json
+import os
+import subprocess
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(out_dir):
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_curation.py"),
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out_dir),
+            "--master", "local[4]",
+            "--mixture-total", "30",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(os.path.join(out_dir, "report.json")) as f:
+        return json.load(f)
+
+
+def test_curation_pipeline_end_to_end(tmp_path):
+    rep = _run(tmp_path / "run1")
+    stages = {s["stage"]: s["rows"] for s in rep["stages"]}
+    # the funnel only ever narrows
+    order = ["input", "exact_dedup", "neardup_dedup", "decontaminate",
+             "span_trim", "quality_filter", "mixture_sample"]
+    for a, b in zip(order, order[1:]):
+        assert stages[b] <= stages[a], (a, b, stages)
+    assert stages["mixture_sample"] > 0
+    # packing assigns every surviving row a bin within budget
+    assert stages["packed_written"] == stages["mixture_sample"]
+    # every multi-doc bin respects the token budget (single oversized docs
+    # legitimately get a bin of their own — next-fit semantics)
+    over = duckdb.sql(
+        f"SELECT count(*) FROM (SELECT bin_id, sum(n_tokens) AS s, count(*) c "
+        f"FROM read_parquet('{tmp_path}/run1/curated/*.parquet') "
+        f"GROUP BY bin_id) WHERE c > 1 AND s > 2048"
+    ).fetchone()[0]
+    assert over == 0
+    # deterministic replay: same input -> byte-identical survivor set
+    _run(tmp_path / "run2")
+    ids1 = duckdb.sql(
+        f"SELECT doc_id, bin_id FROM read_parquet('{tmp_path}/run1/curated/*.parquet') ORDER BY doc_id"
+    ).fetchall()
+    ids2 = duckdb.sql(
+        f"SELECT doc_id, bin_id FROM read_parquet('{tmp_path}/run2/curated/*.parquet') ORDER BY doc_id"
+    ).fetchall()
+    assert ids1 == ids2
