@@ -310,6 +310,22 @@ def q_apss_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apss_jaccard_pairs(d, threshold=0.9)
 
 
+def q_apss_jaccard_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same APSS pipeline, aggregated to (jaccard bin, pair count) — the
+    bench headline shape: at sf0.1 the raw pair list is ~1M rows, so a
+    collect() there times py4j row shipping, not the engine; integer bin
+    counts keep the comparison exact and the result tiny."""
+    from open_data_linter_spark.dedup.apss import apss_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        apss_jaccard_pairs(d, threshold=0.9)
+        .groupBy(F.round("jaccard", 2).alias("jac_bin"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("jac_bin")
+    )
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level duplication (round 4): per-doc fraction of word 8-gram
     occurrences shared with >= 1 other document (dedup/spans.py — the
@@ -848,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dups": q_exact_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "apss_jaccard": q_apss_jaccard,
+        "apss_jaccard_agg": q_apss_jaccard_agg,
         "duplicate_spans": q_duplicate_spans,
         "mixture_sample_lang": q_mixture_sample,
         "sequence_packing": q_sequence_packing,
@@ -1162,6 +1179,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN ne b ON b.id = i.id_b
             WHERE round(i.n_inter * 1.0 / (a.n + b.n - i.n_inter), 6) >= 0.9
             ORDER BY id_a, id_b
+        """,
+        "apss_jaccard_agg": r"""
+            -- FULL exact twin of the aggregated APSS shape: brute-force
+            -- all-pairs at 0.9, then integer pair counts per 2-decimal
+            -- jaccard bin (round-of-round replicated exactly)
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t
+              FROM documents
+              WHERE trim(coalesce(text,'')) != ''
+            ), ne AS (
+              SELECT id, len(t) AS n FROM toks
+            ), inv AS (
+              SELECT id, unnest(t) AS tok FROM toks
+            ), inter AS (
+              SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_inter
+              FROM inv l JOIN inv r ON l.tok = r.tok AND l.id < r.id
+              GROUP BY l.id, r.id
+            ), pairs AS (
+              SELECT round(i.n_inter * 1.0 / (a.n + b.n - i.n_inter), 6) AS jaccard
+              FROM inter i
+              JOIN ne a ON a.id = i.id_a
+              JOIN ne b ON b.id = i.id_b
+              WHERE round(i.n_inter * 1.0 / (a.n + b.n - i.n_inter), 6) >= 0.9
+            )
+            SELECT round(jaccard, 2) AS jac_bin,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pairs GROUP BY jac_bin ORDER BY jac_bin
         """,
         "duplicate_spans": r"""
             -- FULL exact twin: positional word 8-grams (short docs collapse

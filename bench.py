@@ -48,7 +48,10 @@ HEADLINE = [
     "ngram_jaccard",      # round 3: was 20s at sf0.1, unbenched — now 1.5s
     "simhash_neardups",   # round 3: added for dedup-family coverage
     "knn_bruteforce",
-    "apss_jaccard",          # round 4: exact all-pairs via prefix filter
+    "apss_jaccard_agg",      # round 4: exact all-pairs via prefix filter
+                             # (binned counts: raw pairs are ~1M rows at
+                             # sf0.1 and collect() would time py4j, not
+                             # the engine)
     "duplicate_spans",       # round 4: repeated 8-gram coverage per doc
     "dedup_clusters",       # round 4: iterative CC over the jaccard pairs
     "contamination_screen",  # round 4: broadcast eval inverted index
