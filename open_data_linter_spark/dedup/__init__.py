@@ -12,3 +12,5 @@ from open_data_linter_spark.dedup.contamination import (  # noqa: F401
     decontaminate,
     ngram_contamination,
 )
+from open_data_linter_spark.dedup.apss import apss_jaccard_pairs  # noqa: F401
+from open_data_linter_spark.dedup.spans import duplicate_span_stats  # noqa: F401

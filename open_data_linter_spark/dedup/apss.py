@@ -51,6 +51,9 @@ def apss_jaccard_pairs(
     ``threshold`` must be in (0, 1]; lower thresholds lengthen the prefix
     (t -> 0 degenerates to the full inverted index), so this shape is most
     effective at t >= ~0.4.
+
+    Input contract: ``id_col`` is unique (same as dedup/minhash.py) —
+    duplicate id rows would merge their token sets in the per-doc groupBy.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")

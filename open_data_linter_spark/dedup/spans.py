@@ -22,10 +22,10 @@ Scale: the exploded occurrence stream is O(total tokens) — the same order
 as any tokenizing pass over the corpus; both shuffles (gram df, per-doc
 count) carry map-side partial aggregates. Hot grams (stopword runs) are
 exactly the signal and stay as grouped counts, never expanded into pairs,
-so there is no quadratic blow-up to cap. At 100 TB you'd hash the grams
-(xxhash64) before the shuffle to shed string bytes — exposed via
-``hash_grams`` (default True; the oracle twin disables it to stay
-string-exact, identical up to 64-bit collisions).
+so there is no quadratic blow-up to cap. ``hash_grams`` (default True)
+xxhash64-hashes grams before the shuffles to shed string bytes — counts
+are identical to string grams up to 64-bit collisions (the DuckDB twin
+computes on the strings and matches).
 
 The reference (volare-all/open-data-linter) has no span-level ops; this
 extends the engine per the training-data-pipeline mandate.
@@ -55,6 +55,9 @@ def duplicate_span_stats(
     repeated only within one document does not count as duplicated
     (cross-doc semantics); ``min_df=2`` flags any span shared with at least
     one other document.
+
+    Input contract: ``id_col`` is unique — duplicate id rows would merge
+    their gram streams in the per-doc aggregation.
     """
     if min_df < 2:
         raise ValueError(f"min_df must be >= 2 (cross-doc), got {min_df}")
