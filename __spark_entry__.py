@@ -1177,7 +1177,7 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i
             JOIN ne a ON a.id = i.id_a
             JOIN ne b ON b.id = i.id_b
-            WHERE round(i.n_inter * 1.0 / (a.n + b.n - i.n_inter), 6) >= 0.9
+            WHERE i.n_inter * 1.0 / (a.n + b.n - i.n_inter) >= 0.9
             ORDER BY id_a, id_b
         """,
         "apss_jaccard_agg": r"""
@@ -1202,7 +1202,7 @@ def oracle_sql() -> dict[str, str]:
               FROM inter i
               JOIN ne a ON a.id = i.id_a
               JOIN ne b ON b.id = i.id_b
-              WHERE round(i.n_inter * 1.0 / (a.n + b.n - i.n_inter), 6) >= 0.9
+              WHERE i.n_inter * 1.0 / (a.n + b.n - i.n_inter) >= 0.9
             )
             SELECT round(jaccard, 2) AS jac_bin,
                    CAST(count(*) AS BIGINT) AS n_pairs

@@ -39,6 +39,22 @@ def persist_scoped(scope: str, df: DataFrame) -> DataFrame:
     return out
 
 
+def spread_and_pin(scope: str, df: DataFrame) -> DataFrame:
+    """Repartition a narrower-than-parallelism input up to the session
+    default parallelism, then ``persist_scoped`` it.
+
+    The persist pins the exchange boundary BELOW later projections:
+    Catalyst collapses a column-independent projection under a round-robin
+    exchange, which would run the expensive expression on the narrow
+    pre-shuffle side (the round-2 single-partition trap, 80-90% of the
+    minhash/jaccard wall). Persisting an already-wide input is intentional
+    — every caller reuses the frame from multiple consumers."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return persist_scoped(scope, df)
+
+
 def clear_scoped(blocking: bool = False) -> int:
     """Unpersist and forget EVERY retained generation (all scopes).
 

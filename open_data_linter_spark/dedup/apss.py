@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from open_data_linter_spark.dedup._cache import persist_scoped
+from open_data_linter_spark.dedup._cache import persist_scoped, spread_and_pin
 
 
 def apss_jaccard_pairs(
@@ -57,14 +57,10 @@ def apss_jaccard_pairs(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-    # Same single-partition-input discipline as dedup/minhash.py: spread
-    # BEFORE the tokenize projection, persist to pin the boundary.
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
-    src = persist_scoped("apss.src", src)
+    src = spread_and_pin(
+        "apss.src",
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+    )
     toks = src.where(F.trim(F.coalesce(F.col("__t"), F.lit(""))) != "").select(
         "id",
         F.array_distinct(
@@ -119,7 +115,11 @@ def apss_jaccard_pairs(
     return (
         cand.join(hs_a, "id_a")
         .join(hs_b, "id_b")
+        # filter on the UNROUNDED ratio: the candidate stages guarantee
+        # retention only for true-J >= t, so a rounded filter would admit
+        # pairs in [t - 5e-7, t) that prefix/length pruning may have
+        # dropped — the oracle twin filters unrounded too
+        .where(inter / union >= F.lit(float(threshold)))
         .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )

@@ -28,7 +28,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from open_data_linter_spark.dedup._cache import persist_scoped
+from open_data_linter_spark.dedup._cache import persist_scoped, spread_and_pin
 from open_data_linter_spark.functions.vectors import cosine, hyperplane_bucket
 
 
@@ -110,16 +110,13 @@ def embedding_near_duplicates(
         # banding and both verification sides share one materialization
         # (same boundary discipline as dedup/minhash.py — measured 15-22s
         # -> ~2s at sf0.1 without it)
-        par = df.sparkSession.sparkContext.defaultParallelism
-        if base.rdd.getNumPartitions() < par:
-            base = base.repartition(par)
-        base = persist_scoped("embedding.base", base)
+        base = spread_and_pin("embedding.base", base)
         cand = _banded_candidates(base, bands, rows_per_band, dim, seed)
         # at loose thresholds the candidate set is large (the docstring's
         # caveat) and AQE coalesces the verify stage by the SMALL pair-row
         # size, under-parallelizing the per-pair cosine work — spread the
         # pairs explicitly before attaching vectors
-        cand = cand.repartition(par)
+        cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
         va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
         vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
         return (

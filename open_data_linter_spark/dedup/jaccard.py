@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from open_data_linter_spark.dedup._cache import persist_scoped
+from open_data_linter_spark.dedup._cache import persist_scoped, spread_and_pin
 from open_data_linter_spark.functions.text import shingles
 
 
@@ -28,16 +28,11 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
 ) -> DataFrame:
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-    # Same boundary discipline as dedup/minhash.py: a single-file input is
-    # one partition, and Catalyst collapses the (column-independent)
-    # shingle projection below a round-robin exchange — the persist() pins
-    # shingling on `par` partitions (measured 20s -> ~2s at sf0.1).
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
-    src = persist_scoped("jaccard.src", src)
+    # boundary discipline (measured 20s -> ~2s at sf0.1): see spread_and_pin
+    src = spread_and_pin(
+        "jaccard.src",
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+    )
     base = persist_scoped("jaccard.base", src.select(
         "id", shingles(F.col("__t"), k).alias("sh")
     ).where(F.size("sh") > 0))  # reused by sizes + inverted index

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from open_data_linter_spark.dedup._cache import persist_scoped
+from open_data_linter_spark.dedup._cache import persist_scoped, spread_and_pin
 from open_data_linter_spark.functions.text import shingles
 
 N_PERM_DEFAULT = 64
@@ -97,20 +97,12 @@ def minhash_near_duplicates(
     so only array<long> is ever checkpointed or shuffled.
     """
     rows_per_band = n_perm // bands
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-    # Single-file parquet arrives as one partition; spread rows before the
-    # expensive shingling projection. Guarded so an already-wide cluster
-    # input is never shuffled down. The persist sits BETWEEN the
-    # repartition and the shingle projection on purpose: Catalyst collapses
-    # a column-independent projection below a round-robin exchange, which
-    # would run all shingling on the narrow pre-shuffle side (measured: the
-    # whole pass serialized onto one core). Persisting the cheap (id, text)
-    # rows pins the boundary so hashing runs on `par` partitions.
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
-    src = persist_scoped("minhash.src", src)
+    # spread + boundary pin (measured: without it the whole shingling pass
+    # serialized onto one core) — see dedup/_cache.spread_and_pin
+    src = spread_and_pin(
+        "minhash.src",
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+    )
     hashed = src.select(
         "id",
         F.transform(shingles(F.col("__t"), k), lambda s: F.xxhash64(s)).alias("hs"),

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from open_data_linter_spark.dedup._cache import persist_scoped
+from open_data_linter_spark.dedup._cache import persist_scoped, spread_and_pin
 from open_data_linter_spark.functions.text import positional_shingles
 
 
@@ -61,13 +61,10 @@ def duplicate_span_stats(
     """
     if min_df < 2:
         raise ValueError(f"min_df must be >= 2 (cross-doc), got {min_df}")
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-    # single-partition-input discipline (see dedup/minhash.py)
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
-    src = persist_scoped("spans.src", src)
+    src = spread_and_pin(
+        "spans.src",
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+    )
     grams = positional_shingles(F.col("__t"), k)
     if hash_grams:
         grams = F.transform(grams, lambda g: F.xxhash64(g))

@@ -109,14 +109,12 @@ def normalized_fingerprint(c: Column) -> Column:
 
 
 def shingles(c: Column, k: int = 3) -> Column:
-    """Word k-gram shingle array (distinct), for Jaccard/MinHash."""
-    toks = F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(
-        F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array().cast("array<string>"))
-    )
+    """Word k-gram shingle array (distinct), for Jaccard/MinHash.
+
+    Defined over ``positional_shingles`` so the tokenize/fallback contract
+    has exactly one implementation (dedup/spans.py depends on the two
+    staying in lockstep)."""
+    return F.array_distinct(positional_shingles(c, k))
 
 
 def positional_shingles(c: Column, k: int = 3) -> Column:

@@ -45,7 +45,6 @@ from open_data_linter_spark.functions.text import normalized_fingerprint
 def streaming_exact_dedup(
     stream_df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     ts_col: str = "ingest_ts",
     watermark: str = "10 minutes",
 ) -> DataFrame:

@@ -81,9 +81,18 @@ def main() -> int:
     spark = get_spark("odl-curation", master=args.master)
     t_start = time.time()
     report: dict = {"stages": []}
+    prev_df = [None]
 
     def stage(name: str, df, t0: float):
+        # persist BEFORE counting so every later stage (and the final
+        # write) reads the materialized survivors instead of re-running
+        # the whole upstream funnel; once the new generation is
+        # materialized the previous one is released
+        df = df.persist()
         n = df.count()
+        if prev_df[0] is not None:
+            prev_df[0].unpersist(blocking=False)
+        prev_df[0] = df
         report["stages"].append(
             {"stage": name, "rows": n, "sec": round(time.time() - t0, 2)}
         )

@@ -22,9 +22,10 @@ def _exact_pairs(rows, threshold):
         inter = len(sets[a] & sets[b])
         if inter == 0:
             continue
-        j = _round6(inter / len(sets[a] | sets[b]))
+        j = inter / len(sets[a] | sets[b])
+        # unrounded threshold filter, rounded reported value (engine parity)
         if j >= threshold:
-            out[(a, b)] = j
+            out[(a, b)] = _round6(j)
     return out
 
 

@@ -79,7 +79,10 @@ def test_streaming_exact_dedup_cross_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt1"))
         .start()
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(120)
+    if not finished:
+        q.stop()
+    assert finished, "streaming query did not finish within 120s"
     rows = spark.sql("select * from exact_dedup").collect()
     # the cross-batch duplicate (doc 3) is dropped by fingerprint state
     assert {r.doc_id for r in rows} == {1, 2, 4}
@@ -137,7 +140,10 @@ def test_streaming_minhash_candidates_cross_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt2"))
         .start()
     )
-    q.awaitTermination(180)
+    finished = q.awaitTermination(180)
+    if not finished:
+        q.stop()
+    assert finished, "streaming query did not finish within 180s"
     rows = spark.sql("select * from mh_cands").collect()
     pairs = {(r.id_a, r.id_b) for r in rows}
     # intra-batch pair from batch 0
