@@ -337,6 +337,18 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_stats(d, k=8, min_df=2)
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition metrics (round 4): per (doc, n) duplicated
+    n-gram position rate and top-gram share — the Gopher-style quality
+    gates (functions/repetition.py). Shuffle-free sorted-array run-length
+    fold; the oracle is a FULL exact DuckDB twin recomputing the counters
+    from the raw gram strings."""
+    from open_data_linter_spark.functions.repetition import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d, ns=(1, 2, 3))
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (round 4): next-fit over id order
     inside explicit id ranges (functions/packing.py) — deterministic and
@@ -866,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apss_jaccard": q_apss_jaccard,
         "apss_jaccard_agg": q_apss_jaccard_agg,
         "duplicate_spans": q_duplicate_spans,
+        "repetition_stats": q_repetition_stats,
         "mixture_sample_lang": q_mixture_sample,
         "sequence_packing": q_sequence_packing,
         "stratified_sample_lang": q_stratified_sample_lang,
@@ -1242,6 +1255,45 @@ def oracle_sql() -> dict[str, str]:
                      AS dup_coverage
             FROM g LEFT JOIN nd ON nd.id = g.id
             ORDER BY doc_id
+        """,
+        "repetition_stats": r"""
+            -- FULL exact twin: positional word n-grams for n in (1,2,3)
+            -- (same tokenize + short-doc whole-text fallback as
+            -- positional_shingles), per-doc occurrence counters recomputed
+            -- from the raw gram STRINGS (the engine folds xxhash64 hashes
+            -- inside one projection; identical up to 64-bit collisions).
+            WITH ns AS (SELECT unnest([1, 2, 3]) AS n),
+            toks AS (
+              SELECT doc_id AS id,
+                     string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents
+              WHERE trim(coalesce(text,'')) != ''
+            ), g AS (
+              SELECT id, n,
+                     CASE WHEN len(t) >= n THEN
+                       list_transform(generate_series(1, len(t)-n+1),
+                                      i -> array_to_string(t[i:i+n-1], ' '))
+                     ELSE [array_to_string(t, ' ')] END AS gs
+              FROM toks CROSS JOIN ns
+            ), occ AS (
+              SELECT id, n, unnest(gs) AS gram FROM g
+            ), cnt AS (
+              SELECT id, n, gram, count(*) AS c
+              FROM occ GROUP BY id, n, gram
+            ), agg AS (
+              SELECT id, n,
+                     CAST(sum(c) AS BIGINT) AS tot,
+                     CAST(count(*) AS BIGINT) AS distinct_grams,
+                     CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0)
+                          AS BIGINT) AS dup,
+                     CAST(max(c) AS BIGINT) AS top
+              FROM cnt GROUP BY id, n
+            )
+            SELECT id AS doc_id, CAST(n AS INT) AS n, tot AS n_grams,
+                   distinct_grams,
+                   round(dup * 1.0 / tot, 6) AS dup_position_rate,
+                   round(top * 1.0 / tot, 6) AS top_gram_rate
+            FROM agg ORDER BY doc_id, n
         """,
         "sequence_packing": r"""
             -- FULL exact twin: replay the next-fit recurrence per id
