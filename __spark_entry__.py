@@ -349,6 +349,53 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(d, ns=(1, 2, 3))
 
 
+def q_pii_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (round 4, functions/pii.py). The corpus
+    text is word-salad with no PII, so the query deterministically plants
+    category exemplars keyed off doc_id (both sides build the identical
+    augmented string), then screens ALL docs — non-planted rows prove the
+    zero-false-positive side. FULL exact DuckDB twin (Java regex and RE2
+    agree on the ASCII pattern subset; redacted_n_chars pins the
+    replacement transform)."""
+    from open_data_linter_spark.functions.pii import pii_screen
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            i % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                i.cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 11 == 0,
+            F.concat(
+                F.lit(" host 10."), (i % 200).cast("string"), F.lit(".0.1")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 13 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((i % 1000).cast("string"), 3, "0"),
+                F.lit("-0199"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 17 == 0,
+            F.concat(
+                F.lit(" card 4111-1111-1111-"),
+                F.lpad((i % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return pii_screen(d.select("doc_id", aug.alias("text")))
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (round 4): next-fit over id order
     inside explicit id ranges (functions/packing.py) — deterministic and
@@ -879,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apss_jaccard_agg": q_apss_jaccard_agg,
         "duplicate_spans": q_duplicate_spans,
         "repetition_stats": q_repetition_stats,
+        "pii_screen": q_pii_screen,
         "mixture_sample_lang": q_mixture_sample,
         "sequence_packing": q_sequence_packing,
         "stratified_sample_lang": q_stratified_sample_lang,
@@ -1294,6 +1342,60 @@ def oracle_sql() -> dict[str, str]:
                    round(dup * 1.0 / tot, 6) AS dup_position_rate,
                    round(top * 1.0 / tot, 6) AS top_gram_rate
             FROM agg ORDER BY doc_id, n
+        """,
+        "pii_screen": r"""
+            -- FULL exact twin: identical deterministic PII augmentation,
+            -- RE2 counts + redaction over the same ASCII-subset patterns
+            -- Spark runs through Java regex (parity pinned in
+            -- tests/test_pii.py across Java/Python-re/RE2).
+            WITH aug AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+                          || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN ' host 10.'
+                          || CAST(doc_id % 200 AS VARCHAR) || '.0.1'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0 THEN ' call +1-555-'
+                          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || '-0199'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 17 = 0 THEN ' card 4111-1111-1111-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END AS text
+              FROM documents
+            ), pat AS (
+              SELECT
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS p_email,
+                '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}' AS p_phone,
+                '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b' AS p_card,
+                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b' AS p_ip
+            ), c AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, p_email)) AS INT)
+                       AS n_email,
+                     CAST(len(regexp_extract_all(text, p_phone)) AS INT)
+                       AS n_phone,
+                     CAST(len(regexp_extract_all(text, p_card)) AS INT)
+                       AS n_card,
+                     CAST(len(regexp_extract_all(text, p_ip)) AS INT)
+                       AS n_ipv4,
+                     CAST(length(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(text, p_email, '<EMAIL>', 'g'),
+                             p_phone, '<PHONE>', 'g'),
+                           p_card, '<CARD>', 'g'),
+                         p_ip, '<IP>', 'g')
+                     ) AS INT) AS redacted_n_chars
+              FROM aug CROSS JOIN pat
+            )
+            SELECT doc_id, n_email, n_phone, n_card, n_ipv4,
+                   (n_email + n_phone + n_card + n_ipv4) > 0 AS has_pii,
+                   redacted_n_chars
+            FROM c ORDER BY doc_id
         """,
         "sequence_packing": r"""
             -- FULL exact twin: replay the next-fit recurrence per id
