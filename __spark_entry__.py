@@ -396,6 +396,16 @@ def q_pii_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_screen(d.select("doc_id", aug.alias("text")))
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head (round 4, functions/vocab.py): top-50 tokens
+    by count with corpus share and cumulative coverage — one partial-agg
+    shuffle + TakeOrdered, never a global sort. Ties break (cnt DESC,
+    token ASC) so the ordering is total; FULL exact DuckDB twin."""
+    from open_data_linter_spark.functions.vocab import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (round 4): next-fit over id order
     inside explicit id ranges (functions/packing.py) — deterministic and
@@ -927,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "repetition_stats": q_repetition_stats,
         "pii_screen": q_pii_screen,
+        "vocab_topk": q_vocab_topk,
         "mixture_sample_lang": q_mixture_sample,
         "sequence_packing": q_sequence_packing,
         "stratified_sample_lang": q_stratified_sample_lang,
@@ -1342,6 +1353,35 @@ def oracle_sql() -> dict[str, str]:
                    round(dup * 1.0 / tot, 6) AS dup_position_rate,
                    round(top * 1.0 / tot, 6) AS top_gram_rate
             FROM agg ORDER BY doc_id, n
+        """,
+        "vocab_topk": r"""
+            -- FULL exact twin: same tokenize contract (trim/lower/\s+
+            -- split, empty docs excluded), total-order tie break
+            -- (cnt DESC, token ASC), cumulative coverage over the head.
+            WITH toks AS (
+              SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                       AS token
+              FROM documents
+              WHERE trim(coalesce(text,'')) != ''
+            ), cnt AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS cnt
+              FROM toks GROUP BY token
+            ), tot AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt
+            ), top AS (
+              SELECT token, cnt,
+                     CAST(row_number() OVER
+                       (ORDER BY cnt DESC, token ASC) AS INT) AS rank,
+                     CAST(sum(cnt) OVER
+                       (ORDER BY cnt DESC, token ASC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+              FROM cnt ORDER BY cnt DESC, token ASC LIMIT 50
+            )
+            SELECT rank, token, cnt,
+                   round(cnt * 1.0 / total, 6) AS coverage,
+                   round(run * 1.0 / total, 6) AS cum_coverage
+            FROM top CROSS JOIN tot
+            ORDER BY rank
         """,
         "pii_screen": r"""
             -- FULL exact twin: identical deterministic PII augmentation,
