@@ -57,6 +57,9 @@ HEADLINE = [
     "contamination_screen",  # round 4: broadcast eval inverted index
     "sequence_packing",      # round 4: per-range next-fit binning
     "stratified_sample_lang",  # round 4: exact per-group sampling
+    "repetition_stats",  # round 4: intra-doc Gopher gates (shuffle-free)
+    "pii_screen",        # round 4: regex PII pass (pure projection)
+    "vocab_topk",        # round 4: corpus token head (1 shuffle + top-k)
 ]
 
 
