@@ -406,6 +406,29 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_t(spark, sf_dir, "documents"), k=50)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (round 4, dedup/semdedup.py): k-means cells + in-cell
+    greedy leader dedup over the embeddings table — the one-shuffle
+    cluster-then-dedup scale path (Abbas et al. 2303.09540). Returns the
+    DROPPED rows with their kept leader and pair cosine. Cell assignment
+    is engine-internal (seeded Lloyd), so the oracle pins WHICH ids were
+    dropped, recomputes dup_sim from the raw parquet (exact column twin),
+    asserts every leader was itself kept, and zeroes the result if
+    coverage of the brute-force ≥0.45 pair set drops below 0.4 (measured
+    0.5 — cross-cell misses are the method's documented tradeoff at a
+    threshold far below its usual ≥0.9 operating point; the lossless APSS
+    and banded-LSH paths serve that regime)."""
+    from open_data_linter_spark.dedup.semdedup import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = semdedup(e, threshold=0.45, n_cells=8, train_size=500, seed=42)
+    return (
+        v.where(~F.col("keep"))
+        .select("vec_id", "dup_of", "dup_sim")
+        .orderBy("vec_id")
+    )
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (round 4): next-fit over id order
     inside explicit id ranges (functions/packing.py) — deterministic and
@@ -940,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "mixture_sample_lang": q_mixture_sample,
         "sequence_packing": q_sequence_packing,
+        "semdedup": q_semdedup,
         "stratified_sample_lang": q_stratified_sample_lang,
         "contamination_screen": q_contamination_screen,
         "dedup_clusters": q_dedup_clusters,
@@ -1574,6 +1598,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(comp) AS component_id
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "semdedup": """
+            -- SEMANTIC oracle (knn_ivf pattern): WHICH ids the in-cell
+            -- greedy dropped stays pinned (cell assignment = seeded
+            -- k-means, engine-internal). Everything checkable is
+            -- recomputed from the raw parquet: dup_sim via
+            -- list_cosine_similarity (exact column twin — a drift in the
+            -- engine's cosine hash-mismatches), every pair must clear the
+            -- 0.45 threshold, every leader must itself be KEPT (not in
+            -- the dropped set), and the result zeroes if the dropped set
+            -- covers < 0.4 of the brute-force >=0.45 pair set (measured
+            -- 7/14 = 0.5; cross-cell misses are SemDeDup's documented
+            -- tradeoff at thresholds far below its >=0.9 design point).
+            WITH reported AS (
+              SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                     CAST(dup_of AS BIGINT) AS dup_of
+              FROM (VALUES (7,340),(44,301),(256,75),(305,28),
+                           (324,166),(438,156),(466,169))
+                   AS t(vec_id, dup_of)
+            ), rescored AS (
+              SELECT r.vec_id, r.dup_of,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS dup_sim
+              FROM reported r
+              JOIN embeddings a ON a.vec_id = r.vec_id
+              JOIN embeddings b ON b.vec_id = r.dup_of
+            ), brute AS (
+              SELECT a.vec_id AS ia, b.vec_id AS ib
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+            )
+            SELECT vec_id, dup_of, dup_sim FROM rescored
+            WHERE (SELECT count(*) FROM rescored WHERE dup_sim >= 0.45)
+                  = (SELECT count(*) FROM reported)
+              AND NOT EXISTS (SELECT 1 FROM reported r
+                              JOIN reported d ON r.dup_of = d.vec_id)
+              AND (SELECT count(*) FROM brute
+                   WHERE ia IN (SELECT vec_id FROM reported)
+                      OR ib IN (SELECT vec_id FROM reported)) * 1.0
+                  >= 0.4 * (SELECT count(*) FROM brute)
+            ORDER BY vec_id
         """,
         "embedding_neardups": """
             -- cast to DOUBLE[]: the engine computes cosine in float64, and

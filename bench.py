@@ -60,6 +60,7 @@ HEADLINE = [
     "repetition_stats",  # round 4: intra-doc Gopher gates (shuffle-free)
     "pii_screen",        # round 4: regex PII pass (pure projection)
     "vocab_topk",        # round 4: corpus token head (1 shuffle + top-k)
+    "semdedup",          # round 4: k-means cells + in-cell greedy dedup
 ]
 
 

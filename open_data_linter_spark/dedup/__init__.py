@@ -13,4 +13,8 @@ from open_data_linter_spark.dedup.contamination import (  # noqa: F401
     ngram_contamination,
 )
 from open_data_linter_spark.dedup.apss import apss_jaccard_pairs  # noqa: F401
+from open_data_linter_spark.dedup.semdedup import (  # noqa: F401
+    semdedup,
+    semdeduplicate,
+)
 from open_data_linter_spark.dedup.spans import duplicate_span_stats  # noqa: F401
