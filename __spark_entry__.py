@@ -429,6 +429,25 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (round 4, functions/bpe.py):
+    16 merges learned over the word-frequency table — the corpus is
+    shuffled ONCE (word counts); every round after runs on the distinct-
+    word table (pair-count shuffle + 1-row collect + Catalyst merge
+    fold). Training is fully deterministic (total tie-break), so the
+    merge table is pinned; the oracle additionally RECOMPUTES merge #1
+    from the raw text in SQL (weighted char-pair counts — left, right
+    AND count must match exactly), asserts every later merge symbol is
+    buildable from earlier merges or single chars, and asserts winner
+    counts are non-increasing in rank (provable: a merge can only create
+    pairs bounded by its own count and never raises an existing pair's).
+    tests/test_bpe.py replays training+encoding against an independent
+    pure-Python BPE."""
+    from open_data_linter_spark.functions.bpe import bpe_merges_df
+
+    return bpe_merges_df(_t(spark, sf_dir, "documents"), n_merges=16)
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (round 4): next-fit over id order
     inside explicit id ranges (functions/packing.py) — deterministic and
@@ -964,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_lang": q_mixture_sample,
         "sequence_packing": q_sequence_packing,
         "semdedup": q_semdedup,
+        "bpe_merges": q_bpe_merges,
         "stratified_sample_lang": q_stratified_sample_lang,
         "contamination_screen": q_contamination_screen,
         "dedup_clusters": q_dedup_clusters,
@@ -1598,6 +1618,63 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(comp) AS component_id
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "bpe_merges": r"""
+            -- ENGINE-DETERMINISTIC pin (total tie-break) hardened three
+            -- ways: merge #1 is RECOMPUTED from the raw text (weighted
+            -- adjacent-char-pair counts — left/right/count must all
+            -- match or the result zeroes); every later merge symbol must
+            -- be BUILDABLE (a single char, the </w> marker, or the
+            -- concatenation of an earlier merge); winner counts must be
+            -- NON-INCREASING in rank (provable BPE invariant: merging
+            -- the max pair only creates pairs bounded by its count and
+            -- never raises an existing pair's count).
+            WITH pinned AS (
+              SELECT CAST(r AS INTEGER) AS merge_rank, l AS "left",
+                     rr AS "right", CAST(pc AS BIGINT) AS pair_count
+              FROM (VALUES
+                (1,'e','r',4568),(2,'e','</w>',4473),(3,'n','</w>',2834),
+                (4,'er','</w>',2779),(5,'o','w',2747),(6,'ow','</w>',2747),
+                (7,'o','r',2696),(8,'s','t',2676),(9,'h','</w>',1884),
+                (10,'a','t',1845),(11,'l','u',1831),(12,'i','n',1796),
+                (13,'a','</w>',1788),(14,'g','</w>',1777),
+                (15,'y','</w>',1767),(16,'a','r',1758)
+              ) AS t(r, l, rr, pc)
+            ), words AS (
+              SELECT w AS word, count(*) AS cnt FROM (
+                SELECT unnest(string_split_regex(
+                         trim(lower(coalesce(text,''))), '\s+')) AS w
+                FROM documents
+              ) WHERE w <> '' GROUP BY w
+            ), syms AS (
+              SELECT cnt, list_append(string_split(word, ''), '</w>') AS s
+              FROM words
+            ), z AS (
+              SELECT cnt, unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS p
+              FROM syms WHERE len(s) >= 2
+            ), round1 AS (
+              SELECT p[1] AS l, p[2] AS r, CAST(sum(cnt) AS BIGINT) AS pc
+              FROM z GROUP BY 1, 2 ORDER BY pc DESC, l, r LIMIT 1
+            )
+            SELECT merge_rank, "left", "right", pair_count FROM pinned
+            WHERE EXISTS (SELECT 1 FROM round1 r1 JOIN pinned p1
+                          ON p1.merge_rank = 1
+                          AND p1."left" = r1.l AND p1."right" = r1.r
+                          AND p1.pair_count = r1.pc)
+              AND NOT EXISTS (
+                SELECT 1 FROM pinned p WHERE NOT (
+                  (length(p."left") = 1 OR p."left" = '</w>'
+                   OR p."left" IN (SELECT q."left" || q."right" FROM pinned q
+                                   WHERE q.merge_rank < p.merge_rank))
+                  AND
+                  (length(p."right") = 1 OR p."right" = '</w>'
+                   OR p."right" IN (SELECT q."left" || q."right" FROM pinned q
+                                    WHERE q.merge_rank < p.merge_rank))))
+              AND NOT EXISTS (
+                SELECT 1 FROM pinned a JOIN pinned b
+                ON a.merge_rank < b.merge_rank
+                AND a.pair_count < b.pair_count)
+            ORDER BY merge_rank
         """,
         "semdedup": """
             -- SEMANTIC oracle (knn_ivf pattern): WHICH ids the in-cell

@@ -1,0 +1,229 @@
+"""Distributed BPE tokenizer training + encoding.
+
+Byte-pair-encoding merge learning (Sennrich et al., "Neural Machine
+Translation of Rare Words with Subword Units", arXiv 1508.07909 §3.2) is
+the corpus-level pass every tokenizer build starts from. The classic
+implementation trick makes it tractable at 100 TB: BPE statistics depend
+only on the WORD-FREQUENCY TABLE, so the corpus is touched exactly ONCE
+(the same one-shuffle word count as functions/vocab.py) and every merge
+round after that runs over the distinct-word table — millions of rows,
+not trillions.
+
+Per merge round (driver-looped, k rounds):
+
+- pair counts: adjacent symbol pairs per word, weighted by word count —
+  ``arrays_zip`` of two slices, explode, one ``groupBy(left, right)``
+  shuffle with map-side partial aggregation over the WORD table only;
+- winner: ``orderBy(count desc, left asc, right asc).limit(1)`` collected
+  to the driver (one row; total tie-break makes training deterministic);
+- merge application: greedy left-to-right non-overlapping replacement of
+  the winning adjacent pair, expressed as a Catalyst ``F.aggregate`` fold
+  with a (out, pending) struct accumulator — whole-stage JVM, no UDF.
+  ("aaa" with merge (a,a) -> ["aa","a"]; a merged symbol does not re-pair
+  within its own round, the standard greedy semantics.)
+
+Lineage discipline: the evolving word table feeds two consumers per round
+(pair counting and the next round), so a lazy persist doubles the plan
+tree per round and Catalyst re-analysis explodes — ``localCheckpoint``
+per round with materialize-then-release generation handoff, exactly the
+dedup/cluster.py lesson.
+
+Words are symbolized as their characters plus a terminal end-of-word
+marker ``</w>`` (the Sennrich formulation), so merges learned here never
+cross word boundaries and frequent whole words eventually become single
+symbols ending in ``</w>``.
+
+Training is fully deterministic (total order on winners), so the driver
+query pins the merge table as an engine-deterministic VALUES oracle
+(fleet/HLL-matrix convention); tests/test_bpe.py additionally replays
+training and encoding against an independent pure-Python BPE and asserts
+byte equality.
+
+The reference (volare-all/open-data-linter) has no tokenizer training;
+this extends the engine per the training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+# module-top pd/np: function-local imports break @pandas_udf type-hint
+# resolution under `from __future__ import annotations` (CLAUDE.md)
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EOW = "</w>"  # terminal end-of-word symbol (Sennrich formulation)
+
+
+def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """One corpus shuffle: whitespace word -> count (the vocab.py
+    tokenize contract: trim/lower/split, empty docs contribute nothing)."""
+    c = F.col(text_col)
+    toks = F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
+    return (
+        df.select(F.explode(toks).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _merge_fold(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of adjacent (left,
+    right) into left+right, as a pure Catalyst aggregate fold."""
+    merged = F.lit(left + right)
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, s):
+        hit = acc["pend"].eqNullSafe(F.lit(left)) & (s == F.lit(right))
+        return F.struct(
+            F.when(hit, F.concat(acc["out"], F.array(merged)))
+            .otherwise(
+                F.when(
+                    acc["pend"].isNull(), acc["out"]
+                ).otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+            )
+            .alias("out"),
+            F.when(hit, F.lit(None).cast("string")).otherwise(s).alias("pend"),
+        )
+
+    def finish(acc):
+        return F.when(
+            acc["pend"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+
+    return F.aggregate(syms, acc0, step, finish)
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns [(rank, left, right,
+    pair_count)] in learned order. Stops early when the best remaining
+    pair's weighted count drops below ``min_pair_count``."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    words = _word_counts(df, text_col).select(
+        "cnt",
+        # split("", word) yields exactly the characters in Spark 4 (no
+        # trailing empty element — probed); append the terminal marker
+        F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW))).alias(
+            "syms"
+        ),
+    )
+    # one generation per round; materialize-then-release handoff so round
+    # r+1 never recomputes rounds 1..r (dedup/cluster.py lineage lesson)
+    cur = words.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            n = F.size(F.col("syms"))
+            pairs = (
+                cur.where(n >= 2)
+                .select(
+                    "cnt",
+                    F.explode(
+                        F.arrays_zip(
+                            F.slice(F.col("syms"), 1, n - 1).alias("l"),
+                            F.slice(F.col("syms"), 2, n - 1).alias("r"),
+                        )
+                    ).alias("p"),
+                )
+                .groupBy(
+                    F.col("p.l").alias("left"), F.col("p.r").alias("right")
+                )
+                .agg(F.sum("cnt").alias("pair_count"))
+            )
+            top = pairs.orderBy(
+                F.desc("pair_count"), F.asc("left"), F.asc("right")
+            ).limit(1).collect()
+            if not top or top[0].pair_count < min_pair_count:
+                break
+            l, r, c = top[0].left, top[0].right, int(top[0].pair_count)
+            merges.append((rank, l, r, c))
+            nxt = cur.select(
+                "cnt", _merge_fold(F.col("syms"), l, r).alias("syms")
+            ).localCheckpoint(eager=True)
+            old, cur = cur, nxt
+            old.unpersist(blocking=False)
+    finally:
+        cur.unpersist(blocking=False)
+    return merges
+
+
+def bpe_merges_df(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """``bpe_train`` as a DataFrame (merge_rank, left, right, pair_count)
+    — the driver-query surface."""
+    spark = df.sparkSession
+    rows = bpe_train(df, n_merges, text_col, min_pair_count)
+    return spark.createDataFrame(
+        rows, "merge_rank int, left string, right string, pair_count long"
+    ).orderBy("merge_rank")
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge list: per word, replay merges in rank order
+    (greedy left-to-right within each rank — the exact training
+    semantics, so encoding the training corpus reproduces the final
+    training symbolization). Arrow-batched pandas UDF with a per-batch
+    distinct-word cache — the corpus is never shuffled; encoding is an
+    embarrassingly parallel projection."""
+    ranked = [
+        (m[1], m[2]) if len(m) >= 4 else (m[0], m[1]) for m in merges  # type: ignore[misc]
+    ]
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _enc(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                got = cache[w] = apply_merges(list(w) + [EOW], ranked)
+            return got
+
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in (t or "").lower().split():
+                toks.extend(enc_word(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _enc(F.col(text_col)))
+
+
+def apply_merges(
+    syms: list[str], ranked: list[tuple[str, str]]
+) -> list[str]:
+    """Pure-Python single-word merge replay (shared by the encode UDF and
+    tests): for each (left, right) in rank order, greedy left-to-right
+    non-overlapping replacement — byte-identical to ``_merge_fold``."""
+    for left, right in ranked:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
