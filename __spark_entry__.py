@@ -429,6 +429,20 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword top-10 (round 4, similarity/bm25.py): lexical
+    retrieval beside the embedding ANN paths — one corpus shuffle builds
+    term-filtered postings, scoring is pure Catalyst arithmetic, per-
+    query top-k is a window over candidates. Fully deterministic (+1 idf
+    form, 6-decimal scores, total tie-break) so the oracle is a FULL
+    exact DuckDB twin recomputing the identical formula from raw text."""
+    from open_data_linter_spark.similarity.bm25 import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    qs = [(0, "hash join table"), (1, "slow scan"), (2, "merge batch value")]
+    return bm25_topk(d, qs, k=10).orderBy("query_id", "rank")
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (round 4, functions/bpe.py):
     16 merges learned over the word-frequency table — the corpus is
@@ -984,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "semdedup": q_semdedup,
         "bpe_merges": q_bpe_merges,
+        "bm25": q_bm25,
         "stratified_sample_lang": q_stratified_sample_lang,
         "contamination_screen": q_contamination_screen,
         "dedup_clusters": q_dedup_clusters,
@@ -1618,6 +1633,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(comp) AS component_id
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "bm25": r"""
+            -- FULL exact twin: identical tokenize contract, +1 idf form,
+            -- k1=1.2 b=0.75 inlined, 6-decimal rounding, (score DESC,
+            -- doc_id ASC) total tie-break. N/avgdl count EVERY document
+            -- (empty/null docs contribute length 0), matching the engine.
+            WITH q(query_id, term) AS (
+              VALUES (0,'hash'),(0,'join'),(0,'table'),
+                     (1,'slow'),(1,'scan'),
+                     (2,'merge'),(2,'batch'),(2,'value')
+            ), toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                       trim(lower(coalesce(text,''))), '\s+'),
+                       x -> x <> '') AS t
+              FROM documents
+            ), stats AS (
+              SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks
+            ), tfg AS (
+              SELECT doc_id, dl, term, count(*) AS tf FROM (
+                SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+              ) WHERE term IN (SELECT DISTINCT term FROM q)
+              GROUP BY 1, 2, 3
+            ), dft AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM tfg GROUP BY term
+            ), sc AS (
+              SELECT q.query_id, tfg.doc_id,
+                     round(CAST(sum(
+                       ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+                       * tfg.tf * 2.2
+                       / (tfg.tf + 1.2 * (0.25 + 0.75 * tfg.dl / s.avgdl))
+                     ) AS DOUBLE), 6) AS score
+              FROM tfg JOIN dft USING(term) JOIN q USING(term)
+              CROSS JOIN stats s
+              GROUP BY 1, 2
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+                   CAST("rank" AS INTEGER) AS "rank"
+            FROM (
+              SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id ASC)
+                       AS "rank"
+              FROM sc
+            ) WHERE "rank" <= 10
+            ORDER BY query_id, "rank"
         """,
         "bpe_merges": r"""
             -- ENGINE-DETERMINISTIC pin (total tie-break) hardened three

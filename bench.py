@@ -61,6 +61,7 @@ HEADLINE = [
     "pii_screen",        # round 4: regex PII pass (pure projection)
     "vocab_topk",        # round 4: corpus token head (1 shuffle + top-k)
     "semdedup",          # round 4: k-means cells + in-cell greedy dedup
+    "bm25",              # round 4: term-filtered postings + window top-k
 ]
 
 
