@@ -429,6 +429,17 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-perplexity under a corpus-trained add-alpha bigram LM (round
+    4, functions/lm.py) — the CCNet-style model-based quality gate. Two
+    training shuffles + one scoring join, all Catalyst arithmetic;
+    closed-form counts make the oracle a FULL exact DuckDB twin."""
+    from open_data_linter_spark.functions.lm import lm_perplexity
+
+    d = _t(spark, sf_dir, "documents")
+    return lm_perplexity(d, alpha=0.1).orderBy("doc_id")
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 keyword top-10 (round 4, similarity/bm25.py): lexical
     retrieval beside the embedding ANN paths — one corpus shuffle builds
@@ -999,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "bpe_merges": q_bpe_merges,
         "bm25": q_bm25,
+        "lm_perplexity": q_lm_perplexity,
         "stratified_sample_lang": q_stratified_sample_lang,
         "contamination_screen": q_contamination_screen,
         "dedup_clusters": q_dedup_clusters,
@@ -1633,6 +1645,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(comp) AS component_id
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "lm_perplexity": r"""
+            -- FULL exact twin: identical tokenize contract, identical
+            -- add-0.1 bigram model (prefix counts derived from the
+            -- bigram table; V = distinct corpus words), 6-decimal ppl.
+            -- Every scored occurrence was seen in training (self-
+            -- scoring), so inner joins suffice here.
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                       trim(lower(coalesce(text,''))), '\s+'),
+                       x -> x <> '') AS t
+              FROM documents
+            ), o2 AS (
+              SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+                SELECT doc_id,
+                       unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+                FROM toks WHERE len(t) >= 2
+              )
+            ), big AS (
+              SELECT w1, w2, count(*) AS c12 FROM o2 GROUP BY 1, 2
+            ), pre AS (
+              SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1
+            ), vv AS (
+              SELECT count(DISTINCT w) AS v FROM (
+                SELECT unnest(t) AS w FROM toks
+              )
+            ), sc AS (
+              SELECT o2.doc_id, count(*) AS nb,
+                     sum(ln((big.c12 + 0.1) / (pre.c1 + 0.1 * vv.v))) AS slp
+              FROM o2 JOIN big USING (w1, w2) JOIN pre USING (w1)
+              CROSS JOIN vv
+              GROUP BY 1
+            )
+            SELECT doc_id, CAST(nb + 1 AS BIGINT) AS n_tokens,
+                   round(exp(-slp / nb), 6) AS ppl
+            FROM sc
+            UNION ALL
+            SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(NULL AS DOUBLE) AS ppl
+            FROM toks WHERE len(t) < 2
+            ORDER BY doc_id
         """,
         "bm25": r"""
             -- FULL exact twin: identical tokenize contract, +1 idf form,

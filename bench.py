@@ -62,6 +62,7 @@ HEADLINE = [
     "vocab_topk",        # round 4: corpus token head (1 shuffle + top-k)
     "semdedup",          # round 4: k-means cells + in-cell greedy dedup
     "bm25",              # round 4: term-filtered postings + window top-k
+    "lm_perplexity",     # round 4: corpus bigram LM train + score joins
 ]
 
 
