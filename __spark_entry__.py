@@ -429,6 +429,31 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (round 4, similarity/pq.py): coarse cells + residual
+    product quantization (Jégou IVFADC) — the memory-compressed scale
+    path: the probe join ships 32 one-byte codes per candidate instead
+    of a 256-byte vector. ADC ordering is engine-internal (SQL cannot
+    reconstruct codebooks), so the query surfaces (query, neighbor,
+    rank) only; the oracle pins the ids and judges them SEMANTICALLY
+    from raw embeddings: recall vs the exact top-5 must clear 0.7
+    (measured 0.775, the IVF-Flat level) and EVERY surfaced neighbor
+    must sit within the exact top-15 for its query (measured max rank
+    9) — both zero the result when violated."""
+    from open_data_linter_spark.similarity.pq import ivf_pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8)
+    return (
+        ivf_pq_topk(
+            e, q, k=5, n_cells=16, nprobe=8, m=32, bits=8,
+            train_size=500, seed=42,
+        )
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-perplexity under a corpus-trained add-alpha bigram LM (round
     4, functions/lm.py) — the CCNet-style model-based quality gate. Two
@@ -1011,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bm25": q_bm25,
         "lm_perplexity": q_lm_perplexity,
+        "knn_ivf_pq": q_knn_ivf_pq,
         "stratified_sample_lang": q_stratified_sample_lang,
         "contamination_screen": q_contamination_screen,
         "dedup_clusters": q_dedup_clusters,
@@ -1645,6 +1671,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(comp) AS component_id
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "knn_ivf_pq": """
+            -- SEMANTIC oracle: surfaced ids pinned (ADC order needs the
+            -- engine's codebooks); SQL judges them from raw embeddings —
+            -- recall vs exact top-5 >= 0.7 (measured 0.775) AND every
+            -- surfaced neighbor within the exact top-15 for its query
+            -- (measured max exact rank 9). Either violation zeroes.
+            WITH reported AS (
+              SELECT CAST(query_id AS BIGINT) AS query_id,
+                     CAST(neighbor_id AS BIGINT) AS neighbor_id,
+                     CAST(rk AS INTEGER) AS "rank"
+              FROM (VALUES
+                (0,365,1),(0,334,2),(0,387,3),(0,423,4),(0,73,5),
+                (1,386,1),(1,407,2),(1,64,3),(1,124,4),(1,402,5),
+                (2,117,1),(2,145,2),(2,450,3),(2,350,4),(2,320,5),
+                (3,130,1),(3,149,2),(3,343,3),(3,174,4),(3,231,5),
+                (4,496,1),(4,408,2),(4,482,3),(4,89,4),(4,280,5),
+                (5,404,1),(5,157,2),(5,33,3),(5,316,4),(5,395,5),
+                (6,430,1),(6,350,2),(6,145,3),(6,214,4),(6,268,5),
+                (7,340,1),(7,425,2),(7,334,3),(7,381,4),(7,221,5))
+                   AS t(query_id, neighbor_id, rk)
+            ), exact AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                                  c.vec_id ASC) AS xrank
+              FROM embeddings q JOIN embeddings c
+                   ON q.vec_id < 8 AND c.vec_id != q.vec_id
+            )
+            SELECT query_id, neighbor_id, "rank" FROM reported
+            WHERE (SELECT count(*) FROM reported r
+                   JOIN exact e ON e.query_id = r.query_id
+                               AND e.neighbor_id = r.neighbor_id
+                   WHERE e.xrank <= 5) * 1.0
+                  >= 0.7 * (SELECT count(*) FROM exact WHERE xrank <= 5)
+              AND NOT EXISTS (
+                SELECT 1 FROM reported r
+                JOIN exact e ON e.query_id = r.query_id
+                            AND e.neighbor_id = r.neighbor_id
+                WHERE e.xrank > 15)
+            ORDER BY query_id, "rank"
         """,
         "lm_perplexity": r"""
             -- FULL exact twin: identical tokenize contract, identical

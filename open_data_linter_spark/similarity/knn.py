@@ -150,27 +150,17 @@ def lsh_topk(
     return _rank_topk(scored, k)
 
 
-def train_centroids(
+def normalized_train_sample(
     corpus: DataFrame,
-    n_cells: int,
     vec_col: str = "embedding",
     train_size: int = 20_000,
-    iters: int = 10,
     seed: int = 42,
 ) -> np.ndarray:
-    """IVF coarse quantizer: Lloyd's k-means on a bounded driver-side
-    sample (spherical: vectors and centroids L2-normalized, so argmax dot
-    == argmax cosine). The sample is capped — at 10^12 rows this is the
-    standard train-on-a-sample step, not a full collect.
-
-    The sample is a seeded UNIFORM draw across the whole corpus, never a
+    """Seeded UNIFORM bounded sample of L2-normalized vectors — the
+    shared trainer draw for IVF centroids and PQ codebooks. Never a
     ``limit``: Spark's limit drains the first partitions, so on
-    ingestion-ordered data it would train the quantizer on one time-slice
-    of the corpus and skew every centroid there (round-3 verdict). A cheap
-    count sizes the Bernoulli fraction with a small overdraw; if the draw
-    lands over ``train_size`` it is trimmed driver-side with a seeded
-    uniform choice (NOT a limit — a limit over the sample would re-bias
-    toward early partitions)."""
+    ingestion-ordered data it would train on one time-slice of the
+    corpus and bias every quantizer there (round-3 verdict)."""
     src = corpus.select(vec_col).where(F.col(vec_col).isNotNull())
     # size the fraction from the UNFILTERED corpus count: a bare-scan
     # count() is answered from parquet footer metadata (no data pass),
@@ -202,6 +192,31 @@ def train_centroids(
             rows = [rows[i] for i in np.sort(pick)]
     sample = np.array(rows, dtype=np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    return sample
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    train_size: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """IVF coarse quantizer: Lloyd's k-means on a bounded driver-side
+    sample (spherical: vectors and centroids L2-normalized, so argmax dot
+    == argmax cosine). The sample is capped — at 10^12 rows this is the
+    standard train-on-a-sample step, not a full collect.
+
+    The sample is a seeded UNIFORM draw across the whole corpus, never a
+    ``limit``: Spark's limit drains the first partitions, so on
+    ingestion-ordered data it would train the quantizer on one time-slice
+    of the corpus and skew every centroid there (round-3 verdict). A cheap
+    count sizes the Bernoulli fraction with a small overdraw; if the draw
+    lands over ``train_size`` it is trimmed driver-side with a seeded
+    uniform choice (NOT a limit — a limit over the sample would re-bias
+    toward early partitions)."""
+    sample = normalized_train_sample(corpus, vec_col, train_size, seed)
     # degrade gracefully on tiny corpora/samples: fewer cells, never a crash
     n_cells = max(1, min(n_cells, len(sample)))
     rng = np.random.default_rng(seed)
