@@ -63,6 +63,7 @@ HEADLINE = [
     "semdedup",          # round 4: k-means cells + in-cell greedy dedup
     "bm25",              # round 4: term-filtered postings + window top-k
     "lm_perplexity",     # round 4: corpus bigram LM train + score joins
+    "knn_ivf_pq",        # round 4: residual-PQ probe join + ADC scoring
 ]
 
 
