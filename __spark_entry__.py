@@ -429,6 +429,19 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day PSI of events.value vs the global baseline (round 4,
+    functions/drift_psi.py): explicit 50-wide bins, Laplace-0.5
+    smoothing — the industry drift metric beside the KS/chi² rules.
+    One counts shuffle + tiny dense bins×days frame; FULL exact twin."""
+    from open_data_linter_spark.functions.drift_psi import psi_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(F.to_date("ts").alias("day"), "value")
+    edges = [float(x) for x in range(0, 451, 50)]
+    return psi_by_group(d, "value", "day", edges).orderBy("day")
+
+
 def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (round 4, similarity/pq.py): coarse cells + residual
     product quantization (Jégou IVFADC) — the memory-compressed scale
@@ -1037,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "lm_perplexity": q_lm_perplexity,
         "knn_ivf_pq": q_knn_ivf_pq,
+        "psi_drift": q_psi_drift,
         "stratified_sample_lang": q_stratified_sample_lang,
         "contamination_screen": q_contamination_screen,
         "dedup_clusters": q_dedup_clusters,
@@ -1671,6 +1685,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(comp) AS component_id
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "psi_drift": """
+            -- FULL exact twin: identical left-closed 50-wide bins with
+            -- open-ended outer bins (11 total), Laplace 0.5 smoothing
+            -- (alpha*n_bins = 5.5), 6-decimal rounding.
+            WITH ev AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value
+              FROM events WHERE value IS NOT NULL
+            ), bnd AS (
+              SELECT day,
+                     CASE WHEN value < 0 THEN 0 WHEN value < 50 THEN 1
+                          WHEN value < 100 THEN 2 WHEN value < 150 THEN 3
+                          WHEN value < 200 THEN 4 WHEN value < 250 THEN 5
+                          WHEN value < 300 THEN 6 WHEN value < 350 THEN 7
+                          WHEN value < 400 THEN 8 WHEN value < 450 THEN 9
+                          ELSE 10 END AS bin
+              FROM ev
+            ), base AS (
+              SELECT bin, count(*) AS bc FROM bnd GROUP BY bin
+            ), cur AS (
+              SELECT day, bin, count(*) AS cc FROM bnd GROUP BY day, bin
+            ), dense AS (
+              SELECT d.day, bb.bin,
+                     coalesce(cur.cc, 0) AS cc, coalesce(base.bc, 0) AS bc
+              FROM (SELECT DISTINCT day FROM bnd) d
+              CROSS JOIN (SELECT unnest(range(0, 11)) AS bin) bb
+              LEFT JOIN cur ON cur.day = d.day AND cur.bin = bb.bin
+              LEFT JOIN base ON base.bin = bb.bin
+            ), tot AS (
+              SELECT day, CAST(sum(cc) AS BIGINT) AS n_rows,
+                     CAST(sum(bc) AS BIGINT) AS nb
+              FROM dense GROUP BY day
+            )
+            SELECT dense.day AS day, t.n_rows,
+                   round(sum(
+                     ((cc + 0.5) / (t.n_rows + 5.5)
+                      - (bc + 0.5) / (t.nb + 5.5))
+                     * ln(((cc + 0.5) / (t.n_rows + 5.5))
+                          / ((bc + 0.5) / (t.nb + 5.5)))
+                   ), 6) AS psi
+            FROM dense JOIN tot t USING (day)
+            GROUP BY dense.day, t.n_rows
+            ORDER BY day
         """,
         "knn_ivf_pq": """
             -- SEMANTIC oracle: surfaced ids pinned (ADC order needs the
