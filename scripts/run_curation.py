@@ -6,9 +6,16 @@ curation sequence (each stage is the library operator, nothing bespoke):
   1. exact dedup           dedup/exact.distinct_by_fingerprint
   2. near-dup dedup        dedup/minhash pairs -> cluster.deduplicate
                            (connected components, min-id survivor)
+  2b. semantic dedup       dedup/semdedup.semdedup over --embeddings
+                           (optional; k-means cells + in-cell greedy —
+                           docs without an embedding row pass through)
   3. decontamination       dedup/contamination.decontaminate vs an eval set
   4. span-dup trim         dedup/spans.duplicate_span_stats coverage cap
   5. quality filter        functions/text.quality_score floor
+  5b. repetition gates     functions/repetition.repetition_filter
+                           (Gopher dup-2gram + top-2gram caps)
+  5c. PII redaction        functions/pii.redact_pii (transform, not a
+                           filter; disable with --no-redact-pii)
   6. mixture sampling      functions/sampling.mixture_sample (temperature)
   7. sequence packing      functions/packing.pack_sequences
 
@@ -50,6 +57,9 @@ from open_data_linter_spark.dedup.cluster import deduplicate  # noqa: E402
 from open_data_linter_spark.dedup.contamination import decontaminate  # noqa: E402
 from open_data_linter_spark.dedup.exact import distinct_by_fingerprint  # noqa: E402
 from open_data_linter_spark.dedup.minhash import minhash_near_duplicates  # noqa: E402
+from open_data_linter_spark.dedup.semdedup import semdedup  # noqa: E402
+from open_data_linter_spark.functions.pii import redact_pii  # noqa: E402
+from open_data_linter_spark.functions.repetition import repetition_filter  # noqa: E402
 from open_data_linter_spark.dedup.spans import duplicate_span_stats  # noqa: E402
 from open_data_linter_spark.functions.packing import pack_sequences  # noqa: E402
 from open_data_linter_spark.functions.sampling import mixture_sample  # noqa: E402
@@ -66,6 +76,14 @@ def main() -> int:
                          " of the corpus itself (demo mode)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--minhash-threshold", type=float, default=0.7)
+    ap.add_argument("--embeddings", default=None,
+                    help="embeddings parquet (vec_id keyed by doc_id) —"
+                         " enables the semantic-dedup stage")
+    ap.add_argument("--semantic-threshold", type=float, default=0.9)
+    ap.add_argument("--semantic-cells", type=int, default=16)
+    ap.add_argument("--max-dup-2gram-rate", type=float, default=0.6)
+    ap.add_argument("--max-top-2gram-rate", type=float, default=0.2)
+    ap.add_argument("--no-redact-pii", action="store_true")
     ap.add_argument("--contamination-k", type=int, default=5)
     ap.add_argument("--contamination-coverage", type=float, default=0.5)
     ap.add_argument("--max-span-coverage", type=float, default=0.95)
@@ -83,12 +101,23 @@ def main() -> int:
     report: dict = {"stages": []}
     prev_df = [None]
 
+    # belt-and-braces: every stage self-joins the previous frame, so the
+    # LOGICAL plan doubles per stage even though the data is cached — at
+    # 5+ filter stages the plan string passed to the execution listener
+    # crosses the JVM's 1 GiB UTF16 limit and .count() dies in
+    # StringConcat. localCheckpoint below truncates the lineage for real;
+    # this cap keeps any remaining stringification bounded.
+    spark.conf.set("spark.sql.maxPlanStringLength", str(1 << 20))
+
     def stage(name: str, df, t0: float):
-        # persist BEFORE counting so every later stage (and the final
-        # write) reads the materialized survivors instead of re-running
-        # the whole upstream funnel; once the new generation is
-        # materialized the previous one is released
-        df = df.persist()
+        # localCheckpoint (NOT persist) BEFORE counting: materializes the
+        # survivors so later stages never re-run the upstream funnel, AND
+        # truncates the logical plan — each stage's anti-join references
+        # the previous frame twice, so lazy lineage doubles per stage
+        # (the dedup/cluster.py lesson; with persist alone the plan tree
+        # still grows 2^stages and Catalyst analysis + plan printing
+        # explode)
+        df = df.localCheckpoint(eager=True)
         n = df.count()
         if prev_df[0] is not None:
             prev_df[0].unpersist(blocking=False)
@@ -110,6 +139,23 @@ def main() -> int:
     pairs = minhash_near_duplicates(docs, threshold=args.minhash_threshold)
     docs = deduplicate(docs, pairs)
     docs = stage("neardup_dedup", docs, t0)
+
+    if args.embeddings:
+        t0 = time.time()
+        emb = spark.read.parquet(args.embeddings).select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        # only surviving docs' vectors enter the cells; docs WITHOUT an
+        # embedding row pass through untouched (no signal, no verdict)
+        verdicts = semdedup(
+            emb.join(docs.select("doc_id"), "doc_id", "semi"),
+            threshold=args.semantic_threshold,
+            n_cells=args.semantic_cells,
+            id_col="doc_id",
+        )
+        losers = verdicts.where(~F.col("keep")).select("doc_id")
+        docs = docs.join(losers, "doc_id", "left_anti")
+        docs = stage("semantic_dedup", docs, t0)
 
     t0 = time.time()
     if args.eval:
@@ -136,6 +182,19 @@ def main() -> int:
     t0 = time.time()
     docs = docs.where(quality_score(F.col("text")) >= args.min_quality)
     docs = stage("quality_filter", docs, t0)
+
+    t0 = time.time()
+    docs = repetition_filter(
+        docs,
+        max_dup_2gram_rate=args.max_dup_2gram_rate,
+        max_top_2gram_rate=args.max_top_2gram_rate,
+    )
+    docs = stage("repetition_gates", docs, t0)
+
+    if not args.no_redact_pii:
+        t0 = time.time()
+        docs = docs.withColumn("text", redact_pii(F.col("text")))
+        docs = stage("pii_redact", docs, t0)
 
     t0 = time.time()
     total = args.mixture_total

@@ -19,6 +19,8 @@ def _run(out_dir):
             "--out", str(out_dir),
             "--master", "local[4]",
             "--mixture-total", "30",
+            "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+            "--semantic-threshold", "0.45",
         ],
         capture_output=True,
         text=True,
@@ -33,8 +35,9 @@ def test_curation_pipeline_end_to_end(tmp_path):
     rep = _run(tmp_path / "run1")
     stages = {s["stage"]: s["rows"] for s in rep["stages"]}
     # the funnel only ever narrows
-    order = ["input", "exact_dedup", "neardup_dedup", "decontaminate",
-             "span_trim", "quality_filter", "mixture_sample"]
+    order = ["input", "exact_dedup", "neardup_dedup", "semantic_dedup",
+             "decontaminate", "span_trim", "quality_filter",
+             "repetition_gates", "pii_redact", "mixture_sample"]
     for a, b in zip(order, order[1:]):
         assert stages[b] <= stages[a], (a, b, stages)
     assert stages["mixture_sample"] > 0
