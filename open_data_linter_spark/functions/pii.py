@@ -66,6 +66,11 @@ def pii_screen(
     total = None
     for col in counts:
         total = col if total is None else total + col
+    # spread + pin: regexp_count x4 + redaction on a single-file scan
+    # would serialize on the one scan partition (dedup/_cache notes)
+    from open_data_linter_spark.dedup._cache import spread_and_pin
+
+    df = spread_and_pin(f"pii:{id_col}", df.select(id_col, text_col))
     return df.select(
         F.col(id_col),
         *counts,

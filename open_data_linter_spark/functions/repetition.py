@@ -124,9 +124,21 @@ def repetition_stats(
         )
     st = F.col("r")["st"]
     tot = st["tot"]
+    # spread + pin BEFORE the per-doc sort/fold projection: a single-file
+    # scan is ONE partition and Catalyst collapses column-independent
+    # projections below a bare repartition, so without the pinned
+    # boundary the whole O(m log m)-per-row pass serializes onto one
+    # core (22.5s -> ~2s at sf0.1; the round-2 minhash trap)
+    from open_data_linter_spark.dedup._cache import spread_and_pin
+
+    src = spread_and_pin(
+        f"repetition:{id_col}",
+        df.select(id_col, text_col).where(
+            F.trim(F.coalesce(c, F.lit(""))) != ""
+        ),
+    )
     return (
-        df.where(F.trim(F.coalesce(c, F.lit(""))) != "")
-        .select(F.col(id_col), F.explode(F.array(*per_n)).alias("r"))
+        src.select(F.col(id_col), F.explode(F.array(*per_n)).alias("r"))
         .select(
             F.col(id_col),
             F.col("r")["n"].alias("n"),

@@ -40,9 +40,16 @@ def vocab_topk(
     if k < 1:
         raise ValueError("k must be >= 1")
     c = F.col(text_col)
-    tokens = df.where(F.trim(F.coalesce(c, F.lit(""))) != "").select(
-        F.explode(positional_shingles(c, 1)).alias("token")
+    # spread + pin before the explode: a single-file scan is one
+    # partition, so the tokenize/explode map side of the count shuffle
+    # would serialize onto one core (see dedup/_cache.spread_and_pin)
+    from open_data_linter_spark.dedup._cache import spread_and_pin
+
+    src = spread_and_pin(
+        f"vocab:{text_col}",
+        df.select(text_col).where(F.trim(F.coalesce(c, F.lit(""))) != ""),
     )
+    tokens = src.select(F.explode(positional_shingles(c, 1)).alias("token"))
     counts = tokens.groupBy("token").agg(F.count("*").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total"))
     top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(int(k))

@@ -202,6 +202,7 @@ def train_centroids(
     train_size: int = 20_000,
     iters: int = 10,
     seed: int = 42,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """IVF coarse quantizer: Lloyd's k-means on a bounded driver-side
     sample (spherical: vectors and centroids L2-normalized, so argmax dot
@@ -216,7 +217,8 @@ def train_centroids(
     lands over ``train_size`` it is trimmed driver-side with a seeded
     uniform choice (NOT a limit — a limit over the sample would re-bias
     toward early partitions)."""
-    sample = normalized_train_sample(corpus, vec_col, train_size, seed)
+    if sample is None:
+        sample = normalized_train_sample(corpus, vec_col, train_size, seed)
     # degrade gracefully on tiny corpora/samples: fewer cells, never a crash
     n_cells = max(1, min(n_cells, len(sample)))
     rng = np.random.default_rng(seed)

@@ -61,6 +61,7 @@ def train_codebooks(
     iters: int = 10,
     seed: int = 42,
     centroids: np.ndarray | None = None,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Per-subspace Lloyd's k-means codebooks, shape (m, 2^bits, dsub),
     trained on the seeded uniform sample of L2-normalized vectors.
@@ -74,7 +75,8 @@ def train_codebooks(
     ranks would be tie-break noise; the residual is exactly the signal
     that distinguishes neighbors within a cell."""
     ksub = 1 << bits
-    sample = normalized_train_sample(corpus, vec_col, train_size, seed)
+    if sample is None:
+        sample = normalized_train_sample(corpus, vec_col, train_size, seed)
     if centroids is not None:
         assign = (sample @ centroids.T).argmax(axis=1)
         sample = sample - centroids[assign]
@@ -154,9 +156,15 @@ def ivf_pq_topk(
     """
     from pyspark.sql.functions import pandas_udf
 
-    cents = train_centroids(corpus, n_cells, vec_col, train_size, seed=seed)
+    # ONE sample draw feeds both quantizers: at 10^12 rows each draw is
+    # a corpus count + a sampled scan, so sharing halves the train cost
+    smp = normalized_train_sample(corpus, vec_col, train_size, seed)
+    cents = train_centroids(
+        corpus, n_cells, vec_col, train_size, seed=seed, sample=smp
+    )
     books = train_codebooks(
-        corpus, m, bits, vec_col, train_size, seed=seed, centroids=cents
+        corpus, m, bits, vec_col, train_size, seed=seed,
+        centroids=cents, sample=smp,
     )
     nprobe = max(1, min(nprobe, cents.shape[0]))
     corpus = corpus.where(F.col(vec_col).isNotNull())
