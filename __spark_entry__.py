@@ -1692,7 +1692,7 @@ def oracle_sql() -> dict[str, str]:
             -- (alpha*n_bins = 5.5), 6-decimal rounding.
             WITH ev AS (
               SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value
-              FROM events WHERE value IS NOT NULL
+              FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
             ), bnd AS (
               SELECT day,
                      CASE WHEN value < 0 THEN 0 WHEN value < 50 THEN 1

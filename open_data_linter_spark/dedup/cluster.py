@@ -32,7 +32,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from open_data_linter_spark.dedup._cache import persist_scoped
+from open_data_linter_spark.dedup._cache import (
+    nudge_context_cleaner,
+    persist_scoped,
+)
 
 
 def connected_components(
@@ -96,8 +99,13 @@ def connected_components(
         # generation handoff overlaps: materialize first, release after.
         nxt = nxt.localCheckpoint(eager=True)
         cur_sum = label_sum(nxt)
+        # round-0 labels are a plain persist, released here; checkpointed
+        # generations (round 1+) are NOT in the CacheManager — for them
+        # unpersist() is a no-op and the drop-and-nudge below is the real
+        # release path (ContextCleaner weak refs + GC)
         labels.unpersist(blocking=False)
         labels = nxt
+        nudge_context_cleaner(labels.sparkSession)
         if cur_sum == prev_sum:  # min-label is monotone: equal sum == fixpoint
             # register the surviving generation so session-wide cache
             # hygiene (clear_scoped) can release it later

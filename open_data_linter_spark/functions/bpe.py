@@ -108,6 +108,9 @@ def bpe_train(
     pair's weighted count drops below ``min_pair_count``."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    from open_data_linter_spark.dedup._cache import nudge_context_cleaner
+
+    spark = df.sparkSession
     words = _word_counts(df, text_col).select(
         "cnt",
         # split("", word) yields exactly the characters in Spark 4 (no
@@ -149,10 +152,14 @@ def bpe_train(
             nxt = cur.select(
                 "cnt", _merge_fold(F.col("syms"), l, r).alias("syms")
             ).localCheckpoint(eager=True)
-            old, cur = cur, nxt
-            old.unpersist(blocking=False)
+            # drop-and-nudge, NOT unpersist: checkpoint blocks are not in
+            # the CacheManager, so unpersist() is a no-op on them —
+            # ContextCleaner (weak refs + GC) is the release path
+            cur = nxt
+            nudge_context_cleaner(spark)
     finally:
-        cur.unpersist(blocking=False)
+        del cur
+        nudge_context_cleaner(spark)
     return merges
 
 
@@ -198,10 +205,16 @@ def bpe_encode(
                 got = cache[w] = apply_merges(list(w) + [EOW], ranked)
             return got
 
+        from open_data_linter_spark.functions.text import java_ws_tokens
+
         out = []
         for t in texts:
             toks: list[str] = []
-            for w in (t or "").lower().split():
+            # java_ws_tokens, NOT str.split(): training tokenizes with
+            # Java \s+ (ASCII); Python's Unicode split would cut words
+            # at NBSP/ideographic spaces training treated as symbols,
+            # breaking encode(train corpus) == training symbolization
+            for w in java_ws_tokens(t):
                 toks.extend(enc_word(w))
             out.append(toks)
         return pd.Series(out)

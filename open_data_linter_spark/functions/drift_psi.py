@@ -64,11 +64,16 @@ def psi_by_group(
 
     ``n_rows`` is the group's non-null value count; ``psi`` rounds to 6
     decimals. Groups with zero rows simply don't appear (no rows, no
-    group key — filter upstream if absence must be reported)."""
+    group key — filter upstream if absence must be reported). Rows with
+    a NULL group key are EXCLUDED from both sides: a NULL key carries no
+    group identity, and a null-unsafe join would otherwise count such
+    rows into the baseline while reporting their "group" as empty —
+    a baseline-only smoothing-noise score (code-review finding)."""
     if alpha <= 0:
         raise ValueError("alpha must be > 0 (unsmoothed empty bins diverge)")
     n_bins = len(edges) + 1
     v = F.col(value_col)
+    df = df.where(F.col(group_col).isNotNull())
     binned = df.where(v.isNotNull()).select(
         F.col(group_col).alias("grp"), bin_by_edges(v, edges).alias("bin")
     )

@@ -69,13 +69,26 @@ def lm_perplexity(
     (only reachable when ``train_df`` differs from ``df``)."""
     if alpha <= 0:
         raise ValueError("alpha must be > 0 (unsmoothed zeros diverge)")
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), _toks(F.col(text_col)).alias("toks")
+    # spread + pin both tokenized projections: a single-file scan is ONE
+    # partition (split+explode would serialize on one core), and each
+    # frame feeds multiple consumers (score occurrences; bigram counts +
+    # vocab) — without the persist the corpus is re-tokenized per
+    # consumer (dedup/_cache notes)
+    from open_data_linter_spark.dedup._cache import spread_and_pin
+
+    toks = spread_and_pin(
+        f"lm:{id_col}",
+        df.select(
+            F.col(id_col).alias("doc_id"), _toks(F.col(text_col)).alias("toks")
+        ),
     )
     ttoks = (
         toks
         if train_df is None
-        else train_df.select(_toks(F.col(text_col)).alias("toks"))
+        else spread_and_pin(
+            "lm:train",
+            train_df.select(_toks(F.col(text_col)).alias("toks")),
+        )
     )
     occ = toks.where(F.size("toks") >= 2).select(
         "doc_id", F.explode(_bigrams(F.col("toks"))).alias("p")

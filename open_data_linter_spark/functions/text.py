@@ -8,8 +8,26 @@ reference's rule set (prompt mandate: text analysis as first-class ops).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# Java regex \s (what executor-side F.split(r"\s+") matches WITHOUT (?U))
+# is ASCII-only: [ \t\n\x0B\f\r]. Python's str.split()/\s are Unicode-wide
+# (NBSP, ideographic space, ...), so driver-side code that must agree with
+# the executor tokenize contract splits with THIS, never str.split()
+# (CLAUDE.md Java/Python \s parity note).
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def java_ws_tokens(s: str | None) -> list[str]:
+    """Driver-side twin of the package tokenize contract
+    (trim/lower/ASCII-whitespace split, empties dropped) — byte-agrees
+    with the executor-side ``F.split(F.trim(F.lower(...)), r"\\s+")``."""
+    if not s:
+        return []
+    return [t for t in _JAVA_WS.split(s.lower()) if t]
 
 # small stopword lists for the heuristic scorers (top function words)
 EN_STOPWORDS = (

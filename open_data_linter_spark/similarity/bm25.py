@@ -70,12 +70,13 @@ def bm25_topk(
     if k < 1:
         raise ValueError("k must be >= 1")
     spark = docs.sparkSession
+    # java_ws_tokens, NOT str.split(): the doc side tokenizes with Java
+    # \s+ (ASCII whitespace); a Unicode-split query term containing NBSP
+    # context could otherwise never match its doc token
+    from open_data_linter_spark.functions.text import java_ws_tokens
+
     qterms = sorted(
-        {
-            (qid, t)
-            for qid, qtext in queries
-            for t in (qtext or "").lower().split()
-        }
+        {(qid, t) for qid, qtext in queries for t in java_ws_tokens(qtext)}
     )
     if not qterms:
         raise ValueError("queries contain no terms")
@@ -84,11 +85,21 @@ def bm25_topk(
     )
     all_terms = sorted({t for _, t in qterms})
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("toks")
-    ).select(
-        "doc_id",
-        F.filter(F.col("toks"), lambda t: t != "").alias("toks"),
+    # spread + pin the tokenized projection: a single-file scan is ONE
+    # partition (the tokenize/explode map side would serialize on one
+    # core), and toks feeds two consumers (corpus stats + postings) —
+    # the persist keeps it one parallel pass (dedup/_cache notes)
+    from open_data_linter_spark.dedup._cache import spread_and_pin
+
+    toks = spread_and_pin(
+        f"bm25:{id_col}",
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            _tokens(F.col(text_col)).alias("toks"),
+        ).select(
+            "doc_id",
+            F.filter(F.col("toks"), lambda t: t != "").alias("toks"),
+        ),
     )
     # corpus-wide stats: one single-row aggregate, broadcast via crossJoin
     stats = toks.agg(

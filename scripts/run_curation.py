@@ -57,6 +57,7 @@ from open_data_linter_spark.dedup.cluster import deduplicate  # noqa: E402
 from open_data_linter_spark.dedup.contamination import decontaminate  # noqa: E402
 from open_data_linter_spark.dedup.exact import distinct_by_fingerprint  # noqa: E402
 from open_data_linter_spark.dedup.minhash import minhash_near_duplicates  # noqa: E402
+from open_data_linter_spark.dedup._cache import nudge_context_cleaner  # noqa: E402
 from open_data_linter_spark.dedup.semdedup import semdedup  # noqa: E402
 from open_data_linter_spark.functions.pii import redact_pii  # noqa: E402
 from open_data_linter_spark.functions.repetition import repetition_filter  # noqa: E402
@@ -119,9 +120,10 @@ def main() -> int:
         # explode)
         df = df.localCheckpoint(eager=True)
         n = df.count()
-        if prev_df[0] is not None:
-            prev_df[0].unpersist(blocking=False)
+        # release the previous generation: unpersist() is a NO-OP on
+        # checkpoint blocks — drop the reference and nudge ContextCleaner
         prev_df[0] = df
+        nudge_context_cleaner(spark)
         report["stages"].append(
             {"stage": name, "rows": n, "sec": round(time.time() - t0, 2)}
         )
@@ -147,15 +149,26 @@ def main() -> int:
         )
         # only surviving docs' vectors enter the cells; docs WITHOUT an
         # embedding row pass through untouched (no signal, no verdict)
-        verdicts = semdedup(
-            emb.join(docs.select("doc_id"), "doc_id", "semi"),
-            threshold=args.semantic_threshold,
-            n_cells=args.semantic_cells,
-            id_col="doc_id",
+        emb_surv = emb.join(docs.select("doc_id"), "doc_id", "semi").where(
+            F.col("embedding").isNotNull()
         )
-        losers = verdicts.where(~F.col("keep")).select("doc_id")
-        docs = docs.join(losers, "doc_id", "left_anti")
-        docs = stage("semantic_dedup", docs, t0)
+        if not emb_surv.head(1):
+            # zero overlap (stale/mismatched id space) => zero verdicts;
+            # the IVF trainer would otherwise raise deep in the sampler
+            # and kill the whole multi-stage run
+            print("  semantic_dedup: no embeddings match surviving docs"
+                  " — stage skipped")
+            docs = stage("semantic_dedup", docs, t0)
+        else:
+            verdicts = semdedup(
+                emb_surv,
+                threshold=args.semantic_threshold,
+                n_cells=args.semantic_cells,
+                id_col="doc_id",
+            )
+            losers = verdicts.where(~F.col("keep")).select("doc_id")
+            docs = docs.join(losers, "doc_id", "left_anti")
+            docs = stage("semantic_dedup", docs, t0)
 
     t0 = time.time()
     if args.eval:

@@ -91,6 +91,19 @@ def test_bin_edges_contract(spark):
     assert got == [0, 1, 1, 3, 3]  # left-closed bins, open-ended outer
 
 
+def test_null_group_key_excluded(spark):
+    """A NULL group key must not appear as a group NOR leak into the
+    baseline (the null-unsafe dense-join would otherwise report it as an
+    empty group scored against a baseline containing its own rows)."""
+    rows = [(None, 12.0), (None, 25.0), ("a", 5.0), ("a", 15.0)]
+    df = spark.createDataFrame(rows, "src string, v double")
+    got = {r.src: (r.n_rows, r.psi) for r in psi_by_group(df, "v", "src", EDGES).collect()}
+    assert set(got) == {"a"}
+    want = ref_psi([("a", 5.0), ("a", 15.0)], EDGES)
+    assert got["a"][0] == want["a"][0]
+    assert got["a"][1] == pytest.approx(want["a"][1], abs=2e-6)
+
+
 def test_validation(df):
     with pytest.raises(ValueError, match="ascending"):
         psi_by_group(df, "v", "src", [3.0, 1.0])
