@@ -815,6 +815,23 @@ def q_audio_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_keys(clips).orderBy("clip_id")
 
 
+def q_audio_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs by spectral band fingerprinting
+    (dedup/audio_fp.py): dominant-log-band sequence per clip via one
+    Arrow decode+FFT pass, JVM xxhash64 q-gram shingles, one-shuffle
+    bucket candidate expansion, hashed-set Jaccard verify. Input is the
+    planted tone fixture (256 clips, every 8-block carries two seeded
+    variants — codec re-encode / gain / SNR-35dB noise / truncation — of
+    the block leader); ground truth is the committed metadata twin
+    tests/data/audio_fp_groups_256.parquet."""
+    _ensure_pkg(spark)
+    from open_data_linter_spark.audio.synth import synthesize_tone_clips
+    from open_data_linter_spark.dedup.audio_fp import audio_near_duplicates
+
+    clips = synthesize_tone_clips(spark, 256, 16)
+    return audio_near_duplicates(clips, threshold=0.45)
+
+
 def q_audio_drift_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-checkable half of the drift rule: the sr_hz histograms of the
     clean baseline and the distribution-shifted batch (both re-derived via
@@ -1066,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_features": q_audio_decode_features,
         "bpe_token_counts": q_bpe_token_counts,
         "audio_uniqueness": q_audio_uniqueness,
+        "audio_neardups": q_audio_neardups,
         "audio_drift_stats": q_audio_drift_stats,
         "audio_drift_hist": q_audio_drift_hist,
         "tabular_lint_matrix": q_tabular_lint_matrix,
@@ -2291,6 +2309,64 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_FIX}/audio_meta_512_dup.parquet')
             GROUP BY clip_id HAVING count(*) > 1
             ORDER BY clip_id
+        """,
+        "audio_neardups": f"""
+            -- SEMANTIC oracle: the jaccard values are engine-internal
+            -- (FFT dominant-band shingles; deterministic replay) and stay
+            -- pinned, but SQL enforces the planted ground truth from the
+            -- committed twin: every reported pair must be a planted
+            -- same-group pair (the inner join drops impostors, breaking
+            -- the row-count compare on any precision loss), and the whole
+            -- result zeroes if recall vs the planted pair set drops below
+            -- 0.95 (measured 96/96 = 1.0 at threshold 0.45).
+            WITH reported(id_a, id_b, jaccard) AS (VALUES
+                    ('clip_00000000','clip_00000006',1.0),('clip_00000000','clip_00000007',1.0),('clip_00000006','clip_00000007',1.0),
+                    ('clip_00000008','clip_00000014',1.0),('clip_00000008','clip_00000015',1.0),('clip_00000014','clip_00000015',1.0),
+                    ('clip_00000016','clip_00000022',1.0),('clip_00000016','clip_00000023',1.0),('clip_00000022','clip_00000023',1.0),
+                    ('clip_00000024','clip_00000030',1.0),('clip_00000024','clip_00000031',1.0),('clip_00000030','clip_00000031',1.0),
+                    ('clip_00000032','clip_00000038',1.0),('clip_00000032','clip_00000039',0.692308),('clip_00000038','clip_00000039',0.692308),
+                    ('clip_00000040','clip_00000046',1.0),('clip_00000040','clip_00000047',1.0),('clip_00000046','clip_00000047',1.0),
+                    ('clip_00000048','clip_00000054',1.0),('clip_00000048','clip_00000055',1.0),('clip_00000054','clip_00000055',1.0),
+                    ('clip_00000056','clip_00000062',1.0),('clip_00000056','clip_00000063',1.0),('clip_00000062','clip_00000063',1.0),
+                    ('clip_00000064','clip_00000070',1.0),('clip_00000064','clip_00000071',1.0),('clip_00000070','clip_00000071',1.0),
+                    ('clip_00000072','clip_00000078',1.0),('clip_00000072','clip_00000079',1.0),('clip_00000078','clip_00000079',1.0),
+                    ('clip_00000080','clip_00000086',1.0),('clip_00000080','clip_00000087',1.0),('clip_00000086','clip_00000087',1.0),
+                    ('clip_00000088','clip_00000094',0.8),('clip_00000088','clip_00000095',1.0),('clip_00000094','clip_00000095',0.8),
+                    ('clip_00000096','clip_00000102',1.0),('clip_00000096','clip_00000103',1.0),('clip_00000102','clip_00000103',1.0),
+                    ('clip_00000104','clip_00000110',1.0),('clip_00000104','clip_00000111',1.0),('clip_00000110','clip_00000111',1.0),
+                    ('clip_00000112','clip_00000118',1.0),('clip_00000112','clip_00000119',0.666667),('clip_00000118','clip_00000119',0.666667),
+                    ('clip_00000120','clip_00000126',1.0),('clip_00000120','clip_00000127',1.0),('clip_00000126','clip_00000127',1.0),
+                    ('clip_00000128','clip_00000134',1.0),('clip_00000128','clip_00000135',1.0),('clip_00000134','clip_00000135',1.0),
+                    ('clip_00000136','clip_00000142',1.0),('clip_00000136','clip_00000143',1.0),('clip_00000142','clip_00000143',1.0),
+                    ('clip_00000144','clip_00000150',1.0),('clip_00000144','clip_00000151',0.761905),('clip_00000150','clip_00000151',0.761905),
+                    ('clip_00000152','clip_00000158',1.0),('clip_00000152','clip_00000159',0.68),('clip_00000158','clip_00000159',0.68),
+                    ('clip_00000160','clip_00000166',1.0),('clip_00000160','clip_00000167',1.0),('clip_00000166','clip_00000167',1.0),
+                    ('clip_00000168','clip_00000174',1.0),('clip_00000168','clip_00000175',1.0),('clip_00000174','clip_00000175',1.0),
+                    ('clip_00000176','clip_00000182',1.0),('clip_00000176','clip_00000183',1.0),('clip_00000182','clip_00000183',1.0),
+                    ('clip_00000184','clip_00000190',1.0),('clip_00000184','clip_00000191',0.761905),('clip_00000190','clip_00000191',0.761905),
+                    ('clip_00000192','clip_00000198',1.0),('clip_00000192','clip_00000199',1.0),('clip_00000198','clip_00000199',1.0),
+                    ('clip_00000200','clip_00000206',0.757576),('clip_00000200','clip_00000207',0.757576),('clip_00000206','clip_00000207',1.0),
+                    ('clip_00000208','clip_00000214',1.0),('clip_00000208','clip_00000215',1.0),('clip_00000214','clip_00000215',1.0),
+                    ('clip_00000216','clip_00000222',1.0),('clip_00000216','clip_00000223',1.0),('clip_00000222','clip_00000223',1.0),
+                    ('clip_00000224','clip_00000230',1.0),('clip_00000224','clip_00000231',1.0),('clip_00000230','clip_00000231',1.0),
+                    ('clip_00000232','clip_00000238',0.724138),('clip_00000232','clip_00000239',1.0),('clip_00000238','clip_00000239',0.724138),
+                    ('clip_00000240','clip_00000246',0.555556),('clip_00000240','clip_00000247',0.555556),('clip_00000246','clip_00000247',1.0),
+                    ('clip_00000248','clip_00000254',0.764706),('clip_00000248','clip_00000255',0.764706),('clip_00000254','clip_00000255',1.0)),
+            twin AS (
+              SELECT clip_id, group_id
+              FROM read_parquet('{_FIX}/audio_fp_groups_256.parquet')
+            ), planted AS (
+              SELECT a.clip_id AS id_a, b.clip_id AS id_b
+              FROM twin a JOIN twin b
+                ON a.group_id = b.group_id AND a.clip_id < b.clip_id
+            )
+            SELECT r.id_a, r.id_b, CAST(r.jaccard AS DOUBLE) AS jaccard
+            FROM reported r
+            JOIN planted p ON p.id_a = r.id_a AND p.id_b = r.id_b
+            WHERE (SELECT count(*) FROM reported x JOIN planted q
+                   ON q.id_a = x.id_a AND q.id_b = x.id_b) * 1.0
+                  >= 0.95 * (SELECT count(*) FROM planted)
+            ORDER BY r.id_a, r.id_b
         """,
         "audio_drift_hist": f"""
             SELECT dataset, sr_hz, count(*) AS cnt FROM (

@@ -1,0 +1,182 @@
+"""Audio near-duplicate detection by spectral band fingerprinting.
+
+The reference linter never looks inside payloads beyond decode validation;
+this operator extends the dedup family (exact/minhash/simhash/embedding —
+all text- or vector-keyed) to the AUDIO axis of the north rule: find clips
+that are the same recording under codec re-encode, gain change, low-level
+noise, or truncation, without pairwise PCM comparison.
+
+Method (public literature: Haitsma & Kalker 2002 band-energy fingerprints;
+Wang 2003 spectral-peak hashing):
+
+1. **Fingerprint pass** — one ``mapInPandas`` over ``(clip_id, bytes)``:
+   decode through the codec layer, frame the signal (64 ms window / 32 ms
+   hop, fixed in TIME so a clip and its re-encode frame identically),
+   per-frame FFT, and emit the **dominant log-band index** per frame
+   (audio/bands.py grid). The dominant band is gain-invariant (argmax of
+   scaled energies) and robust to quantization/noise well below signal
+   level; the sequence of dominant bands is the clip's acoustic "melody".
+2. **Shingle** the band sequence into q-gram hashes (JVM-side ``xxhash64``
+   inside an array comprehension — no Python in this stage) and take the
+   DISTINCT shingle set per clip.
+3. **Candidates** — one shuffle: group by shingle, in-bucket pair expansion
+   as a Catalyst array comprehension (the minhash.py:141-171 shape), with a
+   hot-bucket cap: shingles shared by more than ``max_bucket_size`` clips
+   are dropped before expansion. Stationary-content shingles (a held tone,
+   room hum) are exactly the hot ones, so the cap trades recall on
+   *generic* content for a bound on candidate count — duplicate pairs keep
+   matching through their rare transition shingles.
+4. **Verify** — hashed-set Jaccard (``array_intersect``/``array_union``)
+   on the full shingle sets, threshold filter.
+
+Scale: the fingerprint pass is embarrassingly parallel and dominates cost
+(same shape as the validation engine's payload phase); everything after it
+moves only ``array<long>`` shingle sets. Choose ``q`` so the shingle
+alphabet (48^q) stays large next to the corpus — q=4 gives 5.3M values;
+at 10^12 clips use q=6+ and a coarser time quantization, or the df cap
+will drop every bucket. Reference behavior cited for parity: none — the
+reference has no payload-similarity pass (prompt mandate, dedup family).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from open_data_linter_spark.audio.bands import EDGES, FRAME_S, HOP_S
+from open_data_linter_spark.dedup._cache import persist_scoped
+
+
+def band_sequence(x: np.ndarray, sr: int) -> np.ndarray:
+    """Dominant-band index per analysis frame (pure numpy, unit-testable).
+
+    ``x`` is float PCM in [-1, 1]. Returns int32 band ids (0..N_BANDS-1).
+    Clips shorter than one frame return an empty sequence."""
+    frame = int(round(sr * FRAME_S))
+    hop = int(round(sr * HOP_S))
+    if len(x) < frame:
+        return np.empty(0, dtype=np.int32)
+    frames = np.lib.stride_tricks.sliding_window_view(x, frame)[::hop]
+    p = np.abs(np.fft.rfft(frames * np.hanning(frame), axis=1)) ** 2
+    freqs = np.fft.rfftfreq(frame, 1.0 / sr)
+    # bands are contiguous bin ranges (freqs ascending): reduceat segment
+    # sums. EDGES[-1]=3800 < Nyquist>=4000 for every supported sr, so every
+    # boundary index is in range.
+    bounds = np.searchsorted(freqs, EDGES, side="left")
+    e = np.add.reduceat(p, bounds[:-1], axis=1)
+    # reduceat quirk: an EMPTY segment (possible at sr=8000 where low bands
+    # are narrower than one bin) yields p[start] instead of 0 — zero it
+    empty = bounds[1:] <= bounds[:-1]
+    if empty.any():
+        e[:, empty] = 0.0
+    return np.argmax(e, axis=1).astype(np.int32)
+
+
+_SEQ_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("bands", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def audio_band_sequences(
+    df: DataFrame, id_col: str = "clip_id", payload_col: str = "bytes"
+) -> DataFrame:
+    """(id, bands array<int>) per clip — the Arrow-batched decode+FFT pass.
+
+    Undecodable payloads yield an EMPTY sequence (they can't near-dup
+    anything; the validation engine's 1-1 rule owns reporting them)."""
+    from typing import Iterator
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from open_data_linter_spark.audio.codecs import decode_clip, pcm_to_float32
+
+        for b in batches:
+            out = []
+            for cid, data in zip(b[id_col], b[payload_col]):
+                try:
+                    _, sr, pcm = decode_clip(bytes(data))
+                    seq = band_sequence(pcm_to_float32(pcm), sr)
+                except (ValueError, TypeError):
+                    seq = np.empty(0, dtype=np.int32)
+                out.append({"id": cid, "bands": seq.tolist()})
+            yield pd.DataFrame(out, columns=["id", "bands"])
+
+    return df.select(id_col, payload_col).mapInPandas(gen, schema=_SEQ_SCHEMA)
+
+
+def audio_near_duplicates(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    threshold: float = 0.35,
+    q: int = 4,
+    max_bucket_size: int | None = 200,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) near-duplicate clip pairs, id_a < id_b.
+
+    ``jaccard`` is over the distinct q-gram shingle sets of the dominant-
+    band sequences, rounded to 6 decimals. ``num_partitions`` repartitions
+    the (id, payload) projection before the decode pass — set it when the
+    input is a single-file scan (one partition would serialize the decode;
+    CLAUDE.md single-partition-scan trap)."""
+    if q < 1:
+        raise ValueError("q must be >= 1")
+    src = df.select(id_col, payload_col)
+    if num_partitions is not None:
+        src = src.repartition(num_partitions)
+    seq = audio_band_sequences(src, id_col, payload_col)
+    # shingle hashing stays JVM-side: xxhash64 over q consecutive band ids
+    # per window position, distinct per clip. j is bound at plan-build time
+    # (plain ints), never through the HOF lambda (CLAUDE.md arity pitfall).
+    b = F.col("bands")
+    shingle_at = lambda i: F.xxhash64(  # noqa: E731
+        *[F.element_at(b, i + j) for j in range(q)]
+    )
+    hashed = seq.where(F.size(b) >= q).select(
+        "id",
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(b) - q + 1), shingle_at)
+        ).alias("hs"),
+    )
+    # hs feeds the inverted index AND both verify sides
+    hashed = persist_scoped("audio_fp.hashed", hashed)
+    buckets = (
+        hashed.select("id", F.explode("hs").alias("sh"))
+        .groupBy("sh")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
+    pair_expr = F.flatten(
+        F.transform(
+            F.slice(F.col("ids"), 1, F.size("ids") - 1),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda c: F.struct(a.alias("id_a"), c.alias("id_b")),
+            ),
+        )
+    )
+    candidates = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .where(F.col("id_a") != F.col("id_b"))  # duplicate-id input guard
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hs_a = hashed.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    hs_b = hashed.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = F.size(F.array_union("hs_a", "hs_b")).cast("double")
+    return (
+        candidates.join(hs_a, "id_a")
+        .join(hs_b, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

@@ -43,6 +43,13 @@ def main() -> None:
         path = os.path.join(OUT_DIR, fname)
         pdf.to_parquet(path, index=False)
         print(f"wrote {path}: {len(pdf)} rows")
+    # planted-duplicate ground truth for the audio fingerprint oracle
+    # (clip_id, group_id, variant) — pure f(i), no audio bytes needed
+    from open_data_linter_spark.audio.synth import gen_tone_groups_pdf
+
+    path = os.path.join(OUT_DIR, "audio_fp_groups_256.parquet")
+    gen_tone_groups_pdf(np.arange(256)).to_parquet(path, index=False)
+    print(f"wrote {path}: 256 rows")
 
 
 if __name__ == "__main__":
