@@ -785,6 +785,8 @@ def q_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("duration_s"), 2).alias("total_duration_s"),
         F.round(F.avg("rms_energy"), 4).alias("avg_rms"),
         F.round(F.max("peak"), 4).alias("max_peak"),
+        F.round(F.max("clipping_rate"), 4).alias("max_clipping"),
+        F.round(F.avg("silence_fraction"), 4).alias("avg_silence"),
     )
 
 
@@ -830,6 +832,21 @@ def q_audio_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clips = synthesize_tone_clips(spark, 256, 16)
     return audio_near_duplicates(clips, threshold=0.45)
+
+
+def q_audio_rate_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript words-per-second outliers by modified z-score
+    (rules/rate.py): the distribution-anomaly rule no fixed numeric
+    domain can express — a clip whose transcript length is implausible
+    for its duration. Exact lower-median/MAD (order statistics, no
+    interpolation), so the oracle is a FULL exact twin over the
+    committed metadata twin of the same deterministic batch."""
+    _ensure_pkg(spark)
+    from open_data_linter_spark.audio.synth import synthesize_clips
+    from open_data_linter_spark.rules.rate import transcript_rate_outliers
+
+    clips = synthesize_clips(spark, 512, 16)
+    return transcript_rate_outliers(clips)
 
 
 def q_audio_drift_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1084,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "audio_uniqueness": q_audio_uniqueness,
         "audio_neardups": q_audio_neardups,
+        "audio_rate_outliers": q_audio_rate_outliers,
         "audio_drift_stats": q_audio_drift_stats,
         "audio_drift_hist": q_audio_drift_hist,
         "tabular_lint_matrix": q_tabular_lint_matrix,
@@ -2193,9 +2211,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_clips AS BIGINT) AS n_clips,
                    CAST(total_duration_s AS DOUBLE) AS total_duration_s,
                    CAST(avg_rms AS DOUBLE) AS avg_rms,
-                   CAST(max_peak AS DOUBLE) AS max_peak
-            FROM (VALUES (256,166.05,0.3538,0.5469))
-                 AS t(n_clips, total_duration_s, avg_rms, max_peak)
+                   CAST(max_peak AS DOUBLE) AS max_peak,
+                   CAST(max_clipping AS DOUBLE) AS max_clipping,
+                   CAST(avg_silence AS DOUBLE) AS avg_silence
+            FROM (VALUES (256,166.05,0.3538,0.5469,0.0,0.013))
+                 AS t(n_clips, total_duration_s, avg_rms, max_peak,
+                      max_clipping, avg_silence)
         """,
         "audio_drift_stats": """
             -- measured golden: KS/chi² statistics over the deterministic
@@ -2367,6 +2388,35 @@ def oracle_sql() -> dict[str, str]:
                    ON q.id_a = x.id_a AND q.id_b = x.id_b) * 1.0
                   >= 0.95 * (SELECT count(*) FROM planted)
             ORDER BY r.id_a, r.id_b
+        """,
+        "audio_rate_outliers": f"""
+            -- FULL exact twin: words-per-second from the committed
+            -- metadata twin, LOWER median / MAD as order statistics (an
+            -- actual data element, no interpolation arithmetic), modified
+            -- z-score 0.6745*(x-med)/MAD, threshold on the ROUNDED z —
+            -- identical formula and parenthesization to rules/rate.py.
+            WITH base AS (
+              SELECT clip_id,
+                     len(string_split_regex(trim(transcript), '\\s+'))
+                       * 1000.0 / dur_ms AS wps
+              FROM read_parquet('{_FIX}/audio_meta_512_base.parquet')
+              WHERE transcript IS NOT NULL AND trim(transcript) <> ''
+                AND transcript NOT IN ('[inaudible]', '[music]')
+                AND dur_ms > 0
+            ), n AS (SELECT count(*) AS n FROM base),
+            med AS (
+              SELECT wps AS m FROM base ORDER BY wps
+              LIMIT 1 OFFSET (SELECT (n+1)//2 - 1 FROM n)
+            ), mad AS (
+              SELECT d AS m FROM (
+                SELECT abs(wps - (SELECT m FROM med)) AS d FROM base
+              ) ORDER BY d LIMIT 1 OFFSET (SELECT (n+1)//2 - 1 FROM n)
+            )
+            SELECT clip_id, round(wps, 6) AS wps,
+                   round(0.6745*(wps-(SELECT m FROM med))/(SELECT m FROM mad), 6) AS z
+            FROM base
+            WHERE abs(round(0.6745*(wps-(SELECT m FROM med))/(SELECT m FROM mad), 6)) > 3.5
+            ORDER BY clip_id
         """,
         "audio_drift_hist": f"""
             SELECT dataset, sr_hz, count(*) AS cnt FROM (

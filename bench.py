@@ -116,6 +116,16 @@ def main() -> None:
             best_of(lambda n=name: qs[n](spark, SF_DIR).collect()), 3
         )
 
+    # ---- audio fingerprint dedup at bench scale (not the 256-clip
+    # driver fixture): decode+FFT melody pass + shingle bucket join ----
+    from open_data_linter_spark.audio.synth import synthesize_tone_clips
+    from open_data_linter_spark.dedup.audio_fp import audio_near_duplicates
+
+    tone = synthesize_tone_clips(spark, 4096, sc_parts)
+    timings["audio_neardups_4k"] = round(
+        best_of(lambda: audio_near_duplicates(tone, threshold=0.45).count()), 3
+    )
+
     # ---- validation throughput over the synthetic audio table ----
     # bucketed-by-clip_id layout on tmpfs (BENCH/BASELINE.md: the sandbox
     # volume is throttled; the clips-reference join is exchange-free)

@@ -119,8 +119,16 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("rms_energy", T.DoubleType()),
         T.StructField("zero_crossing_rate", T.DoubleType()),
         T.StructField("peak", T.DoubleType()),
+        # quality-gate features (round 4): digital clipping and silence
+        T.StructField("clipping_rate", T.DoubleType()),
+        T.StructField("silence_fraction", T.DoubleType()),
     ]
 )
+
+# int16 full-scale minus 1 LSB: samples at/over this are treated as clipped
+_CLIP_LEVEL = 32766 / 32768.0
+# -40 dBFS: samples under this amplitude count as silence
+_SILENCE_LEVEL = 10.0 ** (-40.0 / 20.0)
 
 
 def audio_features(df: DataFrame, id_col: str = "clip_id", payload_col: str = "bytes") -> DataFrame:
@@ -136,19 +144,23 @@ def audio_features(df: DataFrame, id_col: str = "clip_id", payload_col: str = "b
                     _, sr, pcm = decode_clip(bytes(data))
                     x = pcm_to_float32(pcm)
                     zc = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+                    ax = np.abs(x)
                     rows.append(
                         {
                             "clip_id": cid,
                             "duration_s": len(x) / sr,
                             "rms_energy": float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
                             "zero_crossing_rate": zc,
-                            "peak": float(np.max(np.abs(x))) if len(x) else 0.0,
+                            "peak": float(np.max(ax)) if len(x) else 0.0,
+                            "clipping_rate": float(np.mean(ax >= _CLIP_LEVEL)) if len(x) else 0.0,
+                            "silence_fraction": float(np.mean(ax < _SILENCE_LEVEL)) if len(x) else 1.0,
                         }
                     )
                 except (ValueError, TypeError):
                     rows.append(
                         {"clip_id": cid, "duration_s": math.nan, "rms_energy": math.nan,
-                         "zero_crossing_rate": math.nan, "peak": math.nan}
+                         "zero_crossing_rate": math.nan, "peak": math.nan,
+                         "clipping_rate": math.nan, "silence_fraction": math.nan}
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
 

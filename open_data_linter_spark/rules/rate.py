@@ -1,0 +1,115 @@
+"""Cross-field rate checks: robust z-score outliers on derived ratios.
+
+The north star names "out-of-range and distribution anomalies" as a rule
+family (BASELINE.json). The reference's numeric rules are per-cell domain
+checks (csv_linter.py:133-185); this module adds the distributional rule
+the audio table needs that no fixed domain can express: a clip whose
+TRANSCRIPT length is implausible for its DURATION (garbled alignment,
+wrong-file transcript, dropped audio) is only detectable relative to the
+corpus. Robust statistics (median/MAD, Iglewicz-Hoberg modified z-score
+|0.6745·(x−med)/MAD| — public standard) so the outliers themselves don't
+drag the threshold.
+
+Exactness contract: the median is the LOWER median (the element at
+position ceil(n/2) of the sorted values — an actual data element, no
+interpolation), so Spark and an independent SQL engine agree bit-for-bit
+on doubles. Scale note: the exact path materializes the k smallest values
+to pick the order statistic (TakeOrdered, k = n/2), which is fine for
+per-batch validation fixtures; at 10^12 rows pass ``approx=True`` to use
+``percentile_approx`` (then the oracle becomes a contract check, not an
+exact twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MODIFIED_Z = 0.6745  # Φ^-1(0.75): scales MAD to σ for the modified z-score
+
+
+def _lower_median(df: DataFrame, col: str) -> float:
+    """Exact lower median: the ceil(n/2)-th smallest value (1-based)."""
+    n = df.count()
+    if n == 0:
+        raise ValueError("no rows to take a median over")
+    k = (n + 1) // 2
+    row = df.select(col).orderBy(col).limit(k).agg(F.max(col)).first()
+    return float(row[0])
+
+
+def words_per_second(
+    transcript_col="transcript", dur_ms_col="dur_ms"
+) -> F.Column:
+    """Transcript word rate. Java ``\\s+`` split on the trimmed text —
+    the package tokenize contract (functions/text.java_ws_tokens twin)."""
+    n_words = F.size(F.split(F.trim(F.col(transcript_col)), r"\s+"))
+    return n_words * F.lit(1000.0) / F.col(dur_ms_col)
+
+
+def robust_z_outliers(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    z_threshold: float = 3.5,
+    approx: bool = False,
+) -> DataFrame:
+    """(id, value, z) rows whose modified z-score exceeds the threshold.
+
+    ``z`` = 0.6745·(value − median)/MAD, rounded to 6 decimals. Raises on
+    MAD = 0 (more than half the values identical — a rate rule on such a
+    column is the wrong tool, and silent division would emit ±inf)."""
+    vals = df.select(F.col(id_col).alias("id"), F.col(value_col).alias("v"))
+    if approx:
+        med = float(
+            vals.agg(F.percentile_approx("v", 0.5, 10000)).first()[0]
+        )
+        mad = float(
+            vals.select(F.abs(F.col("v") - F.lit(med)).alias("d"))
+            .agg(F.percentile_approx("d", 0.5, 10000))
+            .first()[0]
+        )
+    else:
+        med = _lower_median(vals, "v")
+        mad = _lower_median(
+            vals.select(F.abs(F.col("v") - F.lit(med)).alias("d")), "d"
+        )
+    if mad == 0.0:
+        raise ValueError("MAD is zero: values are majority-constant")
+    z = F.lit(MODIFIED_Z) * (F.col("v") - F.lit(med)) / F.lit(mad)
+    return (
+        vals.select(
+            F.col("id").alias(id_col),
+            F.round(F.col("v"), 6).alias(value_col),
+            F.round(z, 6).alias("z"),
+        )
+        .where(F.abs(F.col("z")) > z_threshold)
+        .orderBy(id_col)
+    )
+
+
+def transcript_rate_outliers(
+    clips: DataFrame,
+    z_threshold: float = 3.5,
+    id_col: str = "clip_id",
+    transcript_col: str = "transcript",
+    dur_ms_col: str = "dur_ms",
+    approx: bool = False,
+) -> DataFrame:
+    """Clips whose words-per-second is a corpus outlier.
+
+    Sentinel transcripts (SENTINEL_TRANSCRIPTS — non-speech markers),
+    blanks, NULLs, and non-positive durations are excluded: they carry no
+    rate signal and their absence is owned by rules 1-13/1-6."""
+    from open_data_linter_spark.audio.synth import SENTINEL_TRANSCRIPTS
+
+    t = F.col(transcript_col)
+    base = clips.where(
+        t.isNotNull()
+        & (F.trim(t) != "")
+        & ~t.isin(*SENTINEL_TRANSCRIPTS)
+        & (F.col(dur_ms_col) > 0)
+    ).select(
+        id_col, words_per_second(transcript_col, dur_ms_col).alias("wps")
+    )
+    return robust_z_outliers(base, "wps", id_col, z_threshold, approx=approx)

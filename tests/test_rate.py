@@ -1,0 +1,92 @@
+"""Transcript rate outliers (rules/rate.py): robust modified z-score."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from open_data_linter_spark.audio.synth import gen_clips_pdf
+from open_data_linter_spark.rules.rate import (
+    MODIFIED_Z,
+    robust_z_outliers,
+    transcript_rate_outliers,
+)
+
+META = ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"]
+
+
+def _py_expected(pdf, z_threshold=3.5):
+    """Independent pure-python twin (lower median, no interpolation)."""
+    ok = pdf[
+        pdf["transcript"].notna()
+        & (pdf["transcript"].str.strip() != "")
+        & ~pdf["transcript"].isin(["[inaudible]", "[music]"])
+        & (pdf["dur_ms"] > 0)
+    ]
+    wps = (
+        ok["transcript"].str.strip().str.split().str.len() * 1000.0
+        / ok["dur_ms"].astype(float)
+    )
+
+    def lower_median(v):
+        s = np.sort(np.asarray(v, dtype=float))
+        return s[(len(s) + 1) // 2 - 1]
+
+    med = lower_median(wps)
+    mad = lower_median(np.abs(wps - med))
+    z = np.round(MODIFIED_Z * (wps - med) / mad, 6)
+    out = {}
+    for cid, w, zz in zip(ok["clip_id"], np.round(wps, 6), z):
+        if abs(zz) > z_threshold:
+            out[cid] = (w, zz)
+    return out
+
+
+def test_matches_pure_python_twin(spark):
+    pdf = gen_clips_pdf(np.arange(512))[META]
+    got = {
+        r.clip_id: (r.wps, r.z)
+        for r in transcript_rate_outliers(spark.createDataFrame(pdf)).collect()
+    }
+    want = _py_expected(pdf)
+    assert set(got) == set(want) and len(got) > 0
+    for cid in got:
+        assert got[cid][0] == pytest.approx(want[cid][0], abs=1e-9)
+        assert got[cid][1] == pytest.approx(want[cid][1], abs=1e-9)
+
+
+def test_exclusions(spark):
+    pdf = gen_clips_pdf(np.arange(64))[META].copy()
+    pdf.loc[0, "transcript"] = "[inaudible]"
+    pdf.loc[1, "transcript"] = None
+    pdf.loc[2, "transcript"] = "   "
+    pdf.loc[3, "dur_ms"] = 0
+    # give row 4 an absurd rate so at least one outlier exists
+    pdf.loc[4, "transcript"] = " ".join(["w"] * 400)
+    got = transcript_rate_outliers(spark.createDataFrame(pdf)).collect()
+    flagged = {r.clip_id for r in got}
+    assert pdf.loc[4, "clip_id"] in flagged
+    assert not flagged & set(pdf.loc[:3, "clip_id"])
+
+
+def test_mad_zero_raises(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": list("abcde"), "v": [2.0, 2.0, 2.0, 2.0, 9.0]})
+    )
+    with pytest.raises(ValueError, match="MAD"):
+        robust_z_outliers(df, "v", "id")
+
+
+def test_empty_input_raises(spark):
+    df = spark.createDataFrame(pd.DataFrame({"id": [], "v": []}), "id string, v double")
+    with pytest.raises(ValueError, match="no rows"):
+        robust_z_outliers(df, "v", "id")
+
+
+def test_approx_path_close_to_exact(spark):
+    pdf = gen_clips_pdf(np.arange(256))[META]
+    sdf = spark.createDataFrame(pdf)
+    exact = {r.clip_id for r in transcript_rate_outliers(sdf).collect()}
+    approx = {r.clip_id for r in transcript_rate_outliers(sdf, approx=True).collect()}
+    # percentile_approx at accuracy 10k on 256 rows is exact in practice;
+    # allow a 1-element fringe either way
+    assert len(exact ^ approx) <= 1
