@@ -166,6 +166,16 @@ def test_hot_bucket_cap_prunes_stationary_content(spark):
     )
 
 
+def test_plan_shape_no_cartesian(spark):
+    """The candidate stage must stay a pure hash-join pipeline — any
+    BroadcastNestedLoop/Cartesian means the pair expansion regressed to
+    an all-pairs shape that dies at scale."""
+    clips = synthesize_tone_clips(spark, 64, num_partitions=4)
+    df = audio_near_duplicates(clips, threshold=THRESHOLD)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
 def test_determinism(spark):
     clips = synthesize_tone_clips(spark, 48, num_partitions=4)
     a = sorted(map(tuple, audio_near_duplicates(clips, threshold=THRESHOLD).collect()))
