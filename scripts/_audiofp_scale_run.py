@@ -49,7 +49,15 @@ def main() -> None:
     spark = get_spark(
         f"audiofp-scale-{cores}", master=f"local[{cores}]",
         shuffle_partitions=max(cores, 8),
-        extra_conf={"spark.local.dir": local_dir},
+        extra_conf={
+            "spark.local.dir": local_dir,
+            # the corpus is ~64 x 9MB files; the default 128MB
+            # maxPartitionBytes packs them into ~5 scan partitions, which
+            # starves the decode stage at 4N cores (measured: 1.78x at
+            # 2->8). 8MB (the _fleet_scale_run.py precedent) keeps the
+            # Arrow decode pass fully subscribed at every N.
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+        },
     )
 
     clips = spark.read.parquet(os.path.join(root, "clips"))
