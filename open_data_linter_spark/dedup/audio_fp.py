@@ -144,6 +144,16 @@ def audio_near_duplicates(
             F.transform(F.sequence(F.lit(1), F.size(b) - q + 1), shingle_at)
         ).alias("hs"),
     )
+    # The decode pass wants partitioning proportional to payload BYTES
+    # (whatever the scan/file layout gives it), but the shingle sets it
+    # emits are ~50-100x smaller — if they stay at the scan's partition
+    # count, the persisted table and every stage that reads it (inverted
+    # index map side + both verify-join scans) inherit byte-sized task
+    # counts and per-task overhead dominates (measured 44s vs 25s at 2
+    # cores on a 92-partition scan). One narrow shuffle of the fingerprint
+    # table down to cores-proportional partitioning decouples the two.
+    sc = df.sparkSession.sparkContext
+    hashed = hashed.repartition(max(sc.defaultParallelism, 8))
     # hs feeds the inverted index AND both verify sides
     hashed = persist_scoped("audio_fp.hashed", hashed)
     buckets = (

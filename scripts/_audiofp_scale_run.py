@@ -54,9 +54,12 @@ def main() -> None:
             # the corpus is ~64 x 9MB files; the default 128MB
             # maxPartitionBytes packs them into ~5 scan partitions, which
             # starves the decode stage at 4N cores (measured: 1.78x at
-            # 2->8). 8MB (the _fleet_scale_run.py precedent) keeps the
-            # Arrow decode pass fully subscribed at every N.
-            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            # 2->8). But mapInPandas tasks cost ~140ms EACH on this VM
+            # (measured with an id-only UDF, workers verified reused), so
+            # 8MB splits (92 tasks) drown the 2-core side in per-task
+            # overhead instead (44s vs 25s). 24MB -> ~24 decode tasks =
+            # 3 waves at 8 cores, ~2s total overhead at 2 cores.
+            "spark.sql.files.maxPartitionBytes": str(24 * 1024 * 1024),
         },
     )
 
