@@ -82,7 +82,10 @@ def decode_clip(data: bytes) -> tuple[str, int, np.ndarray]:
                     raise ValueError("unsupported wav layout")
                 sr = w.getframerate()
                 raw = w.readframes(w.getnframes())
-        except wave.Error as e:
+        # EOFError: the stdlib chunk reader raises it (not wave.Error) on a
+        # RIFF header truncated mid-chunk (4-11 bytes) — it must become the
+        # documented ValueError or one malformed clip kills a whole job
+        except (wave.Error, EOFError) as e:
             raise ValueError(f"bad wav: {e}") from e
         return codec, sr, np.frombuffer(raw, dtype=np.int16)
     if len(data) < _HDR.size:

@@ -66,7 +66,11 @@ def band_sequence(x: np.ndarray, sr: int) -> np.ndarray:
     # sums. EDGES[-1]=3800 < Nyquist>=4000 for every supported sr, so every
     # boundary index is in range.
     bounds = np.searchsorted(freqs, EDGES, side="left")
-    e = np.add.reduceat(p, bounds[:-1], axis=1)
+    # reduceat over ALL 49 edges, then drop the trailing segment: passing
+    # bounds[:-1] would make band 47 run from EDGES[47] to Nyquist instead
+    # of [EDGES[47], 3800), absorbing every above-grid energy (hiss,
+    # sibilance) and breaking the bands.py sr-invariance contract.
+    e = np.add.reduceat(p, bounds, axis=1)[:, :-1]
     # reduceat quirk: an EMPTY segment (possible at sr=8000 where low bands
     # are narrower than one bin) yields p[start] instead of 0 — zero it
     empty = bounds[1:] <= bounds[:-1]

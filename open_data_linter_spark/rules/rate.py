@@ -28,9 +28,12 @@ from pyspark.sql import functions as F
 MODIFIED_Z = 0.6745  # Φ^-1(0.75): scales MAD to σ for the modified z-score
 
 
-def _lower_median(df: DataFrame, col: str) -> float:
-    """Exact lower median: the ceil(n/2)-th smallest value (1-based)."""
-    n = df.count()
+def _lower_median(df: DataFrame, col: str, n: int | None = None) -> float:
+    """Exact lower median: the ceil(n/2)-th smallest value (1-based).
+
+    ``n`` is the known row count (pass it to avoid a redundant count job)."""
+    if n is None:
+        n = df.count()
     if n == 0:
         raise ValueError("no rows to take a median over")
     k = (n + 1) // 2
@@ -38,13 +41,21 @@ def _lower_median(df: DataFrame, col: str) -> float:
     return float(row[0])
 
 
+def word_count(transcript_col="transcript") -> F.Column:
+    """Token count under the package tokenize contract (Java ``\\s+``
+    split with EMPTY TOKENS DROPPED — functions/text.java_ws_tokens twin).
+    ``array_remove(..., '')`` is what drops the empties a leading/trailing
+    non-space whitespace edge produces (F.trim strips ASCII spaces only)."""
+    return F.size(
+        F.array_remove(F.split(F.col(transcript_col), r"\s+"), "")
+    )
+
+
 def words_per_second(
     transcript_col="transcript", dur_ms_col="dur_ms"
 ) -> F.Column:
-    """Transcript word rate. Java ``\\s+`` split on the trimmed text —
-    the package tokenize contract (functions/text.java_ws_tokens twin)."""
-    n_words = F.size(F.split(F.trim(F.col(transcript_col)), r"\s+"))
-    return n_words * F.lit(1000.0) / F.col(dur_ms_col)
+    """Transcript word rate (empties-dropped tokenize contract)."""
+    return word_count(transcript_col) * F.lit(1000.0) / F.col(dur_ms_col)
 
 
 def robust_z_outliers(
@@ -58,21 +69,38 @@ def robust_z_outliers(
 
     ``z`` = 0.6745·(value − median)/MAD, rounded to 6 decimals. Raises on
     MAD = 0 (more than half the values identical — a rate rule on such a
-    column is the wrong tool, and silent division would emit ±inf)."""
-    vals = df.select(F.col(id_col).alias("id"), F.col(value_col).alias("v"))
+    column is the wrong tool, and silent division would emit ±inf).
+
+    NULL values are excluded from both the statistics and the output: a
+    NULL carries no rate signal, its absence is a completeness rule's job
+    (and Spark's nulls-first sort would otherwise silently corrupt the
+    order statistic). Raises ValueError when no non-null rows remain —
+    on BOTH paths (``percentile_approx`` over zero rows returns NULL)."""
+    vals = df.select(
+        F.col(id_col).alias("id"), F.col(value_col).alias("v")
+    ).where(F.col("v").isNotNull())
     if approx:
-        med = float(
-            vals.agg(F.percentile_approx("v", 0.5, 10000)).first()[0]
-        )
+        m = vals.agg(F.percentile_approx("v", 0.5, 10000)).first()[0]
+        if m is None:
+            raise ValueError("no rows to take a median over")
+        med = float(m)
         mad = float(
             vals.select(F.abs(F.col("v") - F.lit(med)).alias("d"))
             .agg(F.percentile_approx("d", 0.5, 10000))
             .first()[0]
         )
     else:
-        med = _lower_median(vals, "v")
+        # the exact path reads vals 4x (count, two TakeOrdered medians,
+        # the final outlier scan) — pin it so upstream lineage (a full
+        # scan, or a mapInPandas synthesis in the fixtures) runs once
+        from open_data_linter_spark.dedup._cache import persist_scoped
+
+        vals = persist_scoped("rate.vals", vals)
+        n = vals.count()
+        med = _lower_median(vals, "v", n=n)
+        # |v - med| is non-null exactly where v is: same n
         mad = _lower_median(
-            vals.select(F.abs(F.col("v") - F.lit(med)).alias("d")), "d"
+            vals.select(F.abs(F.col("v") - F.lit(med)).alias("d")), "d", n=n
         )
     if mad == 0.0:
         raise ValueError("MAD is zero: values are majority-constant")
@@ -106,7 +134,9 @@ def transcript_rate_outliers(
     t = F.col(transcript_col)
     base = clips.where(
         t.isNotNull()
-        & (F.trim(t) != "")
+        # token-count blank test, not trim: a '\n'-only transcript trims
+        # (ASCII spaces) to itself but carries zero words
+        & (word_count(transcript_col) > 0)
         & ~t.isin(*SENTINEL_TRANSCRIPTS)
         & (F.col(dur_ms_col) > 0)
     ).select(

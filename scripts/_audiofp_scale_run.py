@@ -94,6 +94,9 @@ def main() -> None:
         "host_steal_pct": steal, "sanity": sanity,
     }))
     spark.stop()
+    import shutil
+
+    shutil.rmtree(local_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -166,6 +166,36 @@ def test_hot_bucket_cap_prunes_stationary_content(spark):
     )
 
 
+def test_band_grid_ceiling_excluded():
+    """Energy above the 3800 Hz grid ceiling must not leak into band 47
+    (reduceat's open-ended last segment): a louder out-of-grid 10 kHz tone
+    cannot override in-grid content, so a clip and its band-limited
+    re-encode keep the same dominant bands (bands.py sr-invariance)."""
+    sr = 44100
+    t = np.arange(int(sr * 0.5)) / sr
+    in_grid = np.sin(2 * np.pi * 1000.0 * t)
+    hiss = 2.0 * np.sin(2 * np.pi * 10000.0 * t)
+    seq = band_sequence((in_grid + hiss).astype(np.float32), sr)
+    k = int(np.searchsorted(EDGES, 1000.0) - 1)
+    assert len(seq) > 0 and (seq == k).all()
+
+
+def test_truncated_riff_yields_empty_sequence(spark):
+    """A 4-11-byte RIFF fragment (stdlib chunk reader raises EOFError, not
+    wave.Error) must become the documented empty band sequence, never an
+    exception escaping the decode pass."""
+    import pandas as pd
+
+    clips = gen_tone_clips_pdf(np.arange(8))
+    clips.loc[3, "bytes"] = b"RIFFxx"
+    seqs = {
+        r.id: r.bands
+        for r in audio_band_sequences(spark.createDataFrame(clips)).collect()
+    }
+    assert seqs[clips.loc[3, "clip_id"]] == []
+    assert all(len(v) > 0 for k, v in seqs.items() if k != clips.loc[3, "clip_id"])
+
+
 def test_plan_shape_no_cartesian(spark):
     """The candidate stage must stay a pure hash-join pipeline — any
     BroadcastNestedLoop/Cartesian means the pair expansion regressed to

@@ -43,6 +43,16 @@ def test_decode_rejects_garbage():
         decode_clip(encode_clip(_pcm(), 8000, "ulaw")[:10])  # truncated payload
 
 
+def test_decode_truncated_riff_is_valueerror():
+    """4-11-byte RIFF fragments make the stdlib chunk reader raise
+    EOFError (not wave.Error); the decode contract must normalize it to
+    ValueError or one malformed clip kills a whole Spark job."""
+    wav = encode_clip(_pcm(), 8000, "pcm_s16le")
+    for frag in (b"RIFF", b"RIFFxx", b"RIFF\x00\x00\x00\x00WAV", wav[:11]):
+        with pytest.raises(ValueError):
+            decode_clip(frag)
+
+
 def test_snr_exact_and_mismatch():
     a = pcm_to_float32(_pcm())
     assert snr_db(a, a) == float("inf")

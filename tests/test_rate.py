@@ -82,6 +82,55 @@ def test_empty_input_raises(spark):
         robust_z_outliers(df, "v", "id")
 
 
+def test_null_values_excluded_from_stats(spark):
+    """NULLs in the value column must not shift the order statistics
+    (Spark sorts nulls FIRST, so an unfiltered limit(k) would return a
+    wrong median) and must never be reported as outliers."""
+    pdf = pd.DataFrame(
+        {
+            "id": [f"r{i:02d}" for i in range(20)],
+            "v": [float(i % 7 + 1) for i in range(19)] + [100.0],
+        }
+    )
+    with_nulls = pd.concat(
+        [pdf, pd.DataFrame({"id": [f"n{i}" for i in range(8)], "v": [None] * 8})]
+    )
+    clean = robust_z_outliers(spark.createDataFrame(pdf), "v", "id").collect()
+    dirty = robust_z_outliers(
+        spark.createDataFrame(with_nulls, "id string, v double"), "v", "id"
+    ).collect()
+    assert [tuple(r) for r in clean] == [tuple(r) for r in dirty]
+    assert {r.id for r in dirty} == {"r19"}
+
+
+def test_whitespace_edge_transcripts(spark):
+    """Tab/newline-edged transcripts must not count a phantom word (Java
+    split emits leading/trailing empties; the tokenize contract drops
+    them), and whitespace-only transcripts carry zero words -> excluded."""
+    from open_data_linter_spark.audio.synth import SENTINEL_TRANSCRIPTS
+
+    pdf = gen_clips_pdf(np.arange(32))[META].copy()
+    pdf.loc[5, "transcript"] = ""  # blank: excluded in the baseline
+    base = transcript_rate_outliers(spark.createDataFrame(pdf)).collect()
+    # edge whitespace on ordinary rows must not change word counts; a
+    # '\n'-only transcript must be excluded exactly like the blank was
+    # (sentinels stay verbatim — edging them would change exclusions)
+    pdf2 = pdf.copy()
+    keep = ~pdf2["transcript"].isin(list(SENTINEL_TRANSCRIPTS)) & pdf2[
+        "transcript"
+    ].notna()
+    pdf2.loc[keep, "transcript"] = "\t" + pdf2.loc[keep, "transcript"] + "\n"
+    pdf2.loc[5, "transcript"] = "\n"
+    edged = transcript_rate_outliers(spark.createDataFrame(pdf2)).collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in edged]
+
+
+def test_empty_input_raises_approx(spark):
+    df = spark.createDataFrame(pd.DataFrame({"id": [], "v": []}), "id string, v double")
+    with pytest.raises(ValueError, match="no rows"):
+        robust_z_outliers(df, "v", "id", approx=True)
+
+
 def test_approx_path_close_to_exact(spark):
     pdf = gen_clips_pdf(np.arange(256))[META]
     sdf = spark.createDataFrame(pdf)
