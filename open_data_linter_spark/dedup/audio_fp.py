@@ -119,34 +119,73 @@ def audio_near_duplicates(
     payload_col: str = "bytes",
     threshold: float = 0.35,
     q: int = 4,
+    melody_q: int = 3,
     max_bucket_size: int | None = 200,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) near-duplicate clip pairs, id_a < id_b.
 
-    ``jaccard`` is over the distinct q-gram shingle sets of the dominant-
-    band sequences, rounded to 6 decimals. ``num_partitions`` repartitions
-    the (id, payload) projection before the decode pass — set it when the
-    input is a single-file scan (one partition would serialize the decode;
-    CLAUDE.md single-partition-scan trap)."""
-    if q < 1:
-        raise ValueError("q must be >= 1")
+    ``jaccard`` (the VERIFY metric) is over the distinct q-gram shingle
+    sets of the per-frame dominant-band sequences, rounded to 6 decimals.
+
+    CANDIDATE keys, however, come from the RUN-LENGTH-COLLAPSED sequence
+    — the clip's melody (``[5,5,5,9,9,3] -> [5,9,3]``): sliding
+    ``melody_q``-grams of band TRANSITIONS, plus one length-2 melody
+    PREFIX key per clip. Per-frame shingles are too hot to index: a note
+    held for 20 frames mints 17 degenerate ``AAAA`` shingles shared by
+    every clip that ever holds that band, and single-transition windows
+    (``AABB``) are shared corpus-wide — measured 4.0M candidate pairs for
+    10.4k true pairs at 24k clips, growing ~quadratically until buckets
+    hit the cap. Multi-transition melody grams are selective (the
+    Wang-2003 lineage hashes peak *constellations*, not frame energies,
+    for the same reason); the prefix key covers clips whose melody is
+    shorter than ``melody_q`` (truncation cuts the suffix, so the prefix
+    anchors a short truncated variant to its base). Clips with fewer than
+    two distinct consecutive bands (one held tone) emit no candidate key
+    and are never reported — matching stationary content on dominant band
+    alone is the false-positive factory the hot-bucket cap exists for.
+
+    ``num_partitions`` repartitions the (id, payload) projection before
+    the decode pass — set it when the input is a single-file scan (one
+    partition would serialize the decode; CLAUDE.md trap)."""
+    if q < 1 or melody_q < 2:
+        raise ValueError("q must be >= 1 and melody_q >= 2")
     src = df.select(id_col, payload_col)
     if num_partitions is not None:
         src = src.repartition(num_partitions)
     seq = audio_band_sequences(src, id_col, payload_col)
-    # shingle hashing stays JVM-side: xxhash64 over q consecutive band ids
-    # per window position, distinct per clip. j is bound at plan-build time
-    # (plain ints), never through the HOF lambda (CLAUDE.md arity pitfall).
+    # all hashing stays JVM-side: xxhash64 over plan-bound ints (j below
+    # is bound at plan-build time, never through a HOF lambda param —
+    # CLAUDE.md arity pitfall). element_at is 1-based, so element_at(b, i)
+    # is the PREDECESSOR of 0-based filter position i.
     b = F.col("bands")
+    mel_expr = F.filter(b, lambda x, i: (i == 0) | (x != F.element_at(b, i)))
+    seq = seq.select("id", "bands", mel_expr.alias("mel"))
     shingle_at = lambda i: F.xxhash64(  # noqa: E731
         *[F.element_at(b, i + j) for j in range(q)]
     )
+    m = F.col("mel")
+    gram_at = lambda i: F.xxhash64(  # noqa: E731
+        F.lit(0), *[F.element_at(m, i + j) for j in range(melody_q)]
+    )
+    empty_longs = F.array().cast("array<bigint>")
+    grams = F.when(
+        F.size(m) >= melody_q,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(m) - melody_q + 1), gram_at)
+        ),
+    ).otherwise(empty_longs)
+    # salt=1 distinguishes the prefix key space from the gram key space
+    prefix = F.when(
+        F.size(m) >= 2,
+        F.array(F.xxhash64(F.lit(1), F.element_at(m, 1), F.element_at(m, 2))),
+    ).otherwise(empty_longs)
     hashed = seq.where(F.size(b) >= q).select(
         "id",
         F.array_distinct(
             F.transform(F.sequence(F.lit(1), F.size(b) - q + 1), shingle_at)
         ).alias("hs"),
+        F.concat(grams, prefix).alias("ck"),
     )
     # The decode pass wants partitioning proportional to payload BYTES
     # (whatever the scan/file layout gives it), but the shingle sets it
@@ -158,10 +197,10 @@ def audio_near_duplicates(
     # table down to cores-proportional partitioning decouples the two.
     sc = df.sparkSession.sparkContext
     hashed = hashed.repartition(max(sc.defaultParallelism, 8))
-    # hs feeds the inverted index AND both verify sides
+    # hashed feeds the inverted index (ck) AND both verify sides (hs)
     hashed = persist_scoped("audio_fp.hashed", hashed)
     buckets = (
-        hashed.select("id", F.explode("hs").alias("sh"))
+        hashed.select("id", F.explode("ck").alias("sh"))
         .groupBy("sh")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .where(F.size("ids") >= 2)

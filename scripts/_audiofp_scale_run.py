@@ -77,6 +77,13 @@ def main() -> None:
     n_rows = clips.count()
     assert n_rows == n, f"corpus has {n_rows} rows, expected {n} — stale dir"
     clips.select(F.sum(F.length("bytes"))).collect()
+    # untimed codegen/JIT warm-up: a tiny dedup pass compiles the same
+    # generated classes (wide xxhash64 shingle projections, array
+    # comprehension pair expansion) the timed run uses — on a long-lived
+    # cluster these are compiled once per executor lifetime, not per job.
+    # ~1-3s of first-run compilation otherwise lands in the timed span,
+    # identical on both sides but 20% of the 4N wall at this corpus size.
+    audio_near_duplicates(clips.limit(192), threshold=0.45).count()
 
     before = cpu_snap()
     t0 = time.time()

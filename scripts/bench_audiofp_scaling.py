@@ -150,6 +150,15 @@ end-to-end — parquet scan → Arrow decode+FFT fingerprints → shingle
 bucket shuffle → pair expansion → Jaccard verify — with in-run sanity
 asserting the exact pair count recorded at corpus-gen time.
 
+Partitioning methodology (both sides run the IDENTICAL config): 24MB
+scan splits. The default 128MB packed the ~64x9MB corpus into ~5
+partitions and starved the 4N decode stage (measured 1.78x); 8MB
+splits (92 tasks) instead drowned the N side in this VM's ~140ms
+per-mapInPandas-task overhead (44s vs 25s at 2 cores, workers verified
+reused). The operator itself repartitions its fingerprint output down
+to cores-proportional partitioning after the decode pass, so only the
+byte-heavy stage follows the scan layout (dedup/audio_fp.py).
+
 Best same-window pair:
 
 | config | wall (s) | clips/sec | host steal % |

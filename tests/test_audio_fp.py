@@ -141,28 +141,45 @@ def test_undecodable_payload_excluded(spark):
     assert all("clip_00000001" not in (r.id_a, r.id_b) for r in pairs)
 
 
-def test_hot_bucket_cap_prunes_stationary_content(spark):
-    """Clips that are the SAME held tone everywhere share only the one
-    stationary shingle; with a bucket cap below their count the candidate
-    stage drops them (documented trade: generic content is not pairable
-    through hot shingles)."""
-    sr = 16000
-    t = np.arange(sr) / sr
-    x = 0.4 * np.sin(2 * np.pi * float(TONE_GRID[10]) * t)
-    pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
-    rows = [
-        {"clip_id": f"hum_{i}", "bytes": encode_clip(pcm, sr, "pcm_s16le")}
-        for i in range(6)
-    ]
+def test_stationary_and_hot_bucket_contracts(spark):
+    """Two documented trades of the candidate stage: (a) a held-tone clip
+    has no melody (one distinct band -> zero candidate keys) and is NEVER
+    pairable, cap or no cap; (b) clips sharing a melody bucket larger
+    than max_bucket_size are dropped by the cap, and pairable without."""
     import pandas as pd
 
-    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    sr = 16000
+    t = np.arange(sr) / sr
+
+    def tone_pcm(bands, n_seg=None):
+        segs = np.array_split(t, len(bands))
+        x = np.concatenate(
+            [
+                0.4 * np.sin(2 * np.pi * float(TONE_GRID[b]) * s)
+                for b, s in zip(bands, segs)
+            ]
+        )
+        return np.clip(x * 32767, -32768, 32767).astype(np.int16)
+
+    hum = [
+        {"clip_id": f"hum_{i}", "bytes": encode_clip(tone_pcm([10]), sr, "pcm_s16le")}
+        for i in range(6)
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(hum))
+    assert audio_near_duplicates(sdf, threshold=0.1, max_bucket_size=5).count() == 0
+    assert audio_near_duplicates(sdf, threshold=0.1, max_bucket_size=None).count() == 0
+
+    duo = [
+        {
+            "clip_id": f"duo_{i}",
+            "bytes": encode_clip(tone_pcm([10, 20]), sr, "pcm_s16le"),
+        }
+        for i in range(6)
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame(duo))
+    assert audio_near_duplicates(sdf, threshold=0.1, max_bucket_size=5).count() == 0
     assert (
-        audio_near_duplicates(sdf, threshold=0.1, max_bucket_size=5).count() == 0
-    )
-    assert (
-        audio_near_duplicates(sdf, threshold=0.1, max_bucket_size=None).count()
-        == 15
+        audio_near_duplicates(sdf, threshold=0.1, max_bucket_size=None).count() == 15
     )
 
 
