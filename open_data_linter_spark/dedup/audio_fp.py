@@ -196,7 +196,8 @@ def audio_near_duplicates(
     # cores on a 92-partition scan). One narrow shuffle of the fingerprint
     # table down to cores-proportional partitioning decouples the two.
     sc = df.sparkSession.sparkContext
-    hashed = hashed.repartition(max(sc.defaultParallelism, 8))
+    par = max(sc.defaultParallelism, 8)
+    hashed = hashed.repartition(par)
     # hashed feeds the inverted index (ck) AND both verify sides (hs)
     hashed = persist_scoped("audio_fp.hashed", hashed)
     buckets = (
@@ -220,6 +221,12 @@ def audio_near_duplicates(
         buckets.select(F.explode(pair_expr).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .where(F.col("id_a") != F.col("id_b"))  # duplicate-id input guard
+        # explicit hash repartition on the dedup keys: dropDuplicates reuses
+        # it (no extra exchange) and, unlike the implicit aggregate shuffle,
+        # it is NOT AQE-coalesced — AQE sizes by row BYTES and pair rows are
+        # tiny, so it halves the parallelism of the verify join feeding off
+        # this output (measured 4 tasks on 8 cores; embedding.py trap)
+        .repartition(par, "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     hs_a = hashed.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
