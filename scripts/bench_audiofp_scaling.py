@@ -103,17 +103,19 @@ def main() -> None:
                 (low_runs if r["cores"] == n_low else high_runs).append(r)
 
     # Cool-down between the two sides of a pair: this VM's sustained-CPU
-    # burst budget drains during the N-side run (~2 CPU-min at 49k clips)
-    # and a back-to-back 4N-side run starts depleted — measured +2.5s on
-    # an 8-core side that runs 16.0s standalone (efficiency biased LOW,
-    # not high, so the cool-down removes a pessimistic artifact).
-    cooldown = int(os.environ.get("SPARK_GRAFT_COOLDOWN_S", "60"))
+    # burst budget drains during each run and a back-to-back second side
+    # starts depleted — measured +2.5s on an 8-core side that runs 16.0s
+    # standalone (efficiency biased LOW, not high, so the cool-down
+    # removes a pessimistic artifact). The 4N side runs FIRST: it is the
+    # budget-sensitive one (4x the drain rate), while the N side's longer
+    # wall at low parallelism partially regenerates budget as it runs.
+    cooldown = int(os.environ.get("SPARK_GRAFT_COOLDOWN_S", "180"))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(runs_log, "a") as logf:
         for _ in range(reps):
             inv = uuid.uuid4().hex[:8]
-            for i, (cores, bucket) in enumerate(((n_low, low_runs), (n_high, high_runs))):
+            for i, (cores, bucket) in enumerate(((n_high, high_runs), (n_low, low_runs))):
                 if i:
                     import time as _time
 
