@@ -91,7 +91,10 @@ def train_codebooks(
         k = min(ksub, len(sub))
         cents = sub[rng.choice(len(sub), size=k, replace=False)]
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # |a-b|^2 via the dot identity (row-constant |a|^2 dropped —
+            # argmin over cents only): BLAS matmul instead of a
+            # rows x k x dsub broadcast temporary
+            d2 = (cents**2).sum(axis=1)[None, :] - 2.0 * (sub @ cents.T)
             assign = d2.argmin(axis=1)
             for c in range(k):
                 members = sub[assign == c]
@@ -124,7 +127,7 @@ def pq_encode(
         codes = np.empty((len(mat), m), dtype=np.int32)
         for s in range(m):
             sub = mat[:, s * dsub : (s + 1) * dsub]
-            d2 = ((sub[:, None, :] - b[s][None, :, :]) ** 2).sum(axis=2)
+            d2 = (b[s] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ b[s].T)
             codes[:, s] = d2.argmin(axis=1)
         return pd.Series(list(codes))
 
@@ -183,7 +186,10 @@ def ivf_pq_topk(
         codes = np.empty((len(mat), mm), dtype=np.int32)
         for s in range(mm):
             sub = res[:, s * dsub : (s + 1) * dsub]
-            d2 = ((sub[:, None, :] - b[s][None, :, :]) ** 2).sum(axis=2)
+            # encode is the at-scale hot loop (every corpus batch); the
+            # dot-identity form is one rows x ksub matmul per subspace
+            # instead of a rows x ksub x dsub broadcast temporary
+            d2 = (b[s] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ b[s].T)
             codes[:, s] = d2.argmin(axis=1)
         return pd.DataFrame(
             {"cell": cell.astype(np.int32), "pq_code": list(codes)}

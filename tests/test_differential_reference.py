@@ -26,6 +26,8 @@ import types
 import numpy as np
 import pytest
 
+from _diffsize import diff_trials
+
 CHECKS = ["1_1", "1_2", "1_3", "1_4", "1_5", "1_6", "1_7",
           "1_10", "1_11", "1_12", "1_13", "2_x"]
 
@@ -175,7 +177,7 @@ def test_differential_vs_reference(spark, reference_linter):
 
     rng = np.random.default_rng(20260817)
     mismatches = []
-    for trial in range(25):
+    for trial in range(diff_trials(10, 25)):
         data = _gen_csv(rng)
         ref = RefLinter(data, "t.csv")
         ours = TabularLinter(spark, data, "t.csv")
@@ -244,7 +246,7 @@ def test_differential_adjacency_vs_reference(spark, reference_linter):
 
     rng = np.random.default_rng(77)
     mismatches = []
-    for trial in range(21):
+    for trial in range(diff_trials(8, 21)):
         data = _gen_adjacency_csv(rng)
         ref = RefLinter(data, "t.csv")
         ours = TabularLinter(spark, data, "t.csv")
@@ -332,7 +334,7 @@ def test_differential_cross_corpus(spark, reference_linter):
 
     rng = np.random.default_rng(40260817)
     mismatches = []
-    for trial in range(50):
+    for trial in range(diff_trials(16, 50)):
         data = _gen_cross_csv(rng)
         ref = RefLinter(data, "t.csv")
         ours = TabularLinter(spark, data, "t.csv")

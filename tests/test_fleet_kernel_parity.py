@@ -21,6 +21,8 @@ import os
 import numpy as np
 import pytest
 
+from _diffsize import diff_trials
+
 CHECKS = ["1_1", "1_2", "1_3", "1_4", "1_5", "1_6", "1_7",
           "1_10", "1_11", "1_12", "1_13", "2_x"]
 SAMPLES = "/root/reference/tests/samples"
@@ -69,13 +71,13 @@ def test_kernel_parity_differential_corpus(spark):
         _gen_adjacency_csv, _gen_cross_csv, _gen_csv)
 
     rng = np.random.default_rng(30260817)
-    for trial in range(30):
+    for trial in range(diff_trials(10, 30)):
         data = _gen_csv(rng)
         _assert_parity(spark, data, "t.csv", f"gen_csv trial {trial}")
-    for trial in range(30):
+    for trial in range(diff_trials(10, 30)):
         data = _gen_adjacency_csv(rng)
         _assert_parity(spark, data, "t.csv", f"adjacency trial {trial}")
-    for trial in range(12):  # encoding × quirk × NA-token cross cases
+    for trial in range(diff_trials(6, 12)):  # encoding × quirk × NA cross
         data = _gen_cross_csv(rng)
         _assert_parity(spark, data, "t.csv", f"cross trial {trial}")
 
