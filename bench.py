@@ -76,13 +76,6 @@ def time_action(fn) -> float:
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
-def best_of(fn, reps: int = REPS) -> float:
-    """Best-of-N: the sandbox host has hypervisor steal storms (same-config
-    runs swing 5x, BENCH/BASELINE.md appendix), so a single run measures the
-    host, not the plan."""
-    return min(time_action(fn) for _ in range(reps))
-
-
 def warm_up(spark, cpus: int) -> None:
     """Untimed: JVM JIT/codegen warm-up + python-worker spawn + first-touch
     of the input footers, so the timed runs measure the engine."""
@@ -110,11 +103,6 @@ def main() -> None:
     warm_up(spark, CPUS)
 
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        timings[name] = round(
-            best_of(lambda n=name: qs[n](spark, SF_DIR).collect()), 3
-        )
 
     # ---- audio fingerprint dedup at bench scale (not the 256-clip
     # driver fixture): decode+FFT melody pass + shingle bucket join ----
@@ -122,9 +110,6 @@ def main() -> None:
     from open_data_linter_spark.dedup.audio_fp import audio_near_duplicates
 
     tone = synthesize_tone_clips(spark, 4096, sc_parts)
-    timings["audio_neardups_4k"] = round(
-        best_of(lambda: audio_near_duplicates(tone, threshold=0.45).count()), 3
-    )
 
     # ---- validation throughput over the synthetic audio table ----
     # bucketed-by-clip_id layout on tmpfs (BENCH/BASELINE.md: the sandbox
@@ -157,8 +142,32 @@ def main() -> None:
     ctx["reference_clips"].select(F.sum(F.length("pcm_ref"))).collect()
 
     run = ValidationRun(spark, build_audio_ruleset(), collect_violation_rows=False)
-    t_val = best_of(lambda: run.run(clips, dict(ctx)))
-    timings["validation_full_matrix"] = round(t_val, 3)
+
+    # ---- timed passes: INTERLEAVED best-of-REPS. A hypervisor steal
+    # storm on this host lasts minutes (BENCH/BASELINE.md appendix), so
+    # best-of-N CONSECUTIVE reps of one query all land inside it and the
+    # query reads 5x slow while its neighbors read clean. Interleaving
+    # whole passes spreads each query's reps minutes apart — one clean
+    # pass anywhere in the run yields a clean minimum for every query
+    # (same discipline as scripts/bench_scaling.py's interleaved pairs).
+    timings: dict[str, float] = {}
+
+    def _note(name: str, sec: float) -> None:
+        timings[name] = min(timings.get(name, float("inf")), round(sec, 3))
+
+    for _ in range(REPS):
+        for name in HEADLINE:
+            _note(name, time_action(lambda: qs[name](spark, SF_DIR).collect()))
+        _note(
+            "audio_neardups_4k",
+            time_action(
+                lambda: audio_near_duplicates(tone, threshold=0.45).count()
+            ),
+        )
+        _note("validation_full_matrix",
+              time_action(lambda: run.run(clips, dict(ctx))))
+
+    t_val = timings["validation_full_matrix"]
     clips_per_sec = round(N_CLIPS / t_val, 1)
 
     shutil.rmtree(tmp, ignore_errors=True)
