@@ -21,6 +21,7 @@ import os
 import numpy as np
 import pytest
 
+from _diffsize import FULL as FULL_DIFF
 from _diffsize import diff_trials
 
 CHECKS = ["1_1", "1_2", "1_3", "1_4", "1_5", "1_6", "1_7",
@@ -82,12 +83,11 @@ def test_kernel_parity_differential_corpus(spark):
         _assert_parity(spark, data, "t.csv", f"cross trial {trial}")
 
 
-def test_kernel_parity_encoding_matrix(spark):
-    """The three nb01h0013 encodings exercise detect_and_decode + 1-10."""
-    for name in ["nb01h0013.csv", "nb01h0013_sjis.csv", "nb01h0013_cp932.csv"]:
-        with open(os.path.join(SAMPLES, name), "rb") as f:
-            data = f.read()
-        _assert_parity(spark, data, name, name)
+# NOTE: the three nb01h0013 encodings (detect_and_decode + 1-10 coverage)
+# are asserted by test_kernel_parity_reference_samples — the parametrized
+# glob over the sample corpus includes them, so a dedicated encoding-matrix
+# test would run the identical _assert_parity a second time (~66s of
+# duplicated Spark-engine work; removed after the round-4 durations audit).
 
 
 def test_kernel_parity_numeric_grammar_edges(spark):
@@ -109,10 +109,23 @@ def test_kernel_parity_numeric_grammar_edges(spark):
 
 def test_lint_files_distributed_matches_threaded(spark, tmp_path):
     """The mapInPandas fleet path returns exactly the rows of the
-    driver-threaded path on a mixed corpus (incl. a blocked file)."""
+    driver-threaded path on a mixed corpus (incl. a blocked file).
+
+    Path-equivalence test (URI normalization, row shape, blocked channel,
+    verdict agreement) — kernel==engine semantics on the FULL corpus are
+    owned by test_kernel_parity_reference_samples, so the default corpus
+    here is a representative subset (clean file, violation-heavy file,
+    non-UTF-8 file, unreadable file); SPARK_GRAFT_FULL_DIFF=1 restores
+    every sample (the threaded side runs the full Spark TabularLinter per
+    file, ~220s for the whole corpus)."""
     from open_data_linter_spark.plans.fleet import lint_files, lint_files_distributed
 
-    for src in sorted(glob.glob(os.path.join(SAMPLES, "*.csv"))):
+    sample_paths = sorted(glob.glob(os.path.join(SAMPLES, "*.csv")))
+    if not FULL_DIFF:
+        keep = {"perfect.csv", "check_1_6.csv", "nb01h0013_sjis.csv"}
+        sample_paths = [p for p in sample_paths if os.path.basename(p) in keep]
+        assert len(sample_paths) == 3  # corpus layout changed? update `keep`
+    for src in sample_paths:
         with open(src, "rb") as f:
             (tmp_path / os.path.basename(src)).write_bytes(f.read())
     (tmp_path / "broken.csv").write_bytes(b"\xff\xfe\x00bad")

@@ -9,6 +9,8 @@ inputs landing in the 1-1 error channel rather than an exception.
 import numpy as np
 import pytest
 
+from _diffsize import diff_trials
+
 
 def _random_blob(rng) -> tuple[bytes, str]:
     kind = rng.integers(0, 6)
@@ -38,7 +40,9 @@ def test_tabular_linter_never_raises(spark):
     from open_data_linter_spark.rules.tabular import TabularLinter
 
     rng = np.random.default_rng(42)
-    for trial in range(60):
+    # seeded prefix: the fast set is the first 30 blobs of the same stream
+    # (tests/_diffsize.py); SPARK_GRAFT_FULL_DIFF=1 restores all 60
+    for trial in range(diff_trials(30, 60)):
         data, fname = _random_blob(rng)
         linter = TabularLinter(spark, data, fname)
         results = linter.check_all()
