@@ -26,6 +26,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,15 +35,36 @@ from open_data_linter_spark.functions.text import shingles
 
 N_PERM_DEFAULT = 64
 
+# Mersenne prime 2^31-1: the permutation modulus. Reduction is bit ops
+# (no integer division); a*x+b < p^2+p < 2^62 < Long.MAX so ANSI-mode
+# overflow can never throw. The modulus must be ~the size of the x
+# domain: a first attempt used 2^61-1 with a < 2^30, and a*x then wraps
+# AT MOST ONCE over the 31-bit x range — the "permutation" is monotone
+# with a single breakpoint, its min is almost always the smallest x, the
+# 64 permutations correlate, and banding recall visibly decays (a planted
+# J≈0.93 pair missed a b=16,r=4 banding whose miss probability should be
+# 1e-10 — caught by test_minhash_banding_recall_not_single_hash). With
+# p = 2^31-1 and a,x < p, a*x wraps up to 2^31 times: proper mixing.
+_P31 = (1 << 31) - 1
+
+
+def _perm_consts(n_perm: int) -> tuple[list[int], list[int]]:
+    """Deterministic affine coefficients a_i in [1, p), b_i in [0, p).
+
+    Fixed seed: signatures must be replay-stable across sessions/releases
+    (the curation CLI's byte-identical-rerun contract rides on it)."""
+    rng = np.random.default_rng(0x0D15EA5E)
+    a = rng.integers(1, _P31, size=n_perm)
+    b = rng.integers(0, _P31, size=n_perm)
+    return [int(v) for v in a], [int(v) for v in b]
+
 
 def minhash_signature(shingle_col, n_perm: int = N_PERM_DEFAULT):
     """Array of n_perm min-hashes from a STRING shingle array.
 
-    One xxhash64 over the shingle string, then each permutation re-hashes
-    the resulting long with a per-permutation salt — hashing an 8-byte long
-    is far cheaper than hashing the string n_perm times. (An affine a*h+b
-    family would be cheaper still, but long-multiply overflow throws under
-    ANSI mode.)
+    One xxhash64 over the shingle string, then the affine permutation
+    family over the resulting long — hashing the string once is the only
+    string traversal.
     """
     base = F.transform(shingle_col, lambda s: F.xxhash64(s))
     return minhash_signature_from_hashes(base, n_perm)
@@ -55,23 +77,56 @@ def minhash_signature_from_hashes(hash_col, n_perm: int = N_PERM_DEFAULT):
     Catalyst does not CSE across higher-order-function lambdas, so an
     embedded subtree would re-hash every shingle string n_perm times.
 
-    The per-permutation salt MUST be closed over with a single-parameter
-    lambda: PySpark decides by ARITY whether a transform lambda receives
-    (element) or (element, array_index), so the natural
+    One ``F.aggregate`` pass folds the element stream into an
+    array<long> accumulator of running minima; per element the n_perm
+    permuted values come from the classic 2-universal affine family
+    ``(a_i * x + b_i) mod (2^31-1)`` over the low 31 bits of the shingle
+    hash (Broder 1997 minwise-permutation approximation). This replaces
+    the previous n_perm separate ``array_min(transform(.., xxhash64(h,
+    i)))`` columns: same statistical contract, but ~an order of magnitude
+    less hashing work per element AND a plan that is one aggregate over
+    two literal arrays instead of 64 HOF subtrees (wide plans cost real
+    py4j/codegen seconds — the round-4 simhash lesson).
+
+    History: the xxhash64 variant's per-permutation salt had to be closed
+    over with a single-parameter lambda — PySpark decides by ARITY whether
+    a transform lambda receives (element) or (element, array_index), so a
     ``lambda h, i=i: ...`` capture silently rebinds ``i`` to the index
-    column and every "permutation" becomes the same expression — the
-    signature degenerates to n_perm copies of one min-hash and banding
-    recall collapses from 1-(1-J^r)^b to J (found in round 4: two
-    jaccard-0.97 pairs missed at sf0.01; regression-pinned in
-    tests/test_dedup_similarity.py::test_minhash_permutations_vary).
+    column and every "permutation" becomes the same expression; banding
+    recall collapses from 1-(1-J^r)^b to J (found in round 4; behavior
+    pinned in tests/test_dedup_similarity.py::test_minhash_permutations_vary,
+    which this family must keep passing). The affine family has no
+    per-permutation lambdas at all.
+
+    Empty input arrays return the init accumulator (n_perm copies of
+    p): all-empty docs collide with each other in banding, exactly as
+    the previous all-NULL signatures did — callers exclude empty shingle
+    sets before signing.
     """
+    a_c, b_c = _perm_consts(n_perm)
+    A = F.array(*[F.lit(v) for v in a_c])
+    B = F.array(*[F.lit(v) for v in b_c])
+    P = F.lit(_P31)
 
-    def perm(i: int):
-        return lambda h: F.xxhash64(h, F.lit(i))
+    def step(acc, h):
+        # low 31 bits of the 64-bit shingle hash (x = p collapses to 0
+        # mod p — a 2^-31 per-shingle event, same order as any hash
+        # collision); a*x+b < p^2+p < 2^62 (never throws under ANSI)
+        x = h.bitwiseAND(P)
 
-    return F.array(
-        *[F.array_min(F.transform(hash_col, perm(i))) for i in range(n_perm)]
-    )
+        def permval(a, b):
+            v = a * x + b
+            # two-step Mersenne-31 reduction: v < 2^62 -> w1 < 2^32
+            # -> w2 <= p+1 -> conditional subtract
+            w1 = v.bitwiseAND(P) + F.shiftrightunsigned(v, 31)
+            w2 = w1.bitwiseAND(P) + F.shiftrightunsigned(w1, 31)
+            return F.when(w2 >= P, w2 - P).otherwise(w2)
+
+        return F.zip_with(acc, F.zip_with(A, B, permval),
+                          lambda m, v: F.least(m, v))
+
+    init = F.array_repeat(P.cast("bigint"), n_perm)
+    return F.aggregate(hash_col, init, step)
 
 
 def minhash_near_duplicates(
