@@ -31,8 +31,11 @@ from shutil import which as shutil_which
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-MARK_BEGIN = "<!-- audiofp-scaling:begin -->"
-MARK_END = "<!-- audiofp-scaling:end -->"
+# Per-size markers: each corpus size keeps its own section (a new size
+# appends; re-running a size rewrites only that size's section).
+def _marks(n: int) -> tuple[str, str]:
+    return (f"<!-- audiofp-scaling-{n}:begin -->",
+            f"<!-- audiofp-scaling-{n}:end -->")
 
 
 def gen_corpus(root: str, n: int) -> None:
@@ -151,6 +154,7 @@ def main() -> None:
         (best_hi["clips_per_sec"] / best_lo["clips_per_sec"]) / (n_high / n_low), 1.0
     )
 
+    MARK_BEGIN, MARK_END = _marks(n)
     section = f"""{MARK_BEGIN}
 
 ## Audio-fingerprint dedup scaling (audio_near_duplicates, {n:,} clips)
