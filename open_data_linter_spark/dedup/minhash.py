@@ -26,7 +26,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -51,12 +50,25 @@ _P31 = (1 << 31) - 1
 def _perm_consts(n_perm: int) -> tuple[list[int], list[int]]:
     """Deterministic affine coefficients a_i in [1, p), b_i in [0, p).
 
-    Fixed seed: signatures must be replay-stable across sessions/releases
-    (the curation CLI's byte-identical-rerun contract rides on it)."""
-    rng = np.random.default_rng(0x0D15EA5E)
-    a = rng.integers(1, _P31, size=n_perm)
-    b = rng.integers(0, _P31, size=n_perm)
-    return [int(v) for v in a], [int(v) for v in b]
+    Derived from a self-contained splitmix64 stream, NOT numpy: signatures
+    must be replay-stable across sessions/releases (the curation CLI's
+    byte-identical-rerun contract rides on it), and NumPy's compatibility
+    policy pins BitGenerator streams but not Generator *method* streams —
+    a numpy upgrade could silently move every coefficient."""
+    mask = (1 << 64) - 1
+    state = 0x0D15EA5E
+
+    def nxt() -> int:
+        nonlocal state
+        state = (state + 0x9E3779B97F4A7C15) & mask
+        z = state
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+        return z ^ (z >> 31)
+
+    a = [1 + nxt() % (_P31 - 1) for _ in range(n_perm)]
+    b = [nxt() % _P31 for _ in range(n_perm)]
+    return a, b
 
 
 def minhash_signature(shingle_col, n_perm: int = N_PERM_DEFAULT):
@@ -72,10 +84,6 @@ def minhash_signature(shingle_col, n_perm: int = N_PERM_DEFAULT):
 
 def minhash_signature_from_hashes(hash_col, n_perm: int = N_PERM_DEFAULT):
     """Array of n_perm min-hashes from an already-hashed array<long>.
-
-    Feed this a materialized column (not an inline transform subtree):
-    Catalyst does not CSE across higher-order-function lambdas, so an
-    embedded subtree would re-hash every shingle string n_perm times.
 
     One ``F.aggregate`` pass folds the element stream into an
     array<long> accumulator of running minima; per element the n_perm

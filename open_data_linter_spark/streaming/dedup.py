@@ -126,14 +126,25 @@ def streaming_minhash_candidates(
     and banding match dedup/minhash.py (same shingle/hash contract), so a
     batch verification join over the emitted pairs reproduces the batch
     pipeline's candidates for streams shorter than the bucket cap.
+
+    STATE COMPATIBILITY: the bucket state is keyed by (band, band_hash),
+    and band hashes are a pure function of the minhash permutation family
+    (dedup/minhash.py::_perm_consts). Changing that family — as round 4
+    did when the salted-xxhash64 permutations became affine Mersenne-31 —
+    orphans every bucket accumulated under the old family: restarting a
+    checkpointed query across such an upgrade silently stops matching
+    pairs that span the boundary. Upgrades that touch the signature
+    family need a fresh checkpointLocation (re-seeding state from a
+    batch backfill if cross-boundary pairs matter).
     """
     rows_per_band = n_perm // bands
     from open_data_linter_spark.functions.text import shingles
 
-    # NOTE: unlike the batch path (dedup/minhash.py), there is no persist()
-    # available to pin the hashed-shingle array, so projection collapsing
-    # may re-hash shingle strings per permutation — acceptable at streaming
-    # per-batch rates; the candidate-state shuffle dominates.
+    # Each shingle string is hashed once (xxhash64), then the single
+    # F.aggregate fold applies the n_perm affine permutations to the
+    # resulting longs — no persist() is available inside a streaming
+    # projection, but none is needed for the signature itself; the
+    # candidate-state shuffle dominates per-batch cost.
     sig = (
         stream_df.select(
             F.col(id_col).cast("long").alias("id"),
