@@ -337,6 +337,22 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_stats(d, k=8, min_df=2)
 
 
+
+def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicate-span REMOVAL (round 4): maximal runs of tokens
+    covered by cross-doc duplicated word 8-grams are removed except the
+    globally first occurrence of each span text, and the cleaned normalized
+    text is reassembled (dedup/spans.py::remove_duplicate_spans — the
+    transform counterpart of duplicate_spans). Deterministic end-to-end;
+    FULL exact DuckDB twin replays the identical contract on the gram
+    STRINGS (the engine shuffles xxhash64 keys; identical up to 64-bit
+    collisions)."""
+    from open_data_linter_spark.dedup.spans import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(d, k=8, min_df=2)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-doc repetition metrics (round 4): per (doc, n) duplicated
     n-gram position rate and top-gram share — the Gopher-style quality
@@ -1074,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apss_jaccard": q_apss_jaccard,
         "apss_jaccard_agg": q_apss_jaccard_agg,
         "duplicate_spans": q_duplicate_spans,
+        "span_removal": q_span_removal,
         "repetition_stats": q_repetition_stats,
         "pii_screen": q_pii_screen,
         "vocab_topk": q_vocab_topk,
@@ -1460,6 +1477,84 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(nd.n_dup_spans, 0) * 1.0 / len(g.gs), 6)
                      AS dup_coverage
             FROM g LEFT JOIN nd ON nd.id = g.id
+            ORDER BY doc_id
+        """,
+        "span_removal": r"""
+            -- FULL exact twin of remove_duplicate_spans: positional word
+            -- 8-grams (whole-doc fallback for short docs), cross-doc dup
+            -- grams (df >= 2 distinct docs), covered positions -> maximal
+            -- runs (gaps-and-islands), keep the global min (id, start) per
+            -- span TEXT, reassemble the kept tokens in position order.
+            WITH src AS (
+              SELECT doc_id AS id,
+                     string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents WHERE trim(coalesce(text, '')) <> ''
+            ),
+            sized AS (SELECT id, toks, len(toks) AS n FROM src),
+            gram_pos AS (
+              SELECT id, n, t.s AS s,
+                     CASE WHEN n >= 8 THEN 8 ELSE n END AS glen,
+                     array_to_string(
+                       toks[t.s+1 : t.s + CASE WHEN n >= 8 THEN 8 ELSE n END],
+                       ' ') AS gram
+              FROM sized, LATERAL (
+                SELECT unnest(range(0,
+                  CASE WHEN n >= 8 THEN n-8 ELSE 0 END + 1)) AS s) t
+            ),
+            dup AS (
+              SELECT gram FROM gram_pos GROUP BY gram
+              HAVING count(DISTINCT id) >= 2
+            ),
+            cov AS (
+              SELECT g.id, g.s AS cs, g.s + g.glen - 1 AS ce
+              FROM gram_pos g JOIN dup USING (gram)
+            ),
+            pos AS (
+              SELECT DISTINCT id, t.p AS p
+              FROM cov, LATERAL (SELECT unnest(range(cs, ce+1)) AS p) t
+            ),
+            runs AS (
+              SELECT id, min(p) AS rs, max(p) AS re
+              FROM (SELECT id, p,
+                           p - row_number() OVER (PARTITION BY id ORDER BY p)
+                             AS grp
+                    FROM pos)
+              GROUP BY id, grp
+            ),
+            spans AS (
+              SELECT r.id, r.rs, r.re,
+                     array_to_string(s.toks[r.rs+1 : r.re+1], ' ') AS span_text
+              FROM runs r JOIN sized s USING (id)
+            ),
+            firsts AS (
+              SELECT span_text, min(row(id, rs)) AS fo FROM spans
+              GROUP BY span_text
+            ),
+            drops AS (
+              SELECT sp.id, sp.rs, sp.re
+              FROM spans sp JOIN firsts f USING (span_text)
+              WHERE row(sp.id, sp.rs) <> f.fo
+            ),
+            dropped_pos AS (
+              SELECT DISTINCT id, t.p AS p
+              FROM drops, LATERAL (SELECT unnest(range(rs, re+1)) AS p) t
+            ),
+            tok_stream AS (
+              SELECT s.id, t.p AS p, s.toks[t.p+1] AS tok
+              FROM sized s, LATERAL (SELECT unnest(range(0, n)) AS p) t
+            ),
+            kept AS (
+              SELECT ts.id,
+                     count(*) FILTER (WHERE dp.p IS NULL) AS n_kept,
+                     coalesce(string_agg(tok, ' ' ORDER BY ts.p)
+                              FILTER (WHERE dp.p IS NULL), '') AS text_clean
+              FROM tok_stream ts
+              LEFT JOIN dropped_pos dp ON ts.id = dp.id AND ts.p = dp.p
+              GROUP BY ts.id
+            )
+            SELECT s.id AS doc_id, CAST(s.n AS BIGINT) AS n_tokens,
+                   CAST(s.n - k.n_kept AS BIGINT) AS n_dropped, k.text_clean
+            FROM sized s JOIN kept k ON s.id = k.id
             ORDER BY doc_id
         """,
         "repetition_stats": r"""

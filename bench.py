@@ -53,6 +53,7 @@ HEADLINE = [
                              # sf0.1 and collect() would time py4j, not
                              # the engine)
     "duplicate_spans",       # round 4: repeated 8-gram coverage per doc
+    "span_removal",          # round 4: keep-first duplicate-span removal
     "dedup_clusters",       # round 4: iterative CC over the jaccard pairs
     "contamination_screen",  # round 4: broadcast eval inverted index
     "sequence_packing",      # round 4: per-range next-fit binning

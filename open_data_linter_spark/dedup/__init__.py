@@ -17,4 +17,7 @@ from open_data_linter_spark.dedup.semdedup import (  # noqa: F401
     semdedup,
     semdeduplicate,
 )
-from open_data_linter_spark.dedup.spans import duplicate_span_stats  # noqa: F401
+from open_data_linter_spark.dedup.spans import (  # noqa: F401
+    duplicate_span_stats,
+    remove_duplicate_spans,
+)

@@ -39,6 +39,8 @@ from pyspark.sql import functions as F
 from open_data_linter_spark.dedup._cache import persist_scoped, spread_and_pin
 from open_data_linter_spark.functions.text import positional_shingles
 
+_EMPTY_RUNS = "array<struct<rs:int,re:int>>"
+
 
 def duplicate_span_stats(
     df: DataFrame,
@@ -96,6 +98,155 @@ def duplicate_span_stats(
                 / F.col("n_spans"),
                 6,
             ).alias("dup_coverage"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def _merge_runs(ivls):  # Column[array<struct<cs,ce>>] sorted by cs -> maximal runs
+    """Merge sorted, possibly-overlapping covered intervals into MAXIMAL
+    contiguous token runs (adjacency ``cs <= last.re + 1`` merges too:
+    two abutting duplicated grams cover one contiguous token range)."""
+    return F.aggregate(
+        ivls,
+        F.array().cast(_EMPTY_RUNS),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (x["cs"] <= F.element_at(acc, -1)["re"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["rs"].alias("rs"),
+                        F.greatest(F.element_at(acc, -1)["re"], x["ce"]).alias("re"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(x["cs"].alias("rs"), x["ce"].alias("re"))))
+        ),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate-span REMOVAL (the transform counterpart of
+    ``duplicate_span_stats``): k-gram-granular substring dedup in the spirit
+    of Lee et al. (ACL'22) — every maximal run of tokens covered by
+    cross-doc duplicated word k-grams is removed EXCEPT its globally first
+    occurrence, and the cleaned text is reassembled.
+
+    Contract (deterministic, exact, SQL-twinnable):
+    - tokens = whitespace-split of ``lower(trim(text))``; the output text is
+      therefore NORMALIZED (lowercased, single-space-joined). Blank docs are
+      excluded, same as ``duplicate_span_stats``.
+    - a gram is "duplicated" if it occurs in >= ``min_df`` DISTINCT docs
+      (cross-doc; intra-doc repetition is functions/repetition.py's job).
+      Docs shorter than k tokens contribute one whole-doc gram (the
+      ``positional_shingles`` fallback contract), so a short doc duplicated
+      elsewhere is removed wholesale from non-first docs.
+    - covered intervals merge into maximal runs; the KEPT occurrence of a
+      run is the global minimum (doc_id, start) among runs with the SAME
+      span text. Runs with different extents keep their own firsts — the
+      unit of first-occurrence identity is the maximal-run text, not the
+      gram.
+
+    Output: one row per non-empty doc — (id_col, n_tokens, n_dropped,
+    text_clean), ordered by id. ``id_col`` must be unique and orderable
+    (ties in the keep rule are broken by it).
+
+    Scale shape: gram-df groupBy and per-doc regroups all carry map-side
+    partial aggregates; hot grams/spans are never pair-expanded (each
+    occurrence row is touched once — linear in corpus tokens). The
+    first-occurrence pick is a groupBy-min + equi-join rather than a
+    row_number window, so a span text shared by millions of docs never
+    funnels one partition. Reference (volare-all/open-data-linter) has no
+    span ops; this extends the engine per the training-pipeline mandate.
+    """
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2 (cross-doc), got {min_df}")
+    src = spread_and_pin(
+        "spanrm.src",
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+    )
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col("__t"), F.lit("")))), r"\s+")
+    base = persist_scoped(
+        "spanrm.base",
+        src.where(F.trim(F.coalesce(F.col("__t"), F.lit(""))) != "").select(
+            "id", toks.alias("toks"), F.size(toks).alias("n")
+        ),
+    )
+    n = F.col("n")
+    glen = F.when(n >= k, F.lit(k)).otherwise(n)
+    starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("int").alias("s"),
+            F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), s + 1, F.lit(k)))).alias(
+                "gh"
+            ),
+        ),
+    )
+    occ = (
+        base.select("id", "n", F.explode(grams).alias("g"))
+        .select("id", "n", F.col("g.s").alias("s"), F.col("g.gh").alias("gh"))
+    )
+    occ = persist_scoped("spanrm.occ", occ)  # feeds gram-df AND the semi-join
+    dup = (
+        occ.groupBy("gh")
+        .agg(F.count_distinct("id").alias("gdf"))
+        .where(F.col("gdf") >= min_df)
+        .select("gh")
+    )
+    cov = occ.join(dup, "gh", "left_semi").select(
+        "id",
+        F.col("s").alias("cs"),
+        (F.col("s") + glen - F.lit(1)).cast("int").alias("ce"),
+    )
+    runs = (
+        cov.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("cs", "ce"))).alias("ivls"))
+        .select("id", F.explode(_merge_runs(F.col("ivls"))).alias("r"))
+        .select("id", F.col("r.rs").alias("rs"), F.col("r.re").alias("re"))
+    )
+    spans = runs.join(base.select("id", "toks"), "id").select(
+        "id",
+        "rs",
+        "re",
+        F.xxhash64(
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("rs") + 1, F.col("re") - F.col("rs") + 1)
+            )
+        ).alias("sk"),
+    )
+    spans = persist_scoped("spanrm.spans", spans)  # firsts + drop filter
+    firsts = spans.groupBy("sk").agg(F.min(F.struct("id", "rs")).alias("fo"))
+    drops = (
+        spans.join(firsts, "sk")
+        .where((F.col("id") != F.col("fo.id")) | (F.col("rs") != F.col("fo.rs")))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("rs", "re"))).alias("drops"))
+    )
+    drops_arr = F.coalesce(F.col("drops"), F.array().cast(_EMPTY_RUNS))
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: ~F.exists(drops_arr, lambda d: (i >= d["rs"]) & (i <= d["re"])),
+    )
+    return (
+        base.join(drops, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            n.cast("long").alias("n_tokens"),
+            (n - F.size(kept_idx)).cast("long").alias("n_dropped"),
+            F.concat_ws(
+                " ",
+                F.transform(kept_idx, lambda i: F.element_at(F.col("toks"), i + 1)),
+            ).alias("text_clean"),
         )
         .orderBy(id_col)
     )
