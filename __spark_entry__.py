@@ -1294,17 +1294,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": r"""
             SELECT doc_id,
-                   CASE WHEN trim(coalesce(text,'')) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                   len(list_filter(string_split_regex(coalesce(text,''), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS n_tokens,
                    length(text) AS n_chars_actual
             FROM documents ORDER BY doc_id
         """,
         "quality_scores": rf"""
             WITH toks AS (
               SELECT doc_id,
-                     string_split_regex(trim(lower(text)), '\s+') AS t,
-                     CASE WHEN trim(coalesce(text,'')) = '' THEN 0
-                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+                     list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '') AS t,
+                     len(list_filter(string_split_regex(coalesce(text,''), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS n_tokens
               FROM documents
             )
             SELECT doc_id, n_tokens,
@@ -1317,7 +1316,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": rf"""
             WITH toks AS (
               SELECT doc_id, lang, text,
-                     string_split_regex(trim(lower(coalesce(text,''))), '\s+') AS t
+                     list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '') AS t
               FROM documents
             )
             SELECT doc_id, lang,
@@ -1335,7 +1335,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": r"""
             SELECT doc_id,
                    md5(trim(regexp_replace(regexp_replace(lower(coalesce(text,'')),
-                       '[[:punct:]、。]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+                       '[[:punct:]、。]', '', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fingerprint
             FROM documents ORDER BY doc_id
         """,
         "whitespace_lint_documents": r"""
@@ -1347,7 +1347,7 @@ def oracle_sql() -> dict[str, str]:
             WITH fp AS (
               SELECT doc_id,
                      md5(trim(regexp_replace(regexp_replace(lower(coalesce(text,'')),
-                         '[[:punct:]、。]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+                         '[[:punct:]、。]', '', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fingerprint
               FROM documents
             )
             SELECT fingerprint, count(*) AS dup_count
@@ -1357,8 +1357,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": r"""
             WITH toks AS (
               SELECT doc_id AS id,
-                     string_split_regex(trim(lower(coalesce(text,''))), '\s+') AS t
+                     list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '') AS t
               FROM documents
+              WHERE len(list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'), x -> x <> '')) > 0
             ), sh AS (
               SELECT id,
                      CASE WHEN len(t) >= 2 THEN
@@ -1396,9 +1398,11 @@ def oracle_sql() -> dict[str, str]:
             -- (missed pair, wrong similarity) fails the row compare.
             WITH toks AS (
               SELECT doc_id AS id,
-                     list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t
+                     list_distinct(list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '')) AS t
               FROM documents
-              WHERE trim(coalesce(text,'')) != ''
+              WHERE len(list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '')) > 0
             ), ne AS (
               SELECT id, len(t) AS n FROM toks
             ), inv AS (
@@ -1422,9 +1426,11 @@ def oracle_sql() -> dict[str, str]:
             -- jaccard bin (round-of-round replicated exactly)
             WITH toks AS (
               SELECT doc_id AS id,
-                     list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t
+                     list_distinct(list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '')) AS t
               FROM documents
-              WHERE trim(coalesce(text,'')) != ''
+              WHERE len(list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '')) > 0
             ), ne AS (
               SELECT id, len(t) AS n FROM toks
             ), inv AS (
@@ -1451,9 +1457,11 @@ def oracle_sql() -> dict[str, str]:
             -- per-doc occurrence coverage of grams with df >= 2
             WITH toks AS (
               SELECT doc_id AS id,
-                     string_split_regex(trim(lower(text)), '\s+') AS t
+                     list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '') AS t
               FROM documents
-              WHERE trim(coalesce(text,'')) != ''
+              WHERE len(list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '')) > 0
             ), g AS (
               SELECT id,
                      CASE WHEN len(t) >= 8 THEN
@@ -1487,10 +1495,11 @@ def oracle_sql() -> dict[str, str]:
             -- span TEXT, reassemble the kept tokens in position order.
             WITH src AS (
               SELECT doc_id AS id,
-                     string_split_regex(lower(trim(text)), '\s+') AS toks
-              FROM documents WHERE trim(coalesce(text, '')) <> ''
+                     list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '') AS toks
+              FROM documents
             ),
-            sized AS (SELECT id, toks, len(toks) AS n FROM src),
+            sized AS (SELECT id, toks, len(toks) AS n FROM src WHERE len(toks) > 0),
             gram_pos AS (
               SELECT id, n, t.s AS s,
                      CASE WHEN n >= 8 THEN 8 ELSE n END AS glen,
@@ -1566,9 +1575,11 @@ def oracle_sql() -> dict[str, str]:
             WITH ns AS (SELECT unnest([1, 2, 3]) AS n),
             toks AS (
               SELECT doc_id AS id,
-                     string_split_regex(trim(lower(text)), '\s+') AS t
+                     list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '') AS t
               FROM documents
-              WHERE trim(coalesce(text,'')) != ''
+              WHERE len(list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '')) > 0
             ), g AS (
               SELECT id, n,
                      CASE WHEN len(t) >= n THEN
@@ -1601,10 +1612,10 @@ def oracle_sql() -> dict[str, str]:
             -- split, empty docs excluded), total-order tie break
             -- (cnt DESC, token ASC), cumulative coverage over the head.
             WITH toks AS (
-              SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+              SELECT unnest(list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> ''))
                        AS token
               FROM documents
-              WHERE trim(coalesce(text,'')) != ''
             ), cnt AS (
               SELECT token, CAST(count(*) AS BIGINT) AS cnt
               FROM toks GROUP BY token
@@ -1688,8 +1699,7 @@ def oracle_sql() -> dict[str, str]:
             -- of their own; empty docs add 0 and never force a break)
             WITH RECURSIVE d AS (
               SELECT doc_id,
-                     CASE WHEN trim(coalesce(text,'')) = '' THEN 0
-                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                     len(list_filter(string_split_regex(coalesce(text,''), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS n_tokens,
                      doc_id // 100 AS rng,
                      row_number() OVER (PARTITION BY (doc_id // 100)
                                         ORDER BY doc_id) AS rn
@@ -1742,8 +1752,10 @@ def oracle_sql() -> dict[str, str]:
             -- pair, self-ids excluded, coverage floor 0.05
             WITH toks AS (
               SELECT doc_id AS id,
-                     string_split_regex(trim(lower(coalesce(text,''))), '\s+') AS t
+                     list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '') AS t
               FROM documents
+              WHERE len(list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'), x -> x <> '')) > 0
             ), sh AS (
               SELECT id,
                      CASE WHEN len(t) >= 3 THEN
@@ -1776,8 +1788,10 @@ def oracle_sql() -> dict[str, str]:
             -- reachability with a recursive CTE; component_id = min member
             WITH RECURSIVE toks AS (
               SELECT doc_id AS id,
-                     string_split_regex(trim(lower(coalesce(text,''))), '\s+') AS t
+                     list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '') AS t
               FROM documents
+              WHERE len(list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'), x -> x <> '')) > 0
             ), sh AS (
               SELECT id,
                      CASE WHEN len(t) >= 2 THEN
@@ -1910,7 +1924,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id,
                      list_filter(string_split_regex(
-                       trim(lower(coalesce(text,''))), '\s+'),
+                       lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
                        x -> x <> '') AS t
               FROM documents
             ), o2 AS (
@@ -1955,7 +1969,7 @@ def oracle_sql() -> dict[str, str]:
             ), toks AS (
               SELECT doc_id,
                      list_filter(string_split_regex(
-                       trim(lower(coalesce(text,''))), '\s+'),
+                       lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
                        x -> x <> '') AS t
               FROM documents
             ), stats AS (
@@ -2013,7 +2027,7 @@ def oracle_sql() -> dict[str, str]:
             ), words AS (
               SELECT w AS word, count(*) AS cnt FROM (
                 SELECT unnest(string_split_regex(
-                         trim(lower(coalesce(text,''))), '\s+')) AS w
+                         lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+')) AS w
                 FROM documents
               ) WHERE w <> '' GROUP BY w
             ), syms AS (
@@ -2124,8 +2138,10 @@ def oracle_sql() -> dict[str, str]:
             -- output must equal this set row-for-row.
             WITH toks AS (
               SELECT doc_id AS id,
-                     string_split_regex(trim(lower(coalesce(text,''))), '\s+') AS t
+                     list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '') AS t
               FROM documents
+              WHERE len(list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'), x -> x <> '')) > 0
             ), sh AS (
               SELECT id,
                      CASE WHEN len(t) >= 2 THEN
@@ -2173,8 +2189,8 @@ def oracle_sql() -> dict[str, str]:
             ), tf AS (
               SELECT doc_id AS id, tok, count(*)::DOUBLE AS c FROM (
                 SELECT doc_id,
-                       unnest(string_split_regex(trim(lower(coalesce(text,''))),
-                                                 '\s+')) AS tok
+                       unnest(string_split_regex(lower(coalesce(text,'')),
+                                                 '[ \t\n\x0b\f\r]+')) AS tok
                 FROM documents
               ) WHERE tok <> '' GROUP BY doc_id, tok
             ), norms AS (
@@ -2492,7 +2508,7 @@ def oracle_sql() -> dict[str, str]:
             -- identical formula and parenthesization to rules/rate.py.
             WITH base AS (
               SELECT clip_id,
-                     len(string_split_regex(trim(transcript), '\\s+'))
+                     len(list_filter(string_split_regex(coalesce(transcript,''), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> ''))
                        * 1000.0 / dur_ms AS wps
               FROM read_parquet('{_FIX}/audio_meta_512_base.parquet')
               WHERE transcript IS NOT NULL AND trim(transcript) <> ''

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from open_data_linter_spark.dedup._cache import persist_scoped, spread_and_pin
+from open_data_linter_spark.functions.text import ws_tokens
 
 
 def apss_jaccard_pairs(
@@ -61,12 +62,9 @@ def apss_jaccard_pairs(
         "apss.src",
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
     )
-    toks = src.where(F.trim(F.coalesce(F.col("__t"), F.lit(""))) != "").select(
-        "id",
-        F.array_distinct(
-            F.split(F.trim(F.lower(F.col("__t"))), r"\s+")
-        ).alias("toks"),
-    )
+    toks = src.select(
+        "id", F.array_distinct(ws_tokens(F.col("__t"))).alias("toks")
+    ).where(F.size("toks") > 0)
     exploded = toks.select("id", F.explode("toks").alias("tok"))
     # Global rarity order: ascending document frequency, token string as the
     # deterministic tie-break. No materialized rank column (a global

@@ -16,6 +16,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from open_data_linter_spark.functions.text import ws_tokens
+
 N_BITS = 64
 N_BANDS = 4  # 16 bits per band
 
@@ -70,8 +72,8 @@ def simhash_signatures(
     document). Outputs are bit-identical (same hash family, same majority
     rule; parity pinned by the driver's semantic oracle and the golden
     tests)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    hs = F.transform(F.filter(toks, lambda t: t != ""), lambda t: F.xxhash64(t))
+    toks = ws_tokens(F.col(text_col))
+    hs = F.transform(toks, lambda t: F.xxhash64(t))
     return (
         df.select(F.col(id_col).alias("id"), hs.alias("hs"))
         # empty/whitespace-only docs were absent from the former

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from open_data_linter_spark.dedup._cache import persist_scoped, spread_and_pin
-from open_data_linter_spark.functions.text import positional_shingles
+from open_data_linter_spark.functions.text import positional_shingles, ws_tokens
 
 _EMPTY_RUNS = "array<struct<rs:int,re:int>>"
 
@@ -70,9 +70,9 @@ def duplicate_span_stats(
     grams = positional_shingles(F.col("__t"), k)
     if hash_grams:
         grams = F.transform(grams, lambda g: F.xxhash64(g))
-    base = src.where(F.trim(F.coalesce(F.col("__t"), F.lit(""))) != "").select(
-        "id", grams.alias("g")
-    )
+    # blank docs tokenize to [] under the ws_tokens contract and carry no
+    # grams — excluded (coverage over zero spans is undefined)
+    base = src.select("id", grams.alias("g")).where(F.size("g") > 0)
     base = persist_scoped("spans.base", base)  # sizes + occurrence stream
     sizes = base.select("id", F.size("g").cast("long").alias("n_spans"))
     occ = base.select("id", F.explode("g").alias("gram"))
@@ -141,8 +141,9 @@ def remove_duplicate_spans(
     occurrence, and the cleaned text is reassembled.
 
     Contract (deterministic, exact, SQL-twinnable):
-    - tokens = whitespace-split of ``lower(trim(text))``; the output text is
-      therefore NORMALIZED (lowercased, single-space-joined). Blank docs are
+    - tokens = ``functions.text.ws_tokens`` (lowercase, explicit ASCII
+      whitespace class, empty tokens dropped); the output text is therefore
+      NORMALIZED (lowercased, single-space-joined). Blank docs are
       excluded, same as ``duplicate_span_stats``.
     - a gram is "duplicated" if it occurs in >= ``min_df`` DISTINCT docs
       (cross-doc; intra-doc repetition is functions/repetition.py's job).
@@ -173,11 +174,11 @@ def remove_duplicate_spans(
         "spanrm.src",
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
     )
-    toks = F.split(F.trim(F.lower(F.coalesce(F.col("__t"), F.lit("")))), r"\s+")
+    toks = ws_tokens(F.col("__t"))
     base = persist_scoped(
         "spanrm.base",
-        src.where(F.trim(F.coalesce(F.col("__t"), F.lit(""))) != "").select(
-            "id", toks.alias("toks"), F.size(toks).alias("n")
+        src.select("id", toks.alias("toks"), F.size(toks).alias("n")).where(
+            F.col("n") > 0
         ),
     )
     n = F.col("n")

@@ -51,6 +51,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from open_data_linter_spark.functions.text import ws_tokens
+
 EOW = "</w>"  # terminal end-of-word symbol (Sennrich formulation)
 
 
@@ -58,7 +60,7 @@ def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
     """One corpus shuffle: whitespace word -> count (the vocab.py
     tokenize contract: trim/lower/split, empty docs contribute nothing)."""
     c = F.col(text_col)
-    toks = F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
+    toks = ws_tokens(c)
     return (
         df.select(F.explode(toks).alias("word"))
         .where(F.col("word") != "")

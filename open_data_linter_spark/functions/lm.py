@@ -42,10 +42,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from open_data_linter_spark.functions.text import ws_tokens
+
 
 def _toks(c):
-    t = F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
-    return F.filter(t, lambda x: x != "")
+    return ws_tokens(c)
 
 
 def _bigrams(toks):

@@ -13,18 +13,34 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Java regex \s (what executor-side F.split(r"\s+") matches WITHOUT (?U))
-# is ASCII-only: [ \t\n\x0B\f\r]. Python's str.split()/\s are Unicode-wide
-# (NBSP, ideographic space, ...), so driver-side code that must agree with
-# the executor tokenize contract splits with THIS, never str.split()
+# THE package whitespace class, written out explicitly so every engine has
+# byte-identical semantics: Java \s (executor regex) is ASCII-only
+# [ \t\n\x0B\f\r], but RE2 (the DuckDB oracles) does NOT include \x0B in
+# \s and Python's \s / str.split() are Unicode-wide (NBSP, ideographic
+# space, ...). Spelling the class out removes all three divergences
 # (CLAUDE.md Java/Python \s parity note).
+WS_CLASS = r"[ \t\n\x0B\f\r]"
 _JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
+def ws_tokens(c: Column) -> Column:
+    """THE package tokenize contract (executor side): lowercase, split on
+    runs of ASCII whitespace (explicit ``WS_CLASS``), drop empty tokens.
+    ``[]`` (never ``['']``) for NULL/blank/whitespace-only input.
+
+    Dropping empties matters: ``F.split`` keeps leading/trailing empty
+    strings when the text starts/ends with non-space whitespace
+    (``F.trim`` strips only ASCII space), and a phantom ``''`` token
+    corrupts counts, shingles, and reassembled text."""
+    return F.array_remove(
+        F.split(F.lower(F.coalesce(c, F.lit(""))), WS_CLASS + "+"), ""
+    )
+
+
 def java_ws_tokens(s: str | None) -> list[str]:
-    """Driver-side twin of the package tokenize contract
-    (trim/lower/ASCII-whitespace split, empties dropped) — byte-agrees
-    with the executor-side ``F.split(F.trim(F.lower(...)), r"\\s+")``."""
+    """Driver-side twin of the package tokenize contract — byte-agrees
+    with the executor-side ``ws_tokens`` (lower, explicit ASCII-whitespace
+    class, empties dropped)."""
     if not s:
         return []
     return [t for t in _JAVA_WS.split(s.lower()) if t]
@@ -39,9 +55,8 @@ ES_STOPWORDS = "el la de que y en los del se las por un para con no una su al es
 
 
 def token_count(c: Column) -> Column:
-    """Whitespace token count (0 for empty/null)."""
-    t = F.trim(F.coalesce(c, F.lit("")))
-    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    """Whitespace token count (0 for empty/null) — ``ws_tokens`` contract."""
+    return F.size(ws_tokens(c))
 
 
 def bpe_ish_token_count(c: Column) -> Column:
@@ -73,8 +88,8 @@ def punct_ratio(c: Column) -> Column:
 def stopword_ratio(c: Column, stopwords: list[str] | None = None) -> Column:
     """Fraction of whitespace tokens that are (lowercased) stopwords."""
     sw = [s.lower() for s in (stopwords or EN_STOPWORDS)]
-    toks = F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
-    n = token_count(c)
+    toks = ws_tokens(c)
+    n = F.size(toks)
     hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
     return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
 
@@ -103,7 +118,7 @@ def lang_id(c: Column) -> Column:
     """
     t = F.lower(F.coalesce(c, F.lit("")))
     ja_hits = _count_matches(c, JA_CHARS)
-    toks = F.split(F.trim(t), r"\s+")
+    toks = ws_tokens(c)
     en_hits = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
     es_hits = F.size(F.filter(toks, lambda x: x.isin(*ES_STOPWORDS)))
     return (
@@ -120,7 +135,7 @@ def normalized_fingerprint(c: Column) -> Column:
     text. Exact-dup detection key (content-normalized)."""
     norm = F.regexp_replace(
         F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"[\p{Punct}、。]", ""),
-        r"\s+",
+        WS_CLASS + "+",
         " ",
     )
     return F.md5(F.trim(norm))
@@ -141,7 +156,7 @@ def positional_shingles(c: Column, k: int = 3) -> Column:
     Same tokenize/fallback contract as ``shingles`` (short docs collapse to
     one whole-doc gram), but repeated spans stay repeated: this is the
     occurrence stream that span-level statistics (dedup/spans.py) count."""
-    toks = F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
+    toks = ws_tokens(c)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from open_data_linter_spark.functions.text import WS_CLASS
+
 MODIFIED_Z = 0.6745  # Φ^-1(0.75): scales MAD to σ for the modified z-score
 
 
@@ -47,7 +49,7 @@ def word_count(transcript_col="transcript") -> F.Column:
     ``array_remove(..., '')`` is what drops the empties a leading/trailing
     non-space whitespace edge produces (F.trim strips ASCII spaces only)."""
     return F.size(
-        F.array_remove(F.split(F.col(transcript_col), r"\s+"), "")
+        F.array_remove(F.split(F.col(transcript_col), WS_CLASS + "+"), "")
     )
 
 

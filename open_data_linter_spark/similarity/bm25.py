@@ -41,11 +41,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from open_data_linter_spark.functions.text import ws_tokens
+
 ROUND = 6
 
 
 def _tokens(c):
-    return F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
+    return ws_tokens(c)
 
 
 def bm25_topk(
@@ -96,9 +98,6 @@ def bm25_topk(
         docs.select(
             F.col(id_col).alias("doc_id"),
             _tokens(F.col(text_col)).alias("toks"),
-        ).select(
-            "doc_id",
-            F.filter(F.col("toks"), lambda t: t != "").alias("toks"),
         ),
     )
     # corpus-wide stats: one single-row aggregate, broadcast via crossJoin

@@ -75,3 +75,66 @@ def test_bpe_ish_token_count(spark):
     got = _col(df, TX.bpe_ish_token_count(F.col("text")))
     # hello, world, 4, 2, ! -> 5 ; 日,本,語,abc -> 4
     assert got[1] == 5 and got[2] == 4
+
+
+# ---------------------------------------------------------------------------
+# ws_tokens — THE tokenize contract, pinned across all three engines
+# ---------------------------------------------------------------------------
+
+NASTY = [
+    (0, "alpha beta"),          # plain
+    (1, "alpha beta\n"),        # trailing newline (F.trim strips spaces only)
+    (2, "\talpha  beta\r\n"),   # leading tab, interior run, CRLF tail
+    (3, "a\x0bb c"),            # vertical tab: Java \s splits, RE2 \s does NOT
+    (4, "  "),                  # whitespace-only -> []
+    (5, ""),                    # empty -> []
+    (6, None),                  # NULL -> []
+    (7, "x y"),            # NBSP is NOT ASCII whitespace: one token
+    (8, "MiXeD Case\fz"),       # lower + form feed
+]
+
+
+def test_ws_tokens_matches_python_twin(spark):
+    """Executor ws_tokens == driver java_ws_tokens byte-for-byte, including
+    the edge-whitespace shapes that used to leak phantom '' tokens."""
+    df = spark.createDataFrame(NASTY, "i long, s string")
+    got = {
+        r.i: r.t
+        for r in df.select("i", TX.ws_tokens(F.col("s")).alias("t")).collect()
+    }
+    for i, s in NASTY:
+        assert got[i] == TX.java_ws_tokens(s), (i, s, got[i])
+    assert got[1] == ["alpha", "beta"]      # no phantom trailing ''
+    assert got[3] == ["a", "b", "c"]        # \x0B splits
+    assert got[4] == [] and got[5] == [] and got[6] == []
+    assert got[7] == ["x y"]           # NBSP kept inside the token
+
+
+def test_ws_tokens_matches_duckdb_oracle_form(spark):
+    """The explicit-class SQL form the driver oracles use tokenizes
+    identically to the engine — including \\x0B, where RE2's \\s and
+    Java's \\s disagree (the reason the class is spelled out)."""
+    import duckdb
+
+    df = spark.createDataFrame(NASTY, "i long, s string")
+    got = {
+        r.i: r.t
+        for r in df.select("i", TX.ws_tokens(F.col("s")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in NASTY:
+        want = con.execute(
+            r"SELECT list_filter(string_split_regex(lower(coalesce(?, '')),"
+            r" '[ \t\n\x0b\f\r]+'), x -> x <> '')",
+            [s],
+        ).fetchone()[0]
+        assert got[i] == want, (i, s, got[i], want)
+
+
+def test_token_count_ignores_edge_whitespace(spark):
+    df = spark.createDataFrame(NASTY, "i long, s string")
+    got = {
+        r.i: r.n
+        for r in df.select("i", TX.token_count(F.col("s")).alias("n")).collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 2, 3: 3, 4: 0, 5: 0, 6: 0, 7: 1, 8: 3}
