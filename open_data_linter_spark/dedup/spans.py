@@ -103,27 +103,39 @@ def duplicate_span_stats(
     )
 
 
-def _merge_runs(ivls):  # Column[array<struct<cs,ce>>] sorted by cs -> maximal runs
-    """Merge sorted, possibly-overlapping covered intervals into MAXIMAL
-    contiguous token runs (adjacency ``cs <= last.re + 1`` merges too:
-    two abutting duplicated grams cover one contiguous token range)."""
-    return F.aggregate(
-        ivls,
-        F.array().cast(_EMPTY_RUNS),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0) & (x["cs"] <= F.element_at(acc, -1)["re"] + 1),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(
-                    F.struct(
-                        F.element_at(acc, -1)["rs"].alias("rs"),
-                        F.greatest(F.element_at(acc, -1)["re"], x["ce"]).alias("re"),
-                    )
-                ),
-            ),
-        ).otherwise(
-            F.concat(acc, F.array(F.struct(x["cs"].alias("rs"), x["ce"].alias("re"))))
+def _covered_runs(ivls):  # Column[array<struct<cs,ce>>] -> maximal runs
+    """Maximal contiguous covered token runs from (possibly overlapping)
+    intervals, via positions + gaps-and-islands — LINEAR per doc.
+
+    An array-append ``F.aggregate`` fold is the obvious shape but copies
+    the whole accumulator per step (Catalyst arrays are immutable), going
+    quadratic in the run count on boilerplate-heavy docs. Instead: expand
+    to the distinct sorted covered-position array (capped at n_tokens
+    elements), then pick run starts/ends with neighbor comparisons —
+    ``element_at`` is O(1) — and zip them into (rs, re) structs. The
+    ``F.when`` guards keep ``element_at`` in-bounds (ANSI mode throws on
+    out-of-range indices; boolean OR would still evaluate both sides)."""
+    parr = F.array_sort(
+        F.array_distinct(
+            F.flatten(F.transform(ivls, lambda x: F.sequence(x["cs"], x["ce"])))
+        )
+    )
+    # 2-arg HOF lambdas receive (element, 0-based index) — used on purpose
+    # here (the CLAUDE.md pitfall is about expecting CAPTURES instead)
+    rs_vals = F.filter(
+        parr,
+        lambda p, i: F.when(i == 0, F.lit(True)).otherwise(
+            p != F.element_at(parr, i) + 1  # parr[i-1] in 1-based element_at
         ),
+    )
+    re_vals = F.filter(
+        parr,
+        lambda p, i: F.when(i == F.size(parr) - 1, F.lit(True)).otherwise(
+            p + 1 != F.element_at(parr, i + 2)  # parr[i+1]
+        ),
+    )
+    return F.zip_with(
+        rs_vals, re_vals, lambda a, b: F.struct(a.alias("rs"), b.alias("re"))
     )
 
 
@@ -209,21 +221,33 @@ def remove_duplicate_spans(
         F.col("s").alias("cs"),
         (F.col("s") + glen - F.lit(1)).cast("int").alias("ce"),
     )
-    runs = (
-        cov.groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("cs", "ce"))).alias("ivls"))
-        .select("id", F.explode(_merge_runs(F.col("ivls"))).alias("r"))
-        .select("id", F.col("r.rs").alias("rs"), F.col("r.re").alias("re"))
+    runs = cov.groupBy("id").agg(
+        _covered_runs(F.collect_list(F.struct("cs", "ce"))).alias("runs")
     )
-    spans = runs.join(base.select("id", "toks"), "id").select(
-        "id",
-        "rs",
-        "re",
-        F.xxhash64(
-            F.concat_ws(
-                " ", F.slice(F.col("toks"), F.col("rs") + 1, F.col("re") - F.col("rs") + 1)
-            )
-        ).alias("sk"),
+    # span keys computed on the still-aggregated runs array so each doc's
+    # token array crosses the join ONCE, not once per run
+    toks_col = F.col("toks")
+    spans = (
+        runs.join(base.select("id", "toks"), "id")
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.col("runs"),
+                    lambda r: F.struct(
+                        r["rs"].alias("rs"),
+                        r["re"].alias("re"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                " ",
+                                F.slice(toks_col, r["rs"] + 1, r["re"] - r["rs"] + 1),
+                            )
+                        ).alias("sk"),
+                    ),
+                )
+            ).alias("r"),
+        )
+        .select("id", F.col("r.rs").alias("rs"), F.col("r.re").alias("re"), F.col("r.sk").alias("sk"))
     )
     spans = persist_scoped("spanrm.spans", spans)  # firsts + drop filter
     firsts = spans.groupBy("sk").agg(F.min(F.struct("id", "rs")).alias("fo"))
