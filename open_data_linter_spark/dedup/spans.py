@@ -37,7 +37,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from open_data_linter_spark.dedup._cache import persist_scoped, spread_and_pin
-from open_data_linter_spark.functions.text import positional_shingles, ws_tokens
+from open_data_linter_spark.functions.text import (
+    positional_shingle_structs,
+    positional_shingles,
+    ws_tokens,
+)
 
 _EMPTY_RUNS = "array<struct<rs:int,re:int>>"
 
@@ -195,15 +199,11 @@ def remove_duplicate_spans(
     )
     n = F.col("n")
     glen = F.when(n >= k, F.lit(k)).otherwise(n)
-    starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    # the shared gram/fallback contract (functions/text.py) — the same
+    # producer positional_shingles (and so duplicate_span_stats) maps over
     grams = F.transform(
-        starts,
-        lambda s: F.struct(
-            s.cast("int").alias("s"),
-            F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), s + 1, F.lit(k)))).alias(
-                "gh"
-            ),
-        ),
+        positional_shingle_structs(F.col("toks"), k),
+        lambda x: F.struct(x["s"].alias("s"), F.xxhash64(x["gram"]).alias("gh")),
     )
     occ = (
         base.select("id", "n", F.explode(grams).alias("g"))

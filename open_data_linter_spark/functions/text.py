@@ -150,20 +150,40 @@ def shingles(c: Column, k: int = 3) -> Column:
     return F.array_distinct(positional_shingles(c, k))
 
 
+def positional_shingle_structs(toks: Column, k: int) -> Column:
+    """``array<struct<s:int, gram:string>>`` — one entry per k-gram
+    occurrence with its 0-based token start. THE single implementation of
+    the gram/fallback contract: docs shorter than k tokens collapse to one
+    whole-doc gram at start 0; empty token arrays yield ``[]``.
+    ``positional_shingles`` and ``dedup/spans.py`` both build on this so
+    the stats and removal operators can never drift apart."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("s"),
+            F.concat_ws(" ", F.slice(toks, i + 1, k)).alias("gram"),
+        ),
+    )
+    whole = F.array(
+        F.struct(F.lit(0).cast("int").alias("s"), F.concat_ws(" ", toks).alias("gram"))
+    )
+    return F.when(n >= k, grams).otherwise(
+        F.when(n > 0, whole).otherwise(
+            F.array().cast("array<struct<s:int,gram:string>>")
+        )
+    )
+
+
 def positional_shingles(c: Column, k: int = 3) -> Column:
     """Word k-gram array WITHOUT dedup — one entry per occurrence position.
 
     Same tokenize/fallback contract as ``shingles`` (short docs collapse to
     one whole-doc gram), but repeated spans stay repeated: this is the
     occurrence stream that span-level statistics (dedup/spans.py) count."""
-    toks = ws_tokens(c)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    return F.when(n >= k, grams).otherwise(
-        F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(
-            F.array().cast("array<string>")
-        )
+    return F.transform(
+        positional_shingle_structs(ws_tokens(c), k), lambda x: x["gram"]
     )
 
 
