@@ -11,6 +11,11 @@ curation sequence (each stage is the library operator, nothing bespoke):
                            docs without an embedding row pass through)
   3. decontamination       dedup/contamination.decontaminate vs an eval set
   4. span-dup trim         dedup/spans.duplicate_span_stats coverage cap
+  4b. span removal         dedup/spans.remove_duplicate_spans (optional,
+                           --remove-dup-spans; a TRANSFORM, not a filter:
+                           non-first occurrences of cross-doc duplicated
+                           spans are cut and the cleaned text substituted —
+                           affected docs' text becomes ws-normalized)
   5. quality filter        functions/text.quality_score floor
   5b. repetition gates     functions/repetition.repetition_filter
                            (Gopher dup-2gram + top-2gram caps)
@@ -61,7 +66,10 @@ from open_data_linter_spark.dedup._cache import nudge_context_cleaner  # noqa: E
 from open_data_linter_spark.dedup.semdedup import semdedup  # noqa: E402
 from open_data_linter_spark.functions.pii import redact_pii  # noqa: E402
 from open_data_linter_spark.functions.repetition import repetition_filter  # noqa: E402
-from open_data_linter_spark.dedup.spans import duplicate_span_stats  # noqa: E402
+from open_data_linter_spark.dedup.spans import (  # noqa: E402
+    duplicate_span_stats,
+    remove_duplicate_spans,
+)
 from open_data_linter_spark.functions.packing import pack_sequences  # noqa: E402
 from open_data_linter_spark.functions.sampling import mixture_sample  # noqa: E402
 from open_data_linter_spark.functions.text import quality_score  # noqa: E402
@@ -89,6 +97,10 @@ def main() -> int:
     ap.add_argument("--contamination-coverage", type=float, default=0.5)
     ap.add_argument("--max-span-coverage", type=float, default=0.95)
     ap.add_argument("--span-k", type=int, default=8)
+    ap.add_argument("--remove-dup-spans", action="store_true",
+                    help="cut non-first occurrences of cross-doc duplicated"
+                         " spans from surviving docs (text of affected docs"
+                         " becomes whitespace-normalized lowercase)")
     ap.add_argument("--min-quality", type=float, default=0.2)
     ap.add_argument("--mixture-alpha", type=float, default=0.7)
     ap.add_argument("--mixture-total", type=int, default=None,
@@ -191,6 +203,30 @@ def main() -> int:
     ).select("doc_id")
     docs = docs.join(spans, "doc_id", "left_anti")
     docs = stage("span_trim", docs, t0)
+
+    if args.remove_dup_spans:
+        t0 = time.time()
+        cleaned = remove_duplicate_spans(docs, k=args.span_k)
+        report["docs_cleaned"] = cleaned.where(F.col("n_dropped") > 0).count()
+        # transform, not a filter: substitute the cleaned text only where
+        # something was actually cut, so untouched docs keep their
+        # original (un-normalized) text byte-for-byte
+        docs = (
+            docs.join(
+                cleaned.select("doc_id", "n_dropped", "text_clean"),
+                "doc_id",
+                "left",
+            )
+            .withColumn(
+                "text",
+                F.coalesce(
+                    F.when(F.col("n_dropped") > 0, F.col("text_clean")),
+                    F.col("text"),
+                ),
+            )
+            .drop("text_clean", "n_dropped")
+        )
+        docs = stage("span_removal", docs, t0)
 
     t0 = time.time()
     docs = docs.where(quality_score(F.col("text")) >= args.min_quality)

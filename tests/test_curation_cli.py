@@ -60,3 +60,43 @@ def test_curation_pipeline_end_to_end(tmp_path):
         f"SELECT doc_id, bin_id FROM read_parquet('{tmp_path}/run2/curated/*.parquet') ORDER BY doc_id"
     ).fetchall()
     assert ids1 == ids2
+
+
+def test_curation_span_removal_stage(tmp_path):
+    """--remove-dup-spans is a transform stage: row count preserved, stage
+    reported between span_trim and quality_filter, and at least one
+    surviving doc's text actually shrank (the sf0.001 corpus carries real
+    cross-doc duplicated 8-gram spans)."""
+    out = tmp_path / "run_spanrm"
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_curation.py"),
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out),
+            "--master", "local[4]",
+            "--mixture-total", "30",
+            # the default funnel consumes every span-sharing pair before
+            # the removal stage (minhash@0.7 drops one side of each pair;
+            # span_trim@0.95 drops near-total-coverage docs) — loosen both
+            # so real cross-doc duplicated 8-grams reach the stage
+            "--minhash-threshold", "0.99",
+            "--max-span-coverage", "1.0",
+            "--remove-dup-spans",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(os.path.join(out, "report.json")) as f:
+        rep = json.load(f)
+    names = [s["stage"] for s in rep["stages"]]
+    i = names.index("span_removal")
+    assert names[i - 1] == "span_trim" and names[i + 1] == "quality_filter"
+    rows = {s["stage"]: s["rows"] for s in rep["stages"]}
+    assert rows["span_removal"] == rows["span_trim"]  # transform, not filter
+    # the sf0.001 corpus carries real cross-doc duplicated spans and the
+    # upstream dedup stages don't consume them all — the stage must have
+    # actually cut text somewhere (report counts pre-sample)
+    assert rep["docs_cleaned"] >= 1, rep
