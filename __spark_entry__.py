@@ -494,6 +494,27 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity(d, alpha=0.1).orderBy("doc_id")
 
 
+def q_ppl_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language head/middle/tail quality bucketing
+    (functions/quantiles.py over functions/lm.py): per-lang LOWER-quantile
+    perplexity thresholds (actual elements, no interpolation) broadcast
+    back over the corpus — bucket assignment adds no corpus-side shuffle.
+    Docs with <2 tokens carry NULL ppl and a NULL bucket. FULL exact
+    DuckDB twin (identical model + rank-k order statistics)."""
+    from open_data_linter_spark.functions.lm import lm_perplexity
+    from open_data_linter_spark.functions.quantiles import quantile_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    scored = lm_perplexity(d, alpha=0.1).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    return (
+        quantile_buckets(scored, "ppl", "lang")
+        .select("doc_id", "lang", "ppl", "bucket")
+        .orderBy("doc_id")
+    )
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 keyword top-10 (round 4, similarity/bm25.py): lexical
     retrieval beside the embedding ANN paths — one corpus shuffle builds
@@ -1100,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bm25": q_bm25,
         "lm_perplexity": q_lm_perplexity,
+        "ppl_quality_buckets": q_ppl_quality_buckets,
         "knn_ivf_pq": q_knn_ivf_pq,
         "psi_drift": q_psi_drift,
         "stratified_sample_lang": q_stratified_sample_lang,
@@ -1956,6 +1978,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE) AS ppl
             FROM toks WHERE len(t) < 2
             ORDER BY doc_id
+        """,
+        "ppl_quality_buckets": r"""
+            -- FULL exact twin: the lm_perplexity model verbatim, then
+            -- per-lang lower-quantile thresholds as rank-k order
+            -- statistics (row_number over non-null ppl; the VALUE at
+            -- rank k is deterministic under ties) and the same
+            -- <=-threshold bucket rule. ceil(CAST(n AS DOUBLE) * q)
+            -- mirrors the engine's double arithmetic bit-for-bit.
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                       lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '') AS t
+              FROM documents
+            ), o2 AS (
+              SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+                SELECT doc_id,
+                       unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+                FROM toks WHERE len(t) >= 2
+              )
+            ), big AS (
+              SELECT w1, w2, count(*) AS c12 FROM o2 GROUP BY 1, 2
+            ), pre AS (
+              SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1
+            ), vv AS (
+              SELECT count(DISTINCT w) AS v FROM (
+                SELECT unnest(t) AS w FROM toks
+              )
+            ), sc AS (
+              SELECT o2.doc_id, count(*) AS nb,
+                     sum(ln((big.c12 + 0.1) / (pre.c1 + 0.1 * vv.v))) AS slp
+              FROM o2 JOIN big USING (w1, w2) JOIN pre USING (w1)
+              CROSS JOIN vv
+              GROUP BY 1
+            ), ppl AS (
+              SELECT doc_id, round(exp(-slp / nb), 6) AS ppl FROM sc
+              UNION ALL
+              SELECT doc_id, CAST(NULL AS DOUBLE) AS ppl
+              FROM toks WHERE len(t) < 2
+            ), j AS (
+              SELECT p.doc_id, d.lang, p.ppl
+              FROM ppl p JOIN documents d USING (doc_id)
+            ), ranked AS (
+              SELECT lang, ppl,
+                     row_number() OVER (PARTITION BY lang ORDER BY ppl) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM j WHERE ppl IS NOT NULL
+            ), thr AS (
+              SELECT lang,
+                     min(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * (1.0/3.0)) AS BIGINT)
+                              THEN ppl END) AS t1,
+                     min(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * (2.0/3.0)) AS BIGINT)
+                              THEN ppl END) AS t2
+              FROM ranked GROUP BY lang
+            )
+            SELECT j.doc_id, j.lang, j.ppl,
+                   CASE WHEN j.ppl IS NULL OR thr.t1 IS NULL THEN NULL
+                        WHEN j.ppl <= thr.t1 THEN 'head'
+                        WHEN j.ppl <= thr.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM j LEFT JOIN thr ON j.lang IS NOT DISTINCT FROM thr.lang
+            ORDER BY j.doc_id
         """,
         "bm25": r"""
             -- FULL exact twin: identical tokenize contract, +1 idf form,
