@@ -515,6 +515,24 @@ def q_ppl_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling selection (round 4, functions/dsir.py;
+    Xie et al. 2302.03169): top-50 non-src0 docs by how much likelier
+    their unigram+bigram bag is under the src0 'target domain' model than
+    under the raw-corpus model (add-1 smoothing over the shared feature
+    space). buckets=None = un-hashed features, so this is a FULL exact
+    DuckDB twin; the at-scale path sets buckets and the log-ratio table
+    broadcasts (no second shuffle)."""
+    from open_data_linter_spark.functions.dsir import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_select(
+        d.where(F.col("source") != "src0"),
+        d.where(F.col("source") == "src0"),
+        k=50,
+    )
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 keyword top-10 (round 4, similarity/bm25.py): lexical
     retrieval beside the embedding ANN paths — one corpus shuffle builds
@@ -1122,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "lm_perplexity": q_lm_perplexity,
         "ppl_quality_buckets": q_ppl_quality_buckets,
+        "dsir_select": q_dsir_select,
         "knn_ivf_pq": q_knn_ivf_pq,
         "psi_drift": q_psi_drift,
         "stratified_sample_lang": q_stratified_sample_lang,
@@ -2040,6 +2059,59 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS bucket
             FROM j LEFT JOIN thr ON j.lang IS NOT DISTINCT FROM thr.lang
             ORDER BY j.doc_id
+        """,
+        "dsir_select": r"""
+            -- FULL exact twin of the DSIR model: identical tokenize
+            -- contract, per-occurrence unigram+bigram bag, add-1
+            -- smoothing over the shared (raw ∪ target) feature space,
+            -- ln-ratio summed per doc and rounded to 6 decimals (the
+            -- engine's partition-order-independence contract), top-50
+            -- by (logw DESC, doc_id). CASTs to DOUBLE keep DuckDB off
+            -- HUGEINT/decimal arithmetic so the IEEE ops match Spark's.
+            WITH toks AS (
+              SELECT doc_id, source = 'src0' AS is_tgt,
+                     list_filter(string_split_regex(
+                       lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '') AS t
+              FROM documents
+            ), feats AS (
+              SELECT doc_id, is_tgt, unnest(t) AS f FROM toks
+              UNION ALL
+              SELECT doc_id, is_tgt, p[1] || ' ' || p[2] AS f FROM (
+                SELECT doc_id, is_tgt,
+                       unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+                FROM toks WHERE len(t) >= 2
+              )
+            ), rawc AS (
+              SELECT f, CAST(count(*) AS BIGINT) AS c_raw
+              FROM feats WHERE NOT is_tgt GROUP BY 1
+            ), tgtc AS (
+              SELECT f, CAST(count(*) AS BIGINT) AS c_tgt
+              FROM feats WHERE is_tgt GROUP BY 1
+            ), u AS (
+              SELECT coalesce(rawc.f, tgtc.f) AS f,
+                     coalesce(c_raw, 0) AS c_raw,
+                     coalesce(c_tgt, 0) AS c_tgt
+              FROM rawc FULL JOIN tgtc ON rawc.f = tgtc.f
+            ), sc AS (
+              SELECT CAST(sum(c_raw) AS DOUBLE) AS t_raw,
+                     CAST(sum(c_tgt) AS DOUBLE) AS t_tgt,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM u
+            ), ratio AS (
+              SELECT f,
+                     ln((CAST(c_tgt AS DOUBLE) + 1.0) / (t_tgt + 1.0 * v))
+                   - ln((CAST(c_raw AS DOUBLE) + 1.0) / (t_raw + 1.0 * v))
+                       AS lr
+              FROM u CROSS JOIN sc
+            )
+            SELECT fe.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                   round(sum(lr), 6) AS logw
+            FROM feats fe JOIN ratio USING (f)
+            WHERE NOT fe.is_tgt
+            GROUP BY 1
+            ORDER BY logw DESC, fe.doc_id
+            LIMIT 50
         """,
         "bm25": r"""
             -- FULL exact twin: identical tokenize contract, +1 idf form,

@@ -1,0 +1,190 @@
+"""DSIR-style importance weighting for target-driven data selection.
+
+Data Selection with Importance Resampling (Xie et al., arXiv 2302.03169)
+scores every raw-corpus document by how much more likely its n-gram bag is
+under a (small, curated) target corpus than under the raw corpus itself,
+then keeps the top-weighted documents. This module is that stage as a
+reusable operator family:
+
+- ``importance_weights``: row-preserving — every raw doc gets
+  ``log w(doc) = sum_f c_f(doc) * [ln p_target(f) - ln p_raw(f)]`` over
+  its unigram+bigram feature bag (add-alpha smoothed bag-of-features
+  models, the paper's hashed-n-gram generative model with the hash made
+  optional so an independent SQL engine can recompute it exactly).
+- ``dsir_select``: the selection — top-k raw docs by weight (the paper's
+  deterministic top-k variant; its Gumbel-noise variant is top-k over
+  ``logw + gumbel``, which callers can add with a seeded hash if they
+  need sampling rather than argmax).
+
+Plan shape at 100 TB:
+
+- Feature counting is ONE corpus shuffle with map-side partial aggregation
+  (groupBy on the feature key); the target corpus is small by construction
+  (a curated sample), so its model is cheap.
+- With ``buckets`` set (the at-scale default — the paper uses hashed
+  features for exactly this reason) the per-feature log-ratio table has at
+  most ``buckets`` rows, so the scoring join is a BROADCAST: the raw
+  corpus is scored with NO second shuffle. ``buckets=None`` keeps raw
+  string features — the ratio table is vocabulary-sized and the scoring
+  join shuffles on the feature key; use it for oracle-exact parity and
+  modest corpora.
+- ``dsir_select``'s global top-k is TakeOrderedAndProject (per-partition
+  heaps + a driver merge of k rows), never a full sort.
+
+Tokenize goes through ``functions/text.ws_tokens`` (the repo-wide
+contract); bigrams are per-occurrence joins of adjacent tokens. Bigrams
+contain a space and tokens cannot, so the two feature namespaces never
+collide in the un-hashed path.
+
+The reference (volare-all/open-data-linter) has no data-selection ops;
+this extends the engine per the training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from open_data_linter_spark.functions.text import ws_tokens
+
+
+def ngram_bag(c: Column) -> Column:
+    """Unigram+bigram feature bag (per occurrence, order irrelevant).
+
+    ``array<string>``: every token, then every adjacent token pair joined
+    with one space. Empty/NULL text yields ``[]``; a 1-token doc yields
+    just its unigram (no whole-doc fallback — DSIR features are a bag,
+    not a shingle cover, so there is nothing to pad)."""
+    toks = ws_tokens(c)
+    n = F.size(toks)
+    # If/CaseWhen evaluates branches lazily per-row, so the negative
+    # slice length in the n<2 case is never constructed under ANSI mode
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def _feature_key(buckets: int | None, seed: int) -> Column:
+    f = F.col("f")
+    if buckets is None:
+        return f
+    return F.pmod(F.xxhash64(f, F.lit(seed)), F.lit(buckets))
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    buckets: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-raw-doc DSIR log importance weight: (id_col, n_feats, logw).
+
+    Row-preserving over ``raw``'s ids: a doc with an empty feature bag
+    (NULL/empty/whitespace-only text) carries NULL ``n_feats``/``logw`` —
+    no evidence either way; filter or keep downstream. ``logw`` is
+    rounded to 6 decimals so the per-doc sum is independent of partition
+    order (same contract as functions/lm.py).
+
+    Smoothing: add-``alpha`` over a shared feature space of size V =
+    |features seen in raw or target| (or ``buckets`` when hashing), so
+    features unseen in the target still get finite log-ratios.
+    """
+    if alpha <= 0.0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if buckets is not None and buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+
+    def feats(df: DataFrame, cols: list[Column]) -> DataFrame:
+        return (
+            df.select(*cols, F.explode(ngram_bag(F.col(text_col))).alias("f"))
+            .withColumn("f", _feature_key(buckets, seed))
+        )
+
+    raw_f = feats(raw, [F.col(id_col).alias("__id")])
+    tgt_f = feats(target, [])
+
+    rawc = raw_f.groupBy("f").agg(F.count("*").alias("c_raw"))
+    tgtc = tgt_f.groupBy("f").agg(F.count("*").alias("c_tgt"))
+    u = (
+        rawc.join(tgtc, "f", "full")
+        .select(
+            "f",
+            F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
+            F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
+        )
+    )
+    v = (
+        F.lit(float(buckets))
+        if buckets is not None
+        else F.col("V").cast("double")
+    )
+    scalars = u.agg(
+        F.sum("c_raw").alias("T_raw"),
+        F.sum("c_tgt").alias("T_tgt"),
+        F.count("*").alias("V"),
+    )
+    a = F.lit(float(alpha))
+    ratio = u.crossJoin(F.broadcast(scalars)).select(
+        "f",
+        (
+            F.log(
+                (F.col("c_tgt").cast("double") + a)
+                / (F.col("T_tgt").cast("double") + a * v)
+            )
+            - F.log(
+                (F.col("c_raw").cast("double") + a)
+                / (F.col("T_raw").cast("double") + a * v)
+            )
+        ).alias("lr"),
+    )
+    if buckets is not None:
+        ratio = F.broadcast(ratio)
+    scored = (
+        raw_f.join(ratio, "f")
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("lr"), 6).alias("logw"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col))
+        .join(scored, F.col(id_col) == F.col("__id"), "left")
+        .drop("__id")
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    buckets: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Top-``k`` raw docs by DSIR weight: (id_col, n_feats, logw).
+
+    Deterministic: ties break on ``id_col`` ascending; empty-bag docs
+    (NULL weight) are never selected. Executes as a distributed top-k
+    (TakeOrderedAndProject), not a global sort."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = importance_weights(
+        raw, target, text_col, id_col, alpha=alpha, buckets=buckets, seed=seed
+    )
+    return (
+        w.where(F.col("logw").isNotNull())
+        .orderBy(F.desc("logw"), F.col(id_col))
+        .limit(k)
+    )
