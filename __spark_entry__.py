@@ -515,6 +515,39 @@ def q_ppl_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/MassiveText-style repeated-line removal (round 4,
+    dedup/lines.py): the synthetic corpus has no newlines, so the query
+    first builds a deterministic 3-line layout per doc (per-lang header,
+    original body, per-source ref or a shared copyright footer for
+    doc_id%3==0) and then strips every line whose trimmed form appears in
+    >=2 distinct docs — headers/footers/refs go, unique bodies stay.
+    FULL exact DuckDB twin (same synthesis, same trim key, same
+    order-preserving reassembly)."""
+    from open_data_linter_spark.dedup.lines import remove_boilerplate_lines
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("lang: "),
+            F.coalesce("lang", F.lit("")),
+            F.lit("\n"),
+            F.coalesce("text", F.lit("")),
+            F.lit("\n"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("copyright footer")).otherwise(
+                F.concat(F.lit("ref "), F.coalesce("source", F.lit("")))
+            ),
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(d)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        "text_clean",
+    ).orderBy("doc_id")
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance-resampling selection (round 4, functions/dsir.py;
     Xie et al. 2302.03169): top-50 non-src0 docs by how much likelier
@@ -1141,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "ppl_quality_buckets": q_ppl_quality_buckets,
         "dsir_select": q_dsir_select,
+        "line_dedup": q_line_dedup,
         "knn_ivf_pq": q_knn_ivf_pq,
         "psi_drift": q_psi_drift,
         "stratified_sample_lang": q_stratified_sample_lang,
@@ -2059,6 +2093,50 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS bucket
             FROM j LEFT JOIN thr ON j.lang IS NOT DISTINCT FROM thr.lang
             ORDER BY j.doc_id
+        """,
+        "line_dedup": r"""
+            -- FULL exact twin: same deterministic 3-line synthesis, the
+            -- same space-only trim() line key (Spark F.trim ==
+            -- DuckDB trim), doc-frequency >= 2 over DISTINCT docs,
+            -- order-preserving reassembly via string_agg ORDER BY the
+            -- 0-based line position. Blank keys are structure: never
+            -- counted, never removed.
+            WITH d AS (
+              SELECT doc_id,
+                     'lang: ' || coalesce(lang, '') || chr(10) ||
+                     coalesce(text, '') || chr(10) ||
+                     CASE WHEN doc_id % 3 = 0 THEN 'copyright footer'
+                          ELSE 'ref ' || coalesce(source, '') END AS text
+              FROM documents
+            ), l AS (
+              SELECT doc_id, p[2] - 1 AS pos, p[1] AS line,
+                     trim(p[1]) AS k
+              FROM (
+                SELECT doc_id,
+                       unnest(list_zip(
+                         sp, list_transform(sp, (x, i) -> i))) AS p
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS sp
+                      FROM d)
+              )
+            ), hot AS (
+              SELECT k FROM l WHERE k <> '' GROUP BY k
+              HAVING count(DISTINCT doc_id) >= 2
+            ), kept AS (
+              SELECT l.doc_id, l.pos, l.line
+              FROM l ANTI JOIN hot ON l.k = hot.k
+            ), rebuilt AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                     string_agg(line, chr(10) ORDER BY pos) AS text_clean
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(len(string_split(d.text, chr(10))) AS BIGINT)
+                     AS n_lines,
+                   CAST(len(string_split(d.text, chr(10))) AS BIGINT)
+                     - coalesce(r.n_kept, 0) AS n_removed,
+                   coalesce(r.text_clean, '') AS text_clean
+            FROM d LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "dsir_select": r"""
             -- FULL exact twin of the DSIR model: identical tokenize
