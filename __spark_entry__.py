@@ -501,12 +501,17 @@ def q_ppl_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     back over the corpus — bucket assignment adds no corpus-side shuffle.
     Docs with <2 tokens carry NULL ppl and a NULL bucket. FULL exact
     DuckDB twin (identical model + rank-k order statistics)."""
+    from open_data_linter_spark.dedup._cache import persist_scoped
     from open_data_linter_spark.functions.lm import lm_perplexity
     from open_data_linter_spark.functions.quantiles import quantile_buckets
 
     d = _t(spark, sf_dir, "documents")
-    scored = lm_perplexity(d, alpha=0.1).join(
-        d.select("doc_id", "lang"), "doc_id"
+    # quantile_buckets consumes its input TWICE (threshold agg + the
+    # corpus-side join); the lm scoring pipeline is the expensive part,
+    # so pin the tiny (doc_id, lang, ppl) frame rather than recompute it
+    scored = persist_scoped(
+        "q_ppl_quality_buckets.scored",
+        lm_perplexity(d, alpha=0.1).join(d.select("doc_id", "lang"), "doc_id"),
     )
     return (
         quantile_buckets(scored, "ppl", "lang")
