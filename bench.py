@@ -64,6 +64,9 @@ HEADLINE = [
     "semdedup",          # round 4: k-means cells + in-cell greedy dedup
     "bm25",              # round 4: term-filtered postings + window top-k
     "lm_perplexity",     # round 4: corpus bigram LM train + score joins
+    "ppl_quality_buckets",  # round 4: CCNet head/middle/tail over the LM
+    "dsir_select",       # round 4: target/raw n-gram log-ratio top-k
+    "line_dedup",        # round 4: corpus repeated-line removal
     "knn_ivf_pq",        # round 4: residual-PQ probe join + ADC scoring
 ]
 
