@@ -520,6 +520,34 @@ def q_ppl_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization (round 4, functions/normalize.py): NFC
+    composition (the one Arrow-UDF step — Spark has no normalize builtin)
+    + C0-control strip + explicit-class whitespace collapse. The corpus is
+    ASCII-clean, so the query first decorates each doc deterministically
+    with a combining acute, a combining ring, a C0 control, and tab runs;
+    the normalized output must compose/strip/collapse them all. FULL
+    exact DuckDB twin (nfc_normalize implements the same Unicode
+    algorithm as Python's unicodedata)."""
+    from open_data_linter_spark.functions.normalize import normalize_text
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce("text", F.lit("")),
+            # decomposed on purpose: e+U+0301 / A+U+030A must compose
+            F.lit("  cafe" + chr(0x301) + " A" + chr(0x30A) + "B"),
+            F.lit("\x01\t\t end "),
+        ).alias("text"),
+    )
+    out = normalize_text(d)
+    return out.select(
+        "doc_id",
+        "text_norm",
+        F.length("text_norm").cast("long").alias("n_chars_norm"),
+    ).orderBy("doc_id")
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/MassiveText-style repeated-line removal (round 4,
     dedup/lines.py): the synthetic corpus has no newlines, so the query
@@ -1180,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_quality_buckets": q_ppl_quality_buckets,
         "dsir_select": q_dsir_select,
         "line_dedup": q_line_dedup,
+        "normalize_text": q_normalize_text,
         "knn_ivf_pq": q_knn_ivf_pq,
         "psi_drift": q_psi_drift,
         "stratified_sample_lang": q_stratified_sample_lang,
@@ -2098,6 +2127,34 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS bucket
             FROM j LEFT JOIN thr ON j.lang IS NOT DISTINCT FROM thr.lang
             ORDER BY j.doc_id
+        """,
+        "normalize_text": r"""
+            -- FULL exact twin: DuckDB nfc_normalize == Python
+            -- unicodedata NFC (same Unicode algorithm); control strip
+            -- and whitespace collapse are the same explicit character
+            -- classes in RE2 as in Java regex; trim is space-only on
+            -- both engines. chr(1) not chr(0): DuckDB truncates
+            -- varchars at NUL, so the synthetic control byte is SOH.
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace(
+                       nfc_normalize(
+                         coalesce(text, '') || '  cafe' || chr(769) ||
+                         ' A' || chr(778) || 'B' ||
+                         chr(1) || chr(9) || chr(9) || ' end '),
+                       '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                     '[ \t\x0b\x0c]+', ' ', 'g')) AS text_norm,
+                   CAST(len(trim(regexp_replace(
+                     regexp_replace(
+                       nfc_normalize(
+                         coalesce(text, '') || '  cafe' || chr(769) ||
+                         ' A' || chr(778) || 'B' ||
+                         chr(1) || chr(9) || chr(9) || ' end '),
+                       '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                     '[ \t\x0b\x0c]+', ' ', 'g'))) AS BIGINT)
+                     AS n_chars_norm
+            FROM documents
+            ORDER BY doc_id
         """,
         "line_dedup": r"""
             -- FULL exact twin: same deterministic 3-line synthesis, the
