@@ -2177,7 +2177,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        unnest(list_zip(
                          sp, list_transform(sp, (x, i) -> i))) AS p
-                FROM (SELECT doc_id, string_split(text, chr(10)) AS sp
+                FROM (SELECT doc_id,
+                             string_split_regex(text, '\r?\n') AS sp
                       FROM d)
               )
             ), hot AS (
@@ -2192,9 +2193,9 @@ def oracle_sql() -> dict[str, str]:
               FROM kept GROUP BY doc_id
             )
             SELECT d.doc_id,
-                   CAST(len(string_split(d.text, chr(10))) AS BIGINT)
+                   CAST(len(string_split_regex(d.text, '\r?\n')) AS BIGINT)
                      AS n_lines,
-                   CAST(len(string_split(d.text, chr(10))) AS BIGINT)
+                   CAST(len(string_split_regex(d.text, '\r?\n')) AS BIGINT)
                      - coalesce(r.n_kept, 0) AS n_removed,
                    coalesce(r.text_clean, '') AS text_clean
             FROM d LEFT JOIN rebuilt r USING (doc_id)

@@ -43,6 +43,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_LINE_SEP = "\r?\n"  # CRLF folds with LF: a Windows-newline corpus must
+# not hide boilerplate behind a trailing \r in the key (space-only trim
+# would keep it). Reassembly joins with \n, so output line endings are
+# LF-normalized — the standard curation contract. Lone \r (classic Mac)
+# is not a separator.
+
+
 def _lines(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, pos, line, key): one row per physical line, 0-based pos.
 
@@ -50,10 +57,24 @@ def _lines(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     in the oracle; key is the space-trimmed line."""
     return docs.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
-            "pos", "line"
-        ),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _LINE_SEP)
+        ).alias("pos", "line"),
     ).withColumn("key", F.trim(F.col("line")))
+
+
+def _hot(lines: DataFrame, min_docs: int) -> DataFrame:
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    return (
+        lines.where(F.col("key") != "")
+        .groupBy(F.col("key").alias("line"))
+        .agg(
+            F.count_distinct("__id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
 
 
 def boilerplate_lines(
@@ -67,18 +88,7 @@ def boilerplate_lines(
     Returns (line, n_docs, n_occurrences); blank (trim-empty) lines are
     never counted. ``n_docs`` is the number of DISTINCT docs containing
     the line; ``n_occurrences`` counts every physical occurrence."""
-    if min_docs < 1:
-        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
-    return (
-        _lines(docs, text_col, id_col)
-        .where(F.col("key") != "")
-        .groupBy(F.col("key").alias("line"))
-        .agg(
-            F.count_distinct("__id").alias("n_docs"),
-            F.count("*").alias("n_occurrences"),
-        )
-        .where(F.col("n_docs") >= min_docs)
-    )
+    return _hot(_lines(docs, text_col, id_col), min_docs)
 
 
 def remove_boilerplate_lines(
@@ -93,10 +103,17 @@ def remove_boilerplate_lines(
     (>= min_docs distinct docs) are deleted, survivors rejoin with
     ``\\n`` in original order. A doc losing every line yields
     ``text_clean = ''`` (kept — downstream length filters decide)."""
-    hot = boilerplate_lines(docs, text_col, id_col, min_docs).select(
-        F.col("line").alias("__hot")
+    # spread + pin the exploded line frame ONCE: a single-file scan is
+    # one partition (the split+posexplode would serialize on one core),
+    # and the frame feeds three consumers (frequency table, anti-join
+    # probe, per-doc line counts) — without the pin the corpus is
+    # re-split per consumer (dedup/_cache notes)
+    from open_data_linter_spark.dedup._cache import spread_and_pin
+
+    lines = spread_and_pin(
+        f"lines:{id_col}", _lines(docs, text_col, id_col)
     )
-    lines = _lines(docs, text_col, id_col)
+    hot = _hot(lines, min_docs).select(F.col("line").alias("__hot"))
     kept = lines.join(hot, lines["key"] == hot["__hot"], "left_anti")
     rebuilt = kept.groupBy("__id").agg(
         F.count("*").alias("n_kept"),
@@ -108,14 +125,11 @@ def remove_boilerplate_lines(
             ),
         ).alias("text_clean"),
     )
-    base = docs.select(
-        F.col(id_col),
-        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
-            "n_lines"
-        ),
-    )
-    return base.join(rebuilt, base[id_col] == rebuilt["__id"], "left").select(
-        F.col(id_col),
+    # every doc yields >= 1 line (NULL text splits to ['']), so the line
+    # counts are themselves the row-preserving base — no third doc scan
+    base = lines.groupBy("__id").agg(F.count("*").alias("n_lines"))
+    return base.join(rebuilt, "__id", "left").select(
+        F.col("__id").alias(id_col),
         "n_lines",
         (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         F.coalesce("text_clean", F.lit("")).alias("text_clean"),

@@ -45,28 +45,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from open_data_linter_spark.functions.text import ws_tokens
+from open_data_linter_spark.functions.text import adjacent_pairs, ws_tokens
 
 
 def ngram_bag(c: Column) -> Column:
     """Unigram+bigram feature bag (per occurrence, order irrelevant).
 
     ``array<string>``: every token, then every adjacent token pair joined
-    with one space. Empty/NULL text yields ``[]``; a 1-token doc yields
-    just its unigram (no whole-doc fallback — DSIR features are a bag,
-    not a shingle cover, so there is nothing to pad)."""
+    with one space (via the shared ``functions/text.adjacent_pairs``
+    contract). Empty/NULL text yields ``[]``; a 1-token doc yields just
+    its unigram (no whole-doc fallback — DSIR features are a bag, not a
+    shingle cover, so there is nothing to pad)."""
     toks = ws_tokens(c)
-    n = F.size(toks)
-    # If/CaseWhen evaluates branches lazily per-row, so the negative
-    # slice length in the n<2 case is never constructed under ANSI mode
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = F.transform(
+        adjacent_pairs(toks), lambda p: F.concat_ws(" ", p["w1"], p["w2"])
+    )
     return F.concat(toks, bigrams)
 
 
@@ -103,24 +96,38 @@ def importance_weights(
     if buckets is not None and buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
 
-    def feats(df: DataFrame, cols: list[Column]) -> DataFrame:
-        return (
-            df.select(*cols, F.explode(ngram_bag(F.col(text_col))).alias("f"))
-            .withColumn("f", _feature_key(buckets, seed))
-        )
+    # spread + pin the bagged corpus: a single-file scan is ONE partition
+    # (the tokenize+bag projection would serialize on one core), and the
+    # raw bag feeds TWO consumers (feature counts + the scoring join) —
+    # without the pin the corpus is re-tokenized per consumer. The pinned
+    # frame is (id, bag) — narrow; the explode stays lazy per consumer.
+    from open_data_linter_spark.dedup._cache import persist_scoped, spread_and_pin
 
-    raw_f = feats(raw, [F.col(id_col).alias("__id")])
-    tgt_f = feats(target, [])
+    raw_b = spread_and_pin(
+        f"dsir:raw:{id_col}",
+        raw.select(
+            F.col(id_col).alias("__id"),
+            ngram_bag(F.col(text_col)).alias("bag"),
+        ),
+    )
+    raw_f = raw_b.select("__id", F.explode("bag").alias("f")).withColumn(
+        "f", _feature_key(buckets, seed)
+    )
+    tgt_f = target.select(
+        F.explode(ngram_bag(F.col(text_col))).alias("f")
+    ).withColumn("f", _feature_key(buckets, seed))
 
     rawc = raw_f.groupBy("f").agg(F.count("*").alias("c_raw"))
     tgtc = tgt_f.groupBy("f").agg(F.count("*").alias("c_tgt"))
-    u = (
-        rawc.join(tgtc, "f", "full")
-        .select(
+    # u feeds scalars + the ratio projection — pin the vocabulary-sized
+    # count table so the two count shuffles run once
+    u = persist_scoped(
+        "dsir:u",
+        rawc.join(tgtc, "f", "full").select(
             "f",
             F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
             F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
-        )
+        ),
     )
     v = (
         F.lit(float(buckets))

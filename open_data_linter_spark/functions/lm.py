@@ -50,10 +50,11 @@ def _toks(c):
 
 
 def _bigrams(toks):
-    n = F.size(toks)
-    return F.arrays_zip(
-        F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
-    )
+    # shared adjacency contract — functions/text.adjacent_pairs is THE
+    # single bigram producer (dsir.py builds on the same one)
+    from open_data_linter_spark.functions.text import adjacent_pairs
+
+    return adjacent_pairs(toks)
 
 
 def lm_perplexity(

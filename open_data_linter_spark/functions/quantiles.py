@@ -62,6 +62,8 @@ def group_lower_quantiles(
     signal and are excluded (a group with only NULLs emits no row).
     Groups key NULL like groupBy does (one NULL group, kept).
     """
+    if not qs:
+        raise ValueError("need at least one quantile")
     for q in qs:
         if not 0.0 < q <= 1.0:
             raise ValueError(f"quantiles must be in (0, 1], got {q}")
@@ -107,9 +109,17 @@ def quantile_buckets(
     Plan shape: thresholds are O(#groups) and broadcast — the bucket
     assignment adds NO shuffle to the corpus side.
     """
+    if not cuts:
+        raise ValueError("need at least one cut")
     if len(labels) != len(cuts) + 1:
         raise ValueError(
             f"need len(cuts)+1 labels, got {len(cuts)} cuts / {len(labels)} labels"
+        )
+    reserved = {"bucket", "__g", *(f"t_{j + 1}" for j in range(len(cuts)))}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with quantile_buckets internals: {sorted(clash)}"
         )
     thr = group_lower_quantiles(df, value_col, group_col, cuts, approx=approx)
     v = F.col(value_col)

@@ -150,6 +150,26 @@ def shingles(c: Column, k: int = 3) -> Column:
     return F.array_distinct(positional_shingles(c, k))
 
 
+def adjacent_pairs(toks: Column) -> Column:
+    """``array<struct<w1,w2>>`` — one entry per adjacent token pair, no
+    fallback (a <2-token array yields ``[]``). THE single implementation
+    of the bigram-adjacency contract: functions/lm.py (bigram LM counts)
+    and functions/dsir.py (feature bags) both build on this. Distinct
+    from ``positional_shingle_structs``, whose short-doc whole-doc
+    fallback is a shingle-COVER property that bag semantics must not
+    inherit."""
+    n = F.size(toks)
+    # CaseWhen evaluates lazily per-row, so the negative slice length in
+    # the n<2 branch is never constructed under ANSI mode
+    return F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(toks, 1, n - 1).alias("w1"),
+            F.slice(toks, 2, n - 1).alias("w2"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
 def positional_shingle_structs(toks: Column, k: int) -> Column:
     """``array<struct<s:int, gram:string>>`` — one entry per k-gram
     occurrence with its 0-based token start. THE single implementation of

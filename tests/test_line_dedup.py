@@ -63,6 +63,18 @@ def test_tab_indent_stays_distinct_space_indent_folds(spark):
     assert rows == {"x": 2}                          # tab variant uncounted
 
 
+def test_crlf_folds_with_lf_and_output_is_lf_normalized(spark):
+    docs = _docs(spark, [
+        (0, f"keep a\r\n{FOOTER}\r\nkeep b"),   # Windows line endings
+        (1, f"{FOOTER}\nmine"),
+    ])
+    rows = {r["line"]: r["n_docs"] for r in boilerplate_lines(docs).collect()}
+    assert rows.get(FOOTER) == 2                 # \r never leaks into keys
+    got = {r["doc_id"]: r for r in remove_boilerplate_lines(docs).collect()}
+    assert got[0]["text_clean"] == "keep a\nkeep b"  # LF-normalized output
+    assert (got[0]["n_lines"], got[0]["n_removed"]) == (3, 1)
+
+
 def test_min_docs_threshold_and_validation(spark):
     docs = _docs(spark, [(0, "x\ny"), (1, "x"), (2, "x")])
     assert boilerplate_lines(docs, min_docs=3).count() == 1

@@ -87,6 +87,13 @@ def test_validation_errors(spark):
         group_lower_quantiles(df, "v", "g", qs=(0.0, 0.5))
     with pytest.raises(ValueError, match="labels"):
         quantile_buckets(df, "v", "g", cuts=(0.5,), labels=("a", "b", "c"))
+    with pytest.raises(ValueError, match="at least one"):
+        group_lower_quantiles(df, "v", "g", qs=())
+    with pytest.raises(ValueError, match="at least one"):
+        quantile_buckets(df, "v", "g", cuts=(), labels=("only",))
+    clash = df.withColumnRenamed("id", "bucket")
+    with pytest.raises(ValueError, match="collide"):
+        quantile_buckets(clash, "v", "g")
 
 
 def test_approx_path_contract(spark):
