@@ -3,7 +3,15 @@
 Composes the training-data-pipeline operator families into the standard
 curation sequence (each stage is the library operator, nothing bespoke):
 
+  0. normalization         functions/normalize.normalize_text (optional,
+                           --normalize; NFC + control strip + whitespace
+                           collapse BEFORE dedup so trivially-variant
+                           forms collapse)
   1. exact dedup           dedup/exact.distinct_by_fingerprint
+  1b. line dedup           dedup/lines.remove_boilerplate_lines (optional,
+                           --remove-dup-lines; strips lines repeated in
+                           >= --line-min-docs distinct docs — the
+                           C4/MassiveText boilerplate pass)
   2. near-dup dedup        dedup/minhash pairs -> cluster.deduplicate
                            (connected components, min-id survivor)
   2b. semantic dedup       dedup/semdedup.semdedup over --embeddings
@@ -70,6 +78,10 @@ from open_data_linter_spark.dedup.spans import (  # noqa: E402
     duplicate_span_stats,
     remove_duplicate_spans,
 )
+from open_data_linter_spark.dedup.lines import (  # noqa: E402
+    remove_boilerplate_lines,
+)
+from open_data_linter_spark.functions.normalize import normalize_text  # noqa: E402
 from open_data_linter_spark.functions.packing import pack_sequences  # noqa: E402
 from open_data_linter_spark.functions.sampling import mixture_sample  # noqa: E402
 from open_data_linter_spark.functions.text import quality_score  # noqa: E402
@@ -101,6 +113,14 @@ def main() -> int:
                     help="cut non-first occurrences of cross-doc duplicated"
                          " spans from surviving docs (text of affected docs"
                          " becomes whitespace-normalized lowercase)")
+    ap.add_argument("--normalize", action="store_true",
+                    help="NFC + control-strip + whitespace-collapse the"
+                         " text before dedup")
+    ap.add_argument("--remove-dup-lines", action="store_true",
+                    help="strip lines repeated across >= --line-min-docs"
+                         " distinct docs (boilerplate pass; output line"
+                         " endings are LF-normalized for affected docs)")
+    ap.add_argument("--line-min-docs", type=int, default=5)
     ap.add_argument("--min-quality", type=float, default=0.2)
     ap.add_argument("--mixture-alpha", type=float, default=0.7)
     ap.add_argument("--mixture-total", type=int, default=None,
@@ -145,9 +165,41 @@ def main() -> int:
     docs = spark.read.parquet(args.docs)
     stage("input", docs, t_start)
 
+    if args.normalize:
+        t0 = time.time()
+        docs = normalize_text(docs).withColumn(
+            "text", F.col("text_norm")
+        ).drop("text_norm")
+        docs = stage("normalize", docs, t0)
+
     t0 = time.time()
     docs = distinct_by_fingerprint(docs)
     docs = stage("exact_dedup", docs, t0)
+
+    if args.remove_dup_lines:
+        t0 = time.time()
+        cleaned = remove_boilerplate_lines(docs, min_docs=args.line_min_docs)
+        report["docs_line_trimmed"] = cleaned.where(
+            F.col("n_removed") > 0
+        ).count()
+        # transform, not a filter: substitute only where a line was
+        # actually cut, so untouched docs keep their text byte-for-byte
+        docs = (
+            docs.join(
+                cleaned.select("doc_id", "n_removed", "text_clean"),
+                "doc_id",
+                "left",
+            )
+            .withColumn(
+                "text",
+                F.coalesce(
+                    F.when(F.col("n_removed") > 0, F.col("text_clean")),
+                    F.col("text"),
+                ),
+            )
+            .drop("text_clean", "n_removed")
+        )
+        docs = stage("line_dedup", docs, t0)
 
     t0 = time.time()
     pairs = minhash_near_duplicates(docs, threshold=args.minhash_threshold)

@@ -100,3 +100,53 @@ def test_curation_span_removal_stage(tmp_path):
     # upstream dedup stages don't consume them all — the stage must have
     # actually cut text somewhere (report counts pre-sample)
     assert rep["docs_cleaned"] >= 1, rep
+
+
+def test_curation_normalize_and_line_dedup_stages(tmp_path):
+    """--normalize and --remove-dup-lines are transform stages: both
+    preserve row counts, sit at their documented funnel positions, and
+    the boilerplate footer injected into every doc is actually gone from
+    the curated output."""
+    src = tmp_path / "docs_with_footer.parquet"
+    # every doc gains the same footer line (with a double space the
+    # normalize stage must collapse before the line keys can fold)
+    duckdb.sql(
+        f"""COPY (
+              SELECT doc_id,
+                     text || chr(10) || 'shared  footer line' AS text,
+                     lang, source, n_chars
+              FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+            ) TO '{src}' (FORMAT PARQUET)"""
+    )
+    out = tmp_path / "run_lines"
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_curation.py"),
+            "--docs", str(src),
+            "--out", str(out),
+            "--master", "local[4]",
+            "--mixture-total", "30",
+            "--normalize",
+            "--remove-dup-lines",
+            "--line-min-docs", "2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(os.path.join(out, "report.json")) as f:
+        rep = json.load(f)
+    names = [s["stage"] for s in rep["stages"]]
+    rows = {s["stage"]: s["rows"] for s in rep["stages"]}
+    assert names.index("normalize") == names.index("input") + 1
+    assert names.index("line_dedup") == names.index("exact_dedup") + 1
+    assert rows["normalize"] == rows["input"]          # transform
+    assert rows["line_dedup"] == rows["exact_dedup"]   # transform
+    assert rep["docs_line_trimmed"] == rows["exact_dedup"]  # footer in all
+    leaked = duckdb.sql(
+        f"""SELECT count(*) FROM read_parquet('{out}/curated/*.parquet')
+            WHERE contains(text, 'footer')"""
+    ).fetchone()[0]
+    assert leaked == 0
