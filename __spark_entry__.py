@@ -520,6 +520,23 @@ def q_ppl_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-distribution divergence (round 4,
+    functions/divergence.py): KL both ways + Jensen-Shannon between the
+    src0 sub-corpus and the rest, add-0.5 smoothing over each language's
+    union vocabulary — the corpus-comparability check before mixing a new
+    source into a training set. FULL exact DuckDB twin (same smoothed
+    model, same ln-ratio expression shapes, 6-decimal rounding)."""
+    from open_data_linter_spark.functions.divergence import token_divergence
+
+    d = _t(spark, sf_dir, "documents")
+    return token_divergence(
+        d.where(F.col("source") == "src0"),
+        d.where(F.col("source") != "src0"),
+        group_col="lang",
+    ).orderBy("lang")
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus text normalization (round 4, functions/normalize.py): NFC
     composition (the one Arrow-UDF step — Spark has no normalize builtin)
@@ -1209,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "line_dedup": q_line_dedup,
         "normalize_text": q_normalize_text,
+        "corpus_divergence": q_corpus_divergence,
         "knn_ivf_pq": q_knn_ivf_pq,
         "psi_drift": q_psi_drift,
         "stratified_sample_lang": q_stratified_sample_lang,
@@ -2127,6 +2145,54 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS bucket
             FROM j LEFT JOIN thr ON j.lang IS NOT DISTINCT FROM thr.lang
             ORDER BY j.doc_id
+        """,
+        "corpus_divergence": r"""
+            -- FULL exact twin: identical tokenize contract, add-0.5
+            -- smoothed unigram models over each language's union vocab,
+            -- the same IEEE expression shapes (0.5*v computed before the
+            -- adds; m=(p+q)/2.0), sums rounded to 6 decimals. CASTs keep
+            -- DuckDB off HUGEINT/decimal arithmetic.
+            WITH toks AS (
+              SELECT lang AS g, source = 'src0' AS is_a,
+                     unnest(list_filter(string_split_regex(
+                       lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '')) AS w
+              FROM documents
+            ), ca AS (
+              SELECT g, w, CAST(count(*) AS BIGINT) AS c_a
+              FROM toks WHERE is_a GROUP BY 1, 2
+            ), cb AS (
+              SELECT g, w, CAST(count(*) AS BIGINT) AS c_b
+              FROM toks WHERE NOT is_a GROUP BY 1, 2
+            ), u AS (
+              SELECT coalesce(ca.g, cb.g) AS g,
+                     coalesce(ca.w, cb.w) AS w,
+                     coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+              FROM ca FULL JOIN cb
+                ON ca.g IS NOT DISTINCT FROM cb.g AND ca.w = cb.w
+            ), tot AS (
+              SELECT g,
+                     CAST(sum(c_a) AS BIGINT) AS ta_i,
+                     CAST(sum(c_b) AS BIGINT) AS tb_i,
+                     CAST(sum(c_a) AS DOUBLE) AS t_a,
+                     CAST(sum(c_b) AS DOUBLE) AS t_b,
+                     CAST(count(*) AS BIGINT) AS v_i,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM u GROUP BY 1
+            ), pw AS (
+              SELECT u.g, tot.ta_i, tot.tb_i, tot.v_i,
+                     (CAST(c_a AS DOUBLE) + 0.5) / (t_a + 0.5 * v) AS p,
+                     (CAST(c_b AS DOUBLE) + 0.5) / (t_b + 0.5 * v) AS q
+              FROM u JOIN tot ON u.g IS NOT DISTINCT FROM tot.g
+            )
+            SELECT g AS lang, ta_i AS n_tokens_a, tb_i AS n_tokens_b,
+                   v_i AS v_union,
+                   round(sum(p * ln(p / q)), 6) AS kl_ab,
+                   round(sum(q * ln(q / p)), 6) AS kl_ba,
+                   round(0.5 * sum(p * ln(p / ((p + q) / 2.0)))
+                       + 0.5 * sum(q * ln(q / ((p + q) / 2.0))), 6) AS js
+            FROM pw GROUP BY 1, 2, 3, 4
+            ORDER BY lang
         """,
         "normalize_text": r"""
             -- FULL exact twin: DuckDB nfc_normalize == Python
