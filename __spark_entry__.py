@@ -520,6 +520,44 @@ def q_ppl_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split (round 4, functions/splits.py):
+    near-dup components of the EXACT APSS jaccard-0.95 pair graph are the
+    split units, assigned by seeded hash-Bernoulli over the unit label.
+    Semantic twin: DuckDB recomputes the exact pair set brute-force and
+    pins same_unit/same_split TRUE for every pair — the no-straddle
+    invariant — so a wrong pair set, wrong clustering, or a straddling
+    assignment all fail the row compare (the hash assignment itself is
+    engine-internal xxhash64)."""
+    from open_data_linter_spark.dedup.apss import apss_jaccard_pairs
+    from open_data_linter_spark.functions.splits import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = apss_jaccard_pairs(d, threshold=0.95).select("id_a", "id_b")
+    split = leakage_safe_split(d, pairs, test_fraction=0.2)
+    sa = split.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("unit_id").alias("ua"),
+        F.col("split").alias("pa"),
+    )
+    sb = split.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("unit_id").alias("ub"),
+        F.col("split").alias("pb"),
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("ua") == F.col("ub")).alias("same_unit"),
+            (F.col("pa") == F.col("pb")).alias("same_split"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-distribution divergence (round 4,
     functions/divergence.py): KL both ways + Jensen-Shannon between the
@@ -1227,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "normalize_text": q_normalize_text,
         "corpus_divergence": q_corpus_divergence,
+        "leakage_safe_split": q_leakage_safe_split,
         "knn_ivf_pq": q_knn_ivf_pq,
         "psi_drift": q_psi_drift,
         "stratified_sample_lang": q_stratified_sample_lang,
@@ -2145,6 +2184,39 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS bucket
             FROM j LEFT JOIN thr ON j.lang IS NOT DISTINCT FROM thr.lang
             ORDER BY j.doc_id
+        """,
+        "leakage_safe_split": r"""
+            -- semantic twin: the exact jaccard-0.95 pair set recomputed
+            -- brute-force (the apss_jaccard twin at a higher threshold)
+            -- with same_unit/same_split pinned TRUE — the no-straddle
+            -- invariant over the engine's hash-Bernoulli unit assignment.
+            -- A missed/extra pair, a wrong component, or a cluster split
+            -- across train/test all hash-mismatch.
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     list_distinct(list_filter(string_split_regex(
+                       lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '')) AS t
+              FROM documents
+              WHERE len(list_filter(string_split_regex(
+                      lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                      x -> x <> '')) > 0
+            ), ne AS (
+              SELECT id, len(t) AS n FROM toks
+            ), inv AS (
+              SELECT id, unnest(t) AS tok FROM toks
+            ), inter AS (
+              SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_inter
+              FROM inv l JOIN inv r ON l.tok = r.tok AND l.id < r.id
+              GROUP BY l.id, r.id
+            )
+            SELECT i.id_a, i.id_b,
+                   TRUE AS same_unit, TRUE AS same_split
+            FROM inter i
+            JOIN ne a ON a.id = i.id_a
+            JOIN ne b ON b.id = i.id_b
+            WHERE i.n_inter * 1.0 / (a.n + b.n - i.n_inter) >= 0.95
+            ORDER BY id_a, id_b
         """,
         "corpus_divergence": r"""
             -- FULL exact twin: identical tokenize contract, add-0.5
