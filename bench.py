@@ -67,6 +67,8 @@ HEADLINE = [
     "ppl_quality_buckets",  # round 4: CCNet head/middle/tail over the LM
     "dsir_select",       # round 4: target/raw n-gram log-ratio top-k
     "line_dedup",        # round 4: corpus repeated-line removal
+    "normalize_text",    # round 4: NFC Arrow pass + codegen hygiene
+    "corpus_divergence",  # round 4: per-lang KL/JS, two count shuffles
     "knn_ivf_pq",        # round 4: residual-PQ probe join + ADC scoring
 ]
 
