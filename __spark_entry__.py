@@ -520,6 +520,19 @@ def q_ppl_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunking (round 4, functions/chunking.py):
+    32-token windows at stride 24 (8-token overlap), pure Catalyst row
+    expansion — scan → sequence → explode → slice, no shuffle. FULL exact
+    DuckDB twin (range() starts + inclusive list slicing)."""
+    from open_data_linter_spark.functions.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=32, stride=24).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/test split (round 4, functions/splits.py):
     near-dup components of the EXACT APSS jaccard-0.95 pair graph are the
@@ -1266,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "corpus_divergence": q_corpus_divergence,
         "leakage_safe_split": q_leakage_safe_split,
+        "chunk_documents": q_chunk_documents,
         "knn_ivf_pq": q_knn_ivf_pq,
         "psi_drift": q_psi_drift,
         "stratified_sample_lang": q_stratified_sample_lang,
@@ -2184,6 +2198,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS bucket
             FROM j LEFT JOIN thr ON j.lang IS NOT DISTINCT FROM thr.lang
             ORDER BY j.doc_id
+        """,
+        "chunk_documents": r"""
+            -- FULL exact twin: identical tokenize contract; window
+            -- starts via range(0, n, 24) (same 0, 24, 48… while < n as
+            -- F.sequence with step); DuckDB list slicing is 1-based
+            -- INCLUSIVE so t[s+1 : s+len] is the slice(toks, s+1, len)
+            -- window; integer // for the chunk id.
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                       lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '') AS t
+              FROM documents
+            ), nz AS (
+              SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+            )
+            SELECT doc_id,
+                   CAST(s // 24 AS BIGINT) AS chunk_id,
+                   CAST(s AS BIGINT) AS start_token,
+                   CAST(least(32, n - s) AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(t[s + 1 : s + least(32, n - s)], ' ')
+                     AS chunk_text
+            FROM (SELECT doc_id, t, n, unnest(range(0, n, 24)) AS s
+                  FROM nz)
+            ORDER BY doc_id, chunk_id
         """,
         "leakage_safe_split": r"""
             -- semantic twin: the exact jaccard-0.95 pair set recomputed
