@@ -137,6 +137,52 @@ def minhash_signature_from_hashes(hash_col, n_perm: int = N_PERM_DEFAULT):
     return F.aggregate(hash_col, init, step)
 
 
+def band_rows(sig_df: DataFrame, n_perm: int, bands: int) -> DataFrame:
+    """(id, band, bh) LSH band rows from a (id, sig) signature frame.
+
+    One xxhash64 over each band's ``rows_per_band`` signature slots; the
+    output carries ONLY the 3 narrow columns so the downstream bucket
+    join / index lookup never shuffles the signature arrays. Shared by
+    the self-join path below and the incremental index path
+    (dedup/incremental.py)."""
+    rows_per_band = n_perm // bands
+    return sig_df.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def hashed_shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, hs) distinct xxhash64-hashed k-shingle sets, empty sets dropped.
+
+    The array<long> representation is the only thing ever persisted or
+    shuffled — Jaccard over the hashed sets equals string-set Jaccard up
+    to 64-bit collisions."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias(
+            "hs"
+        ),
+    ).where(F.size("hs") > 0)
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -159,17 +205,13 @@ def minhash_near_duplicates(
     string-set Jaccard up to 64-bit hash collisions (~0 in practice) —
     so only array<long> is ever checkpointed or shuffled.
     """
-    rows_per_band = n_perm // bands
     # spread + boundary pin (measured: without it the whole shingling pass
     # serialized onto one core) — see dedup/_cache.spread_and_pin
     src = spread_and_pin(
         "minhash.src",
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
     )
-    hashed = src.select(
-        "id",
-        F.transform(shingles(F.col("__t"), k), lambda s: F.xxhash64(s)).alias("hs"),
-    ).where(F.size("hs") > 0)
+    hashed = hashed_shingle_sets(src, "__t", "id", k)
     # hashed feeds three consumers (signatures, both verify sides); persist
     # so shingling runs once. At cluster scale: persist to storage / a
     # bucketed table instead.
@@ -182,25 +224,7 @@ def minhash_near_duplicates(
     # No second checkpoint — re-deriving band rows from the checkpointed
     # hashes is one narrow stage, cheaper than an eager materialization
     # (measured: the former second checkpoint cost more than it saved).
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = band_rows(sig, n_perm, bands)
     # Candidate pairs: ONE shuffle (groupBy band,bh), then in-bucket pair
     # expansion as a Catalyst array comprehension — replaces the former
     # bucket-count + filter-join + self-join + dropDuplicates chain (3-4

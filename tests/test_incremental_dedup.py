@@ -1,0 +1,77 @@
+"""Incremental index dedup (dedup/incremental.py): batch-vs-index matches
+must equal the full self-join's cross pairs, without rebuilding the corpus."""
+
+from pyspark.sql import functions as F
+
+from open_data_linter_spark.dedup.incremental import (
+    build_minhash_index,
+    match_against_index,
+)
+from open_data_linter_spark.dedup.minhash import minhash_near_duplicates
+
+CORPUS = [
+    (i, f"alpha beta gamma delta epsilon zeta eta theta doc{i} "
+        f"unique{i} filler{i % 3} iota kappa")
+    for i in range(10)
+]
+BATCH = [
+    # near-dup of corpus doc 3: only the trailing tokens differ
+    (100, "alpha beta gamma delta epsilon zeta eta theta doc3 "
+          "unique3 filler0 iota CHANGED"),
+    # exact duplicate of corpus doc 5 under a new id
+    (101, CORPUS[5][1]),
+    # novel content, no corpus relative
+    (102, "completely different words about rivers mountains and weather "
+          "patterns in autumn"),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_match_finds_planted_pairs_and_skips_novel(spark):
+    idx = build_minhash_index(_df(spark, CORPUS), k=3)
+    out = match_against_index(_df(spark, BATCH), idx, threshold=0.5).collect()
+    pairs = {(r["batch_id"], r["index_id"]): r["jaccard"] for r in out}
+    assert (100, 3) in pairs and pairs[(100, 3)] >= 0.5
+    assert pairs[(101, 5)] == 1.0
+    assert not any(b == 102 for b, _ in pairs)
+
+
+def test_parity_with_full_self_join_cross_pairs(spark):
+    """The incremental probe must surface exactly the cross pairs the full
+    (corpus+batch) self-join surfaces — same banding, same verify."""
+    idx = build_minhash_index(_df(spark, CORPUS), k=3)
+    inc = {
+        (r["batch_id"], r["index_id"], r["jaccard"])
+        for r in match_against_index(_df(spark, BATCH), idx,
+                                     threshold=0.5).collect()
+    }
+    full = minhash_near_duplicates(
+        _df(spark, CORPUS + BATCH), k=3, threshold=0.5, max_bucket_size=None
+    ).collect()
+    cross = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]), r["jaccard"])
+        for r in full
+        if (r["id_a"] >= 100) != (r["id_b"] >= 100)
+    }
+    assert inc == cross and inc  # non-vacuous
+
+
+def test_reingest_same_id_not_self_matched(spark):
+    idx = build_minhash_index(_df(spark, CORPUS), k=3)
+    reingest = _df(spark, [CORPUS[3]])  # same id, same text
+    out = match_against_index(reingest, idx, threshold=0.5).collect()
+    assert not any(r["batch_id"] == r["index_id"] for r in out)
+
+
+def test_probe_plan_never_rescans_corpus_text(spark):
+    """The probe's plan must consume the index frames, not re-shingle the
+    corpus: its physical plan references the persisted index caches
+    (InMemoryTableScan), and building them exactly once means the
+    corpus text column appears only below those cache boundaries."""
+    idx = build_minhash_index(_df(spark, CORPUS), k=3)
+    out = match_against_index(_df(spark, BATCH), idx, threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
