@@ -820,6 +820,29 @@ def q_minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(d, k=2, threshold=0.5, max_bucket_size=None)
 
 
+def q_incremental_index_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (dedup/incremental.py) vs a FULL exact SQL
+    twin: even doc_ids form the persisted corpus index, odd doc_ids are
+    the new ingest batch, and the probe must surface exactly the exact
+    cross-parity bigram-jaccard >= 0.5 pairs DuckDB recomputes with an
+    inverted-index join. Same banding-recall argument as
+    minhash_neardups (true pairs here have J >= 0.9; b=16,r=4 miss
+    probability ~1e-8), so row-for-row equality is expected — this gates
+    that the index path (build once, probe by (band, bh) equi-join,
+    never self-join the corpus) reports the same pairs the full
+    self-join would."""
+    from open_data_linter_spark.dedup.incremental import (
+        build_minhash_index,
+        match_against_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 2 == 0)
+    batch = d.where(F.col("doc_id") % 2 == 1)
+    idx = build_minhash_index(corpus, k=2)
+    return match_against_index(batch, idx, threshold=0.5)
+
+
 def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups. The 64 hamming bits are engine-internal (xxhash64
     token hashes), but the oracle is SEMANTIC, not an echo: it re-derives
@@ -1286,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_screen": q_contamination_screen,
         "dedup_clusters": q_dedup_clusters,
         "minhash_neardups": q_minhash_neardups,
+        "incremental_index_match": q_incremental_index_match,
         "simhash_neardups": q_simhash_neardups,
         "embedding_neardups": q_embedding_neardups,
         "knn_bruteforce": q_knn_bruteforce,
@@ -2640,6 +2664,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN nonempty b ON b.id = i.id_b
             WHERE i.n_inter * 1.0 / (a.n_sh + b.n_sh - i.n_inter) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "incremental_index_match": r"""
+            -- FULL exact twin of the incremental index probe: recompute
+            -- every cross-parity (odd batch doc vs even corpus doc)
+            -- bigram-shingle jaccard >= 0.5 pair with an inverted-index
+            -- join. Same banding-recall argument as minhash_neardups:
+            -- true pairs have J >= 0.9, so b=16,r=4 misses with ~1e-8
+            -- probability and the probe output must equal this set
+            -- row-for-row.
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '') AS t
+              FROM documents
+              WHERE len(list_filter(string_split_regex(lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'), x -> x <> '')) > 0
+            ), sh AS (
+              SELECT id,
+                     CASE WHEN len(t) >= 2 THEN
+                       list_distinct(list_transform(generate_series(1, len(t)-1),
+                                     i -> array_to_string(t[i:i+1], ' ')))
+                     WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                     ELSE [] END AS s
+              FROM toks
+            ), nonempty AS (
+              SELECT id, s, len(s) AS n_sh FROM sh WHERE len(s) > 0
+            ), inv AS (
+              SELECT id, unnest(s) AS shingle FROM nonempty
+            ), inter AS (
+              SELECT l.id AS batch_id, r.id AS index_id, count(*) AS n_inter
+              FROM inv l JOIN inv r ON l.shingle = r.shingle
+              WHERE l.id % 2 = 1 AND r.id % 2 = 0
+              GROUP BY l.id, r.id
+            )
+            SELECT i.batch_id, i.index_id,
+                   round(i.n_inter * 1.0 / (a.n_sh + b.n_sh - i.n_inter), 6) AS jaccard
+            FROM inter i
+            JOIN nonempty a ON a.id = i.batch_id
+            JOIN nonempty b ON b.id = i.index_id
+            WHERE i.n_inter * 1.0 / (a.n_sh + b.n_sh - i.n_inter) >= 0.5
+            ORDER BY batch_id, index_id
         """,
         "simhash_neardups": r"""
             -- SEMANTIC oracle (round 4): only the engine-internal hamming
