@@ -70,6 +70,7 @@ HEADLINE = [
     "normalize_text",    # round 4: NFC Arrow pass + codegen hygiene
     "corpus_divergence",  # round 4: per-lang KL/JS, two count shuffles
     "knn_ivf_pq",        # round 4: residual-PQ probe join + ADC scoring
+    "incremental_index_match",  # round 4: batch-vs-index probe (no self-join)
 ]
 
 

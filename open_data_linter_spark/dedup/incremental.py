@@ -85,20 +85,63 @@ def build_minhash_index(
     return MinhashIndex(band_rows(sig, n_perm, bands), hashed, k, n_perm, bands)
 
 
+def save_index(index: MinhashIndex, path: str) -> None:
+    """Persist an index as three parquet tables under ``path``: ``bands/``
+    (repartitioned by band hash — co-locates hot buckets), ``hashed/``
+    and a one-row ``params/`` sidecar. Plain parquet (no metastore
+    dependency) is deliberate: the probe broadcasts the batch side, so
+    bucket metadata would buy nothing — the index is scanned, never
+    shuffled, and any Hadoop-supported filesystem works."""
+    spark = index.bands_df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    index.bands_df.repartition(par, "band", "bh").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/bands")
+    index.hashed_df.repartition(par, "id").write.mode("overwrite").parquet(
+        f"{path}/hashed"
+    )
+    spark.createDataFrame(
+        [(index.k, index.n_perm, index.bands)], "k int, n_perm int, bands int"
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def load_index(spark, path: str) -> MinhashIndex:
+    """Reload a ``save_index`` output; parameters travel with the data so
+    a probe can never silently use a mismatched shingle k / banding."""
+    p = spark.read.parquet(f"{path}/params").head()
+    return MinhashIndex(
+        spark.read.parquet(f"{path}/bands"),
+        spark.read.parquet(f"{path}/hashed"),
+        int(p["k"]),
+        int(p["n_perm"]),
+        int(p["bands"]),
+    )
+
+
 def match_against_index(
     batch: DataFrame,
     index: MinhashIndex,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """(batch_id, index_id, jaccard >= threshold) — new-vs-corpus pairs only.
 
     Work scales with |batch| + |candidates|: the corpus index is probed
-    by equi-join, never rebuilt or self-joined. A batch doc that also
-    exists in the index under the same id is not reported against itself
-    (re-ingest safety); batch-internal pairs are out of scope by design —
-    run ``minhash_near_duplicates`` on the batch for those."""
+    by equi-join, never rebuilt or self-joined. With the default
+    ``broadcast_batch=True`` (an ingest batch ≪ the corpus) every
+    batch-derived join side carries a broadcast hint, so the corpus
+    frames are SCANNED but never SHUFFLED — the probe plan is
+    BroadcastHashJoins all the way down and the only exchange is the
+    O(candidates) pair dedup (plan-asserted in
+    tests/test_incremental_dedup.py). Disable for a batch too large to
+    broadcast and the same plan degrades gracefully to shuffle joins.
+    A batch doc that also exists in the index under the same id is not
+    reported against itself (re-ingest safety); batch-internal pairs are
+    out of scope by design — run ``minhash_near_duplicates`` on the
+    batch for those."""
+    b_hint = F.broadcast if broadcast_batch else (lambda d: d)
     b_src = spread_and_pin(
         "mh_probe.src",
         batch.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
@@ -117,10 +160,8 @@ def match_against_index(
     # candidate; dedup to one row per (batch, index) pair BEFORE the
     # verify join so each pair's shingle sets ship once.
     candidates = (
-        b_bands.join(
-            index.bands_df.select(F.col("id").alias("index_id"), "band", "bh"),
-            ["band", "bh"],
-        )
+        index.bands_df.select(F.col("id").alias("index_id"), "band", "bh")
+        .join(b_hint(b_bands), ["band", "bh"])
         .where(F.col("batch_id") != F.col("index_id"))
         .select("batch_id", "index_id")
         .dropDuplicates(["batch_id", "index_id"])
@@ -129,7 +170,9 @@ def match_against_index(
     hs_i = index.hashed_df.select(
         F.col("id").alias("index_id"), F.col("hs").alias("hs_i")
     )
-    verified = candidates.join(hs_b, "batch_id").join(hs_i, "index_id")
+    # candidates ≤ |batch| × bucket-mates: broadcast (candidates ⋈ hs_b)
+    # so the O(corpus) hashed-set table streams through the verify join
+    verified = hs_i.join(b_hint(candidates.join(b_hint(hs_b), "batch_id")), "index_id")
     inter = F.size(F.array_intersect("hs_b", "hs_i")).cast("double")
     union = F.size(F.array_union("hs_b", "hs_i")).cast("double")
     return (

@@ -5,7 +5,9 @@ from pyspark.sql import functions as F
 
 from open_data_linter_spark.dedup.incremental import (
     build_minhash_index,
+    load_index,
     match_against_index,
+    save_index,
 )
 from open_data_linter_spark.dedup.minhash import minhash_near_duplicates
 
@@ -64,6 +66,36 @@ def test_reingest_same_id_not_self_matched(spark):
     reingest = _df(spark, [CORPUS[3]])  # same id, same text
     out = match_against_index(reingest, idx, threshold=0.5).collect()
     assert not any(r["batch_id"] == r["index_id"] for r in out)
+
+
+def test_save_load_roundtrip_matches_live_index(spark, tmp_path):
+    """Parquet-persisted index replays byte-identical: a probe against the
+    reloaded index returns exactly the live index's pairs, and the
+    params sidecar restores k/n_perm/bands."""
+    idx = build_minhash_index(_df(spark, CORPUS), k=3)
+    live = sorted(map(tuple, match_against_index(
+        _df(spark, BATCH), idx, threshold=0.5).collect()))
+    save_index(idx, str(tmp_path / "idx"))
+    loaded = load_index(spark, str(tmp_path / "idx"))
+    assert (loaded.k, loaded.n_perm, loaded.bands) == (
+        idx.k, idx.n_perm, idx.bands)
+    reloaded = sorted(map(tuple, match_against_index(
+        _df(spark, BATCH), loaded, threshold=0.5).collect()))
+    assert reloaded == live and live
+
+
+def test_probe_plan_broadcasts_batch_never_shuffles_corpus(spark, tmp_path):
+    """With broadcast_batch=True (the default) the corpus index frames are
+    scanned but never shuffle-joined: every join in the probe plan is a
+    BroadcastHashJoin and no SortMergeJoin / ShuffledHashJoin appears —
+    the only exchange is the O(candidates) pair dedup."""
+    idx = build_minhash_index(_df(spark, CORPUS), k=3)
+    save_index(idx, str(tmp_path / "idx"))
+    loaded = load_index(spark, str(tmp_path / "idx"))
+    out = match_against_index(_df(spark, BATCH), loaded, threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
 
 
 def test_probe_plan_never_rescans_corpus_text(spark):
