@@ -105,6 +105,26 @@ def save_index(index: MinhashIndex, path: str) -> None:
     ).write.mode("overwrite").parquet(f"{path}/params")
 
 
+def append_to_index(
+    accepted: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold an accepted batch into a persisted index (the ingest loop's
+    last step: probe → filter survivors → append). Parameters come from
+    the index's own params sidecar — an appender can never mix shingle
+    k / permutation families. Append-mode parquet writes only the new
+    rows; the corpus frames are never read or rewritten."""
+    spark = accepted.sparkSession
+    p = spark.read.parquet(f"{path}/params").head()
+    idx = build_minhash_index(
+        accepted, text_col, id_col, int(p["k"]), int(p["n_perm"]), int(p["bands"])
+    )
+    idx.bands_df.write.mode("append").parquet(f"{path}/bands")
+    idx.hashed_df.write.mode("append").parquet(f"{path}/hashed")
+
+
 def load_index(spark, path: str) -> MinhashIndex:
     """Reload a ``save_index`` output; parameters travel with the data so
     a probe can never silently use a mismatched shingle k / banding."""

@@ -4,6 +4,7 @@ must equal the full self-join's cross pairs, without rebuilding the corpus."""
 from pyspark.sql import functions as F
 
 from open_data_linter_spark.dedup.incremental import (
+    append_to_index,
     build_minhash_index,
     load_index,
     match_against_index,
@@ -82,6 +83,25 @@ def test_save_load_roundtrip_matches_live_index(spark, tmp_path):
     reloaded = sorted(map(tuple, match_against_index(
         _df(spark, BATCH), loaded, threshold=0.5).collect()))
     assert reloaded == live and live
+
+
+def test_append_folds_batch_into_index(spark, tmp_path):
+    """The ingest loop closes: after append, a later probe matches against
+    the appended docs too (and the original corpus still matches)."""
+    path = str(tmp_path / "idx")
+    save_index(build_minhash_index(_df(spark, CORPUS), k=3), path)
+    append_to_index(_df(spark, BATCH), path)
+    # doc 200 is a near-dup of appended doc 102 (novel vs the old corpus)
+    probe = _df(spark, [(200, "completely different words about rivers "
+                              "mountains and weather patterns in WINTER")])
+    out = match_against_index(probe, load_index(spark, path), threshold=0.5)
+    pairs = {(r["batch_id"], r["index_id"]) for r in out.collect()}
+    assert (200, 102) in pairs
+    # the original corpus is still probed: batch doc 100 ~ corpus doc 3
+    out2 = match_against_index(_df(spark, [BATCH[0]]),
+                               load_index(spark, path), threshold=0.5)
+    ids = {r["index_id"] for r in out2.collect()}
+    assert 3 in ids
 
 
 def test_probe_plan_broadcasts_batch_never_shuffles_corpus(spark, tmp_path):
