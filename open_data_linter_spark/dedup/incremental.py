@@ -190,9 +190,11 @@ def match_against_index(
     hs_i = index.hashed_df.select(
         F.col("id").alias("index_id"), F.col("hs").alias("hs_i")
     )
-    # candidates ≤ |batch| × bucket-mates: broadcast (candidates ⋈ hs_b)
-    # so the O(corpus) hashed-set table streams through the verify join
-    verified = hs_i.join(b_hint(candidates.join(b_hint(hs_b), "batch_id")), "index_id")
+    # Verify: broadcast the id-only candidate pairs into the batch sets
+    # (never the full batch set table), then broadcast the joined
+    # candidate sets — O(candidates × set size) — so the O(corpus)
+    # hashed-set table streams through the verify join unshuffled.
+    verified = hs_i.join(b_hint(hs_b.join(b_hint(candidates), "batch_id")), "index_id")
     inter = F.size(F.array_intersect("hs_b", "hs_i")).cast("double")
     union = F.size(F.array_union("hs_b", "hs_i")).cast("double")
     return (
