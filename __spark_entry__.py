@@ -1046,6 +1046,32 @@ def q_audio_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_near_duplicates(clips, threshold=0.45)
 
 
+def q_audio_incremental_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental audio-fp ingest dedup (dedup/incremental_audio.py):
+    clips at block position 7 (the second planted variant of every
+    8-block) form the ingest batch, the rest the persisted fingerprint
+    index; only the batch is decoded and the probe joins carry broadcast
+    hints so the corpus frames never shuffle. Oracle is SEMANTIC like
+    audio_neardups: jaccards are engine-internal and stay pinned, but
+    SQL enforces the planted ground truth — every reported pair must be
+    a planted same-group CROSS pair from the committed twin, with a
+    recall floor of 0.95 (measured 64/64 = 1.0: both planted relatives
+    of every batch clip surface)."""
+    _ensure_pkg(spark)
+    from open_data_linter_spark.audio.synth import synthesize_tone_clips
+    from open_data_linter_spark.dedup.incremental_audio import (
+        build_audio_fp_index,
+        match_audio_against_index,
+    )
+
+    clips = synthesize_tone_clips(spark, 256, 16)
+    pos = F.substring("clip_id", 6, 8).cast("int") % 8
+    corpus, batch = clips.where(pos != 7), clips.where(pos == 7)
+    return match_audio_against_index(
+        batch, build_audio_fp_index(corpus), threshold=0.45
+    )
+
+
 def q_audio_rate_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript words-per-second outliers by modified z-score
     (rules/rate.py): the distribution-anomaly rule no fixed numeric
@@ -1322,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "audio_uniqueness": q_audio_uniqueness,
         "audio_neardups": q_audio_neardups,
+        "audio_incremental_match": q_audio_incremental_match,
         "audio_rate_outliers": q_audio_rate_outliers,
         "audio_drift_stats": q_audio_drift_stats,
         "audio_drift_hist": q_audio_drift_hist,
@@ -3037,6 +3064,66 @@ def oracle_sql() -> dict[str, str]:
                    ON q.id_a = x.id_a AND q.id_b = x.id_b) * 1.0
                   >= 0.95 * (SELECT count(*) FROM planted)
             ORDER BY r.id_a, r.id_b
+        """,
+        "audio_incremental_match": f"""
+            -- SEMANTIC oracle (same pattern as audio_neardups): the
+            -- jaccard values are engine-internal (FFT dominant-band
+            -- shingles; deterministic replay) and stay pinned, but SQL
+            -- enforces the planted ground truth from the committed twin:
+            -- every reported pair must be a planted same-group CROSS pair
+            -- (batch side = block position 7, index side = positions
+            -- 0..6 — the inner join drops impostors and wrong-direction
+            -- pairs), and the whole result zeroes if recall vs the
+            -- planted cross set drops below 0.95 (measured 64/64 = 1.0).
+            WITH reported(batch_id, index_id, jaccard) AS (VALUES
+                    ('clip_00000007','clip_00000000',1.0),('clip_00000007','clip_00000006',1.0),
+                    ('clip_00000015','clip_00000008',1.0),('clip_00000015','clip_00000014',1.0),
+                    ('clip_00000023','clip_00000016',1.0),('clip_00000023','clip_00000022',1.0),
+                    ('clip_00000031','clip_00000024',1.0),('clip_00000031','clip_00000030',1.0),
+                    ('clip_00000039','clip_00000032',0.692308),('clip_00000039','clip_00000038',0.692308),
+                    ('clip_00000047','clip_00000040',1.0),('clip_00000047','clip_00000046',1.0),
+                    ('clip_00000055','clip_00000048',1.0),('clip_00000055','clip_00000054',1.0),
+                    ('clip_00000063','clip_00000056',1.0),('clip_00000063','clip_00000062',1.0),
+                    ('clip_00000071','clip_00000064',1.0),('clip_00000071','clip_00000070',1.0),
+                    ('clip_00000079','clip_00000072',1.0),('clip_00000079','clip_00000078',1.0),
+                    ('clip_00000087','clip_00000080',1.0),('clip_00000087','clip_00000086',1.0),
+                    ('clip_00000095','clip_00000088',1.0),('clip_00000095','clip_00000094',0.8),
+                    ('clip_00000103','clip_00000096',1.0),('clip_00000103','clip_00000102',1.0),
+                    ('clip_00000111','clip_00000104',1.0),('clip_00000111','clip_00000110',1.0),
+                    ('clip_00000119','clip_00000112',0.666667),('clip_00000119','clip_00000118',0.666667),
+                    ('clip_00000127','clip_00000120',1.0),('clip_00000127','clip_00000126',1.0),
+                    ('clip_00000135','clip_00000128',1.0),('clip_00000135','clip_00000134',1.0),
+                    ('clip_00000143','clip_00000136',1.0),('clip_00000143','clip_00000142',1.0),
+                    ('clip_00000151','clip_00000144',0.761905),('clip_00000151','clip_00000150',0.761905),
+                    ('clip_00000159','clip_00000152',0.68),('clip_00000159','clip_00000158',0.68),
+                    ('clip_00000167','clip_00000160',1.0),('clip_00000167','clip_00000166',1.0),
+                    ('clip_00000175','clip_00000168',1.0),('clip_00000175','clip_00000174',1.0),
+                    ('clip_00000183','clip_00000176',1.0),('clip_00000183','clip_00000182',1.0),
+                    ('clip_00000191','clip_00000184',0.761905),('clip_00000191','clip_00000190',0.761905),
+                    ('clip_00000199','clip_00000192',1.0),('clip_00000199','clip_00000198',1.0),
+                    ('clip_00000207','clip_00000200',0.757576),('clip_00000207','clip_00000206',1.0),
+                    ('clip_00000215','clip_00000208',1.0),('clip_00000215','clip_00000214',1.0),
+                    ('clip_00000223','clip_00000216',1.0),('clip_00000223','clip_00000222',1.0),
+                    ('clip_00000231','clip_00000224',1.0),('clip_00000231','clip_00000230',1.0),
+                    ('clip_00000239','clip_00000232',1.0),('clip_00000239','clip_00000238',0.724138),
+                    ('clip_00000247','clip_00000240',0.555556),('clip_00000247','clip_00000246',1.0),
+                    ('clip_00000255','clip_00000248',0.764706),('clip_00000255','clip_00000254',1.0)),
+            twin AS (
+              SELECT clip_id, group_id,
+                     CAST(substring(clip_id, 6) AS INTEGER) % 8 AS pos
+              FROM read_parquet('{_FIX}/audio_fp_groups_256.parquet')
+            ), planted AS (
+              SELECT b.clip_id AS batch_id, i.clip_id AS index_id
+              FROM twin b JOIN twin i
+                ON b.group_id = i.group_id AND b.pos = 7 AND i.pos <> 7
+            )
+            SELECT r.batch_id, r.index_id, CAST(r.jaccard AS DOUBLE) AS jaccard
+            FROM reported r
+            JOIN planted p ON p.batch_id = r.batch_id AND p.index_id = r.index_id
+            WHERE (SELECT count(*) FROM reported x JOIN planted q
+                   ON q.batch_id = x.batch_id AND q.index_id = x.index_id) * 1.0
+                  >= 0.95 * (SELECT count(*) FROM planted)
+            ORDER BY r.batch_id, r.index_id
         """,
         "audio_rate_outliers": f"""
             -- FULL exact twin: words-per-second from the committed

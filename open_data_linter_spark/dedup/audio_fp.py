@@ -113,41 +113,22 @@ def audio_band_sequences(
     return df.select(id_col, payload_col).mapInPandas(gen, schema=_SEQ_SCHEMA)
 
 
-def audio_near_duplicates(
+def audio_hashed_keys(
     df: DataFrame,
     id_col: str = "clip_id",
     payload_col: str = "bytes",
-    threshold: float = 0.35,
     q: int = 4,
     melody_q: int = 3,
-    max_bucket_size: int | None = 200,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard) near-duplicate clip pairs, id_a < id_b.
-
-    ``jaccard`` (the VERIFY metric) is over the distinct q-gram shingle
-    sets of the per-frame dominant-band sequences, rounded to 6 decimals.
-
-    CANDIDATE keys, however, come from the RUN-LENGTH-COLLAPSED sequence
-    — the clip's melody (``[5,5,5,9,9,3] -> [5,9,3]``): sliding
-    ``melody_q``-grams of band TRANSITIONS, plus one length-2 melody
-    PREFIX key per clip. Per-frame shingles are too hot to index: a note
-    held for 20 frames mints 17 degenerate ``AAAA`` shingles shared by
-    every clip that ever holds that band, and single-transition windows
-    (``AABB``) are shared corpus-wide — measured 4.0M candidate pairs for
-    10.4k true pairs at 24k clips, growing ~quadratically until buckets
-    hit the cap. Multi-transition melody grams are selective (the
-    Wang-2003 lineage hashes peak *constellations*, not frame energies,
-    for the same reason); the prefix key covers clips whose melody is
-    shorter than ``melody_q`` (truncation cuts the suffix, so the prefix
-    anchors a short truncated variant to its base). Clips with fewer than
-    two distinct consecutive bands (one held tone) emit no candidate key
-    and are never reported — matching stationary content on dominant band
-    alone is the false-positive factory the hot-bucket cap exists for.
-
-    ``num_partitions`` repartitions the (id, payload) projection before
-    the decode pass — set it when the input is a single-file scan (one
-    partition would serialize the decode; CLAUDE.md trap)."""
+    """(id, hs, ck) per decodable clip: the fingerprint stage shared by the
+    self-join path below and the incremental index
+    (dedup/incremental_audio.py). ``hs`` = distinct q-gram shingle hashes
+    of the dominant-band sequence (the VERIFY sets), ``ck`` = melody-gram
+    candidate keys (see audio_near_duplicates for why candidates come
+    from the run-length-collapsed melody). Output is repartitioned to
+    cores-proportional partitioning (the decode pass follows payload
+    BYTES; its narrow output must not — see the comment below)."""
     if q < 1 or melody_q < 2:
         raise ValueError("q must be >= 1 and melody_q >= 2")
     src = df.select(id_col, payload_col)
@@ -197,7 +178,48 @@ def audio_near_duplicates(
     # table down to cores-proportional partitioning decouples the two.
     sc = df.sparkSession.sparkContext
     par = max(sc.defaultParallelism, 8)
-    hashed = hashed.repartition(par)
+    return hashed.repartition(par)
+
+
+def audio_near_duplicates(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    threshold: float = 0.35,
+    q: int = 4,
+    melody_q: int = 3,
+    max_bucket_size: int | None = 200,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) near-duplicate clip pairs, id_a < id_b.
+
+    ``jaccard`` (the VERIFY metric) is over the distinct q-gram shingle
+    sets of the per-frame dominant-band sequences, rounded to 6 decimals.
+
+    CANDIDATE keys, however, come from the RUN-LENGTH-COLLAPSED sequence
+    — the clip's melody (``[5,5,5,9,9,3] -> [5,9,3]``): sliding
+    ``melody_q``-grams of band TRANSITIONS, plus one length-2 melody
+    PREFIX key per clip. Per-frame shingles are too hot to index: a note
+    held for 20 frames mints 17 degenerate ``AAAA`` shingles shared by
+    every clip that ever holds that band, and single-transition windows
+    (``AABB``) are shared corpus-wide — measured 4.0M candidate pairs for
+    10.4k true pairs at 24k clips, growing ~quadratically until buckets
+    hit the cap. Multi-transition melody grams are selective (the
+    Wang-2003 lineage hashes peak *constellations*, not frame energies,
+    for the same reason); the prefix key covers clips whose melody is
+    shorter than ``melody_q`` (truncation cuts the suffix, so the prefix
+    anchors a short truncated variant to its base). Clips with fewer than
+    two distinct consecutive bands (one held tone) emit no candidate key
+    and are never reported — matching stationary content on dominant band
+    alone is the false-positive factory the hot-bucket cap exists for.
+
+    ``num_partitions`` repartitions the (id, payload) projection before
+    the decode pass — set it when the input is a single-file scan (one
+    partition would serialize the decode; CLAUDE.md trap)."""
+    hashed = audio_hashed_keys(df, id_col, payload_col, q, melody_q,
+                               num_partitions)
+    sc = df.sparkSession.sparkContext
+    par = max(sc.defaultParallelism, 8)
     # hashed feeds the inverted index (ck) AND both verify sides (hs)
     hashed = persist_scoped("audio_fp.hashed", hashed)
     buckets = (

@@ -1,0 +1,157 @@
+"""Incremental AUDIO near-dup detection: match a new clip ingest batch
+against a persisted fingerprint index — the audio analog of
+dedup/incremental.py, and the north-star shape: a 10^12-clip corpus is
+fingerprinted ONCE, and each daily ingest batch probes it without the
+O(corpus) bucket self-join (or the O(corpus) re-decode, which dominates
+everything — see the audiofp scaling section of BENCH/APPENDIX.md).
+
+Index layout (parquet, params sidecar): candidate-key rows ``(id, kb)``
+from the melody-gram keys and hashed shingle sets ``(id, hs)`` — the
+same two-narrow-frames pattern as the text index. The hot-key cap moves
+to BUILD time: keys shared by more than ``max_key_df`` corpus clips are
+dropped when the index is written (one O(corpus) groupBy inside the
+build pass), so probes never need a corpus-wide bucket count. Probe
+joins carry broadcast hints on every batch-derived side: the index is
+scanned, never shuffled.
+
+The reference (volare-all/open-data-linter) lints single files per run
+and has no cross-run state; this extends the engine per the
+training-data-pipeline mandate (method lineage: Haitsma-Kalker 2002 /
+Wang 2003, see dedup/audio_fp.py)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from open_data_linter_spark.dedup._cache import persist_scoped
+from open_data_linter_spark.dedup.audio_fp import audio_hashed_keys
+
+
+@dataclass(frozen=True)
+class AudioFpIndex:
+    """Built index + the parameters that made it (a probe MUST use the
+    same shingle q / melody_q, so they travel with the data)."""
+
+    keys_df: DataFrame  # (id, kb)
+    hashed_df: DataFrame  # (id, hs: array<long>)
+    q: int
+    melody_q: int
+
+
+def build_audio_fp_index(
+    corpus: DataFrame,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    q: int = 4,
+    melody_q: int = 3,
+    max_key_df: int | None = 200,
+    num_partitions: int | None = None,
+) -> AudioFpIndex:
+    """One decode+FFT pass over the corpus → key rows + shingle sets.
+
+    ``max_key_df`` drops corpus-hot candidate keys (held tones, room
+    hum — the stationary-content false-positive factory, see
+    audio_near_duplicates) at build time; the groupBy it costs is
+    O(corpus) but runs ONCE, inside the pass that decodes every clip
+    anyway."""
+    hashed = persist_scoped(
+        "afp_index.hashed",
+        audio_hashed_keys(corpus, id_col, payload_col, q, melody_q,
+                          num_partitions),
+    )
+    keys = hashed.select("id", F.explode("ck").alias("kb"))
+    if max_key_df is not None:
+        hot = (
+            keys.groupBy("kb")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_key_df)
+            .select("kb")
+        )
+        keys = keys.join(F.broadcast(hot), "kb", "left_anti")
+    return AudioFpIndex(keys, hashed.select("id", "hs"), q, melody_q)
+
+
+def save_audio_fp_index(index: AudioFpIndex, path: str) -> None:
+    """Persist as three parquet tables (keys/, hashed/, params/) — same
+    plain-parquet rationale as dedup/incremental.save_index: probes
+    broadcast the batch side, so bucket metadata would buy nothing."""
+    spark = index.keys_df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    index.keys_df.repartition(par, "kb").write.mode("overwrite").parquet(
+        f"{path}/keys"
+    )
+    index.hashed_df.repartition(par, "id").write.mode("overwrite").parquet(
+        f"{path}/hashed"
+    )
+    spark.createDataFrame(
+        [(index.q, index.melody_q)], "q int, melody_q int"
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def load_audio_fp_index(spark, path: str) -> AudioFpIndex:
+    p = spark.read.parquet(f"{path}/params").head()
+    return AudioFpIndex(
+        spark.read.parquet(f"{path}/keys"),
+        spark.read.parquet(f"{path}/hashed"),
+        int(p["q"]),
+        int(p["melody_q"]),
+    )
+
+
+def match_audio_against_index(
+    batch: DataFrame,
+    index: AudioFpIndex,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    threshold: float = 0.35,
+    broadcast_batch: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(batch_id, index_id, jaccard >= threshold) — new-vs-corpus pairs.
+
+    Only the BATCH is decoded; candidates come from an equi-join of the
+    batch's melody-gram keys against the index's, verification is
+    hashed-set Jaccard against the index's shingle sets. With the
+    default ``broadcast_batch=True`` every batch-derived join side is a
+    broadcast hint — the corpus frames stream through unshuffled (the
+    dedup/incremental.py plan shape, plan-asserted in tests). Re-ingest
+    of an id already in the index is not self-matched; batch-internal
+    pairs are audio_near_duplicates' job."""
+    b_hint = F.broadcast if broadcast_batch else (lambda d: d)
+    b_hashed = persist_scoped(
+        "afp_probe.hashed",
+        audio_hashed_keys(batch, id_col, payload_col, index.q,
+                          index.melody_q, num_partitions),
+    )
+    b_keys = b_hashed.select(
+        F.col("id").alias("batch_id"), F.explode("ck").alias("kb")
+    )
+    candidates = (
+        index.keys_df.select(F.col("id").alias("index_id"), "kb")
+        .join(b_hint(b_keys), "kb")
+        .where(F.col("batch_id") != F.col("index_id"))
+        .select("batch_id", "index_id")
+        .dropDuplicates(["batch_id", "index_id"])
+    )
+    hs_b = b_hashed.select(F.col("id").alias("batch_id"), F.col("hs").alias("hs_b"))
+    hs_i = index.hashed_df.select(
+        F.col("id").alias("index_id"), F.col("hs").alias("hs_i")
+    )
+    # broadcast the id-only pairs into the batch sets, then the joined
+    # candidate sets — the corpus table streams unshuffled
+    verified = hs_i.join(b_hint(hs_b.join(b_hint(candidates), "batch_id")),
+                         "index_id")
+    inter = F.size(F.array_intersect("hs_b", "hs_i")).cast("double")
+    union = F.size(F.array_union("hs_b", "hs_i")).cast("double")
+    return (
+        verified.select(
+            "batch_id",
+            "index_id",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("batch_id", "index_id")
+    )

@@ -1,0 +1,96 @@
+"""Incremental audio-fp index (dedup/incremental_audio.py): batch-vs-index
+matches must equal the full self-join's cross pairs on the planted tone
+fixture, persistence must replay, and the probe plan must broadcast the
+batch side."""
+
+from pyspark.sql import functions as F
+
+from open_data_linter_spark.audio.synth import synthesize_tone_clips
+from open_data_linter_spark.dedup.audio_fp import audio_near_duplicates
+from open_data_linter_spark.dedup.incremental_audio import (
+    build_audio_fp_index,
+    load_audio_fp_index,
+    match_audio_against_index,
+)
+
+N = 64
+THRESHOLD = 0.45
+
+
+def _idx(cid: str) -> int:
+    return int(cid.split("_")[1])
+
+
+def _split(spark):
+    """batch = the second planted variant of every 8-block (idx%8 == 7),
+    index corpus = everything else — so every batch clip has exactly two
+    planted relatives (the block leader and the first variant) in the
+    corpus."""
+    clips = synthesize_tone_clips(spark, N, num_partitions=8)
+    pos = F.substring("clip_id", 6, 8).cast("int") % 8
+    return clips.where(pos != 7), clips.where(pos == 7)
+
+
+def test_probe_matches_full_self_join_cross_pairs(spark):
+    corpus, batch = _split(spark)
+    idx = build_audio_fp_index(corpus, max_key_df=None)
+    inc = {
+        (r["batch_id"], r["index_id"], r["jaccard"])
+        for r in match_audio_against_index(
+            batch, idx, threshold=THRESHOLD).collect()
+    }
+    full = audio_near_duplicates(
+        synthesize_tone_clips(spark, N, num_partitions=8),
+        threshold=THRESHOLD, max_bucket_size=None,
+    ).collect()
+    cross = {
+        ((r["id_a"] if _idx(r["id_a"]) % 8 == 7 else r["id_b"]),
+         (r["id_b"] if _idx(r["id_a"]) % 8 == 7 else r["id_a"]),
+         r["jaccard"])
+        for r in full
+        if (_idx(r["id_a"]) % 8 == 7) != (_idx(r["id_b"]) % 8 == 7)
+    }
+    assert inc == cross and inc  # non-vacuous
+    # every block's second variant found both planted relatives
+    assert len({b for b, _, _ in inc}) == N // 8
+
+
+def test_save_load_roundtrip_and_broadcast_plan(spark, tmp_path):
+    corpus, batch = _split(spark)
+    path = str(tmp_path / "afp_idx")
+    from open_data_linter_spark.dedup.incremental_audio import (
+        save_audio_fp_index,
+    )
+
+    save_audio_fp_index(build_audio_fp_index(corpus), path)
+    loaded = load_audio_fp_index(spark, path)
+    assert (loaded.q, loaded.melody_q) == (4, 3)
+    out = match_audio_against_index(batch, loaded, threshold=THRESHOLD)
+    rows = out.collect()
+    assert rows  # planted relatives found through the reloaded index
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_build_time_hot_key_cap_drops_shared_keys(spark):
+    """max_key_df=1 must drop every key shared by a planted pair's two
+    corpus members (leader + first variant are near-identical, so such
+    keys are guaranteed to exist), and a probe against the capped index
+    reports a SUBSET of the uncapped probe's pairs — the cap only ever
+    removes candidates, never invents them."""
+    corpus, batch = _split(spark)
+    capped = build_audio_fp_index(corpus, max_key_df=1)
+    uncapped = build_audio_fp_index(corpus, max_key_df=None)
+    assert capped.keys_df.count() < uncapped.keys_df.count()
+    pairs_capped = {
+        (r["batch_id"], r["index_id"])
+        for r in match_audio_against_index(
+            batch, capped, threshold=THRESHOLD).collect()
+    }
+    pairs_uncapped = {
+        (r["batch_id"], r["index_id"])
+        for r in match_audio_against_index(
+            batch, uncapped, threshold=THRESHOLD).collect()
+    }
+    assert pairs_capped <= pairs_uncapped and pairs_uncapped
