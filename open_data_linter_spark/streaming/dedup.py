@@ -179,3 +179,78 @@ def streaming_minhash_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_index_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    sink_path: str,
+    matches_path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    grow_index: bool = True,
+):
+    """The incremental ingest loop (dedup/incremental.py) as a streaming
+    sink: every micro-batch probes the PERSISTED MinHash index, drops
+    docs that near-dup the corpus (or a smaller-id doc in the same
+    batch), appends the survivors to ``sink_path`` — and, with
+    ``grow_index`` (default), folds them into the index, so a duplicate
+    arriving in a LATER micro-batch matches a survivor from an earlier
+    one: cross-batch first-wins with state persisted in the index
+    itself, unbounded horizon, zero in-engine streaming state (contrast
+    ``streaming_exact_dedup``, whose watermark bounds the horizon).
+
+    Intra-batch near-dup policy is greedy keep-smallest-id: a doc is
+    dropped iff it matches the index or a smaller-id doc of its own
+    batch (documented non-transitive: in a chain a~b~c without a~c, c is
+    dropped via b even though b also dropped). ``matches_path``, if set,
+    logs the (batch_id_col, index_id, jaccard) probe matches per batch.
+
+    Returns a ``DataStreamWriter`` (foreachBatch); the caller sets
+    checkpointLocation/trigger and calls ``start()``. Replay safety: a
+    re-run micro-batch re-probes the same index state only if the
+    failure happened before the append — exactly-once requires the
+    usual foreachBatch idempotence care; pair it with the ledger
+    (plans/ledger.py) when the sink must be transactional."""
+    from open_data_linter_spark.dedup.incremental import (
+        append_to_index,
+        load_index,
+        match_against_index,
+    )
+    from open_data_linter_spark.dedup.minhash import minhash_near_duplicates
+
+    def ingest(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.head(1):
+            return
+        idx = load_index(spark, index_path)
+        matches = match_against_index(
+            batch, idx, text_col, id_col, threshold
+        ).persist()
+        if matches_path is not None:
+            matches.write.mode("append").parquet(matches_path)
+        intra_drops = (
+            minhash_near_duplicates(
+                batch, text_col, id_col, k=idx.k, n_perm=idx.n_perm,
+                bands=idx.bands, threshold=threshold,
+            )
+            # pairs come out id_a < id_b: the larger side loses
+            .select(F.col("id_b").alias(id_col))
+        )
+        survivors = (
+            batch.join(
+                matches.select(F.col("batch_id").alias(id_col)),
+                id_col,
+                "left_anti",
+            )
+            .join(intra_drops, id_col, "left_anti")
+            .persist()
+        )
+        survivors.write.mode("append").parquet(sink_path)
+        if grow_index:
+            append_to_index(survivors, index_path, text_col, id_col)
+        survivors.unpersist()
+        matches.unpersist()
+
+    return stream_df.writeStream.foreachBatch(ingest).outputMode("update")

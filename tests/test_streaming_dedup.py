@@ -155,3 +155,82 @@ def test_streaming_minhash_candidates_cross_batch(spark, tmp_path):
     # pair emission is per colliding band, but never duplicated per band
     keys = [(r.band, r.bh, r.id_a, r.id_b) for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_streaming_index_ingest_cross_batch(spark, tmp_path):
+    """Micro-batch ingest against a persisted index: corpus dups drop,
+    intra-batch larger-id dups drop, survivors grow the index so a
+    LATER batch's duplicate of an earlier survivor also drops."""
+    from open_data_linter_spark.dedup.incremental import (
+        build_minhash_index,
+        save_index,
+    )
+    from open_data_linter_spark.streaming.dedup import streaming_index_ingest
+
+    corpus_rows = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta doc{i} "
+            f"unique{i} filler{i % 3} iota kappa")
+        for i in range(10)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    index_path = str(tmp_path / "idx")
+    save_index(build_minhash_index(corpus, k=3), index_path)
+
+    novel_a = "completely different words about rivers mountains and weather"
+    novel_b = "unrelated musings on compilers gardens and tidal patterns"
+    now = time.time()
+    f1 = tmp_path / "f1"
+    _write_stream_file(
+        spark, f1,
+        [
+            # near-dup of corpus doc 3 -> dropped via index probe
+            (100, corpus_rows[3][1].replace("kappa", "CHANGED")),
+            (101, novel_a),                               # survivor
+            (102, novel_a + " indeed"),  # intra-batch dup of 101 -> drop
+        ],
+        schema, now - 20,
+    )
+    f2 = tmp_path / "f2"
+    _write_stream_file(
+        spark, f2,
+        [
+            # near-dup of batch-1 SURVIVOR 101 -> dropped via grown index
+            (200, novel_a + " truly"),
+            (201, novel_b),                               # survivor
+        ],
+        schema, now - 10,
+    )
+    flat = _flatten(tmp_path, f1, f2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    sink = str(tmp_path / "sink")
+    matches = str(tmp_path / "matches")
+    q = (
+        streaming_index_ingest(
+            stream, index_path, sink, matches_path=matches, threshold=0.5
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    finished = q.awaitTermination(180)
+    if not finished:
+        q.stop()
+    assert finished, "streaming query did not finish within 180s"
+    kept = {r.doc_id for r in spark.read.parquet(sink).collect()}
+    assert kept == {101, 201}
+    logged = {
+        (r.batch_id, r.index_id)
+        for r in spark.read.parquet(matches).collect()
+    }
+    assert (100, 3) in logged          # corpus match, batch 1
+    assert (200, 101) in logged        # grown-index match, batch 2
