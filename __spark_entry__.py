@@ -875,6 +875,27 @@ def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_incremental_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding ingest (dedup/incremental_embedding.py): even
+    vec_ids form the persisted hyperplane-LSH index, odd vec_ids the new
+    batch; only the batch is banded (planes regenerated from the index's
+    params sidecar) and the probe broadcasts every batch-derived join
+    side. FULL exact SQL twin: DuckDB recomputes the entire cross-parity
+    cosine >= 0.45 pair set brute-force — same banding-recall argument as
+    embedding_neardups (per-pair miss ~1.6e-4 at r=2, b=16; adversarial
+    danger-zone recall pinned in tests/test_dedup_similarity.py)."""
+    from open_data_linter_spark.dedup.incremental_embedding import (
+        build_embedding_index,
+        match_embeddings_against_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.where(F.col("vec_id") % 2 == 0)
+    batch = e.where(F.col("vec_id") % 2 == 1)
+    idx = build_embedding_index(corpus, bands=16, rows_per_band=2, dim=64)
+    return match_embeddings_against_index(batch, idx, threshold=0.45)
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for the first 8 vectors as queries."""
     from open_data_linter_spark.similarity.knn import brute_force_topk
@@ -1338,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_index_match": q_incremental_index_match,
         "simhash_neardups": q_simhash_neardups,
         "embedding_neardups": q_embedding_neardups,
+        "embedding_incremental_match": q_embedding_incremental_match,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -2633,6 +2655,17 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
             ORDER BY id_a, id_b
+        """,
+        "embedding_incremental_match": """
+            -- FULL exact twin: the entire cross-parity (odd batch vs even
+            -- index) cosine >= 0.45 pair set, brute-force. DOUBLE[] cast:
+            -- engine cosine is float64, DuckDB FLOAT[] stays float32.
+            SELECT b.vec_id AS batch_id, a.vec_id AS index_id,
+                   round(list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+            WHERE list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]) >= 0.45
+            ORDER BY batch_id, index_id
         """,
         "bpe_token_counts": r"""
             SELECT doc_id,

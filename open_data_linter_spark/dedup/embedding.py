@@ -32,10 +32,16 @@ from open_data_linter_spark.dedup._cache import persist_scoped, spread_and_pin
 from open_data_linter_spark.functions.vectors import cosine, hyperplane_bucket
 
 
-def _banded_candidates(
+def hyperplane_band_rows(
     base: DataFrame, bands: int, rows_per_band: int, dim: int, seed: int
 ) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) colliding in ≥1 band."""
+    """(id, band, bucket) banded hyperplane-LSH rows over a (id, v) frame.
+
+    The plane family is a pure function of (seed, dim, bands,
+    rows_per_band), so band rows computed in different sessions — or
+    loaded from a persisted index (dedup/incremental_embedding.py) —
+    collide identically. Shared by the self-join path below and the
+    incremental index path."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((bands * rows_per_band, dim))
     planes /= np.linalg.norm(planes, axis=1, keepdims=True)
@@ -48,13 +54,20 @@ def _banded_candidates(
             for j in range(bands)
         ]
     )
-    band_rows = (
-        base.select("id", F.posexplode(buckets).alias("band", "bucket"))
-        # the self-join otherwise recomputes the bucket projection (b·r
-        # dot products per row) on both sides; lazy persist — base is
-        # already partition-spread by the caller
+    return base.select("id", F.posexplode(buckets).alias("band", "bucket"))
+
+
+def _banded_candidates(
+    base: DataFrame, bands: int, rows_per_band: int, dim: int, seed: int
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) colliding in ≥1 band."""
+    # the self-join otherwise recomputes the bucket projection (b·r
+    # dot products per row) on both sides; lazy persist — base is
+    # already partition-spread by the caller
+    band_rows = persist_scoped(
+        "embedding.band_rows",
+        hyperplane_band_rows(base, bands, rows_per_band, dim, seed),
     )
-    band_rows = persist_scoped("embedding.band_rows", band_rows)
     l, r = band_rows.alias("l"), band_rows.alias("r")
     return (
         l.join(
