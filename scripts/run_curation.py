@@ -70,6 +70,11 @@ from open_data_linter_spark.dedup.cluster import deduplicate  # noqa: E402
 from open_data_linter_spark.dedup.contamination import decontaminate  # noqa: E402
 from open_data_linter_spark.dedup.exact import distinct_by_fingerprint  # noqa: E402
 from open_data_linter_spark.dedup.minhash import minhash_near_duplicates  # noqa: E402
+from open_data_linter_spark.dedup.incremental import (  # noqa: E402
+    append_to_index,
+    load_index,
+    match_against_index,
+)
 from open_data_linter_spark.dedup._cache import nudge_context_cleaner  # noqa: E402
 from open_data_linter_spark.dedup.semdedup import semdedup  # noqa: E402
 from open_data_linter_spark.functions.pii import redact_pii  # noqa: E402
@@ -97,6 +102,15 @@ def main() -> int:
                          " of the corpus itself (demo mode)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--minhash-threshold", type=float, default=0.7)
+    ap.add_argument("--probe-index", default=None,
+                    help="persisted MinHash index dir (dedup/incremental"
+                         ".py): drop docs near-duplicating this prior"
+                         " corpus before intra-batch dedup; probe text"
+                         " must be normalized the same way the index"
+                         " was built")
+    ap.add_argument("--grow-index", action="store_true",
+                    help="with --probe-index: append the final curated"
+                         " docs to the index (the batch ingest loop)")
     ap.add_argument("--embeddings", default=None,
                     help="embeddings parquet (vec_id keyed by doc_id) —"
                          " enables the semantic-dedup stage")
@@ -200,6 +214,21 @@ def main() -> int:
             .drop("text_clean", "n_removed")
         )
         docs = stage("line_dedup", docs, t0)
+
+    if args.probe_index:
+        # the incremental ingest loop's front half: docs that near-dup
+        # the PRIOR corpus drop before any intra-batch work spends on them
+        t0 = time.time()
+        idx = load_index(spark, args.probe_index)
+        matched = (
+            match_against_index(
+                docs, idx, threshold=args.minhash_threshold
+            )
+            .select(F.col("batch_id").alias("doc_id"))
+            .distinct()
+        )
+        docs = docs.join(matched, "doc_id", "left_anti")
+        docs = stage("index_probe", docs, t0)
 
     t0 = time.time()
     pairs = minhash_near_duplicates(docs, threshold=args.minhash_threshold)
@@ -315,6 +344,16 @@ def main() -> int:
     curated.write.mode("overwrite").parquet(os.path.join(args.out, "curated"))
     curated_back = spark.read.parquet(os.path.join(args.out, "curated"))
     stage("packed_written", curated_back, t0)
+
+    if args.probe_index and args.grow_index:
+        # back half of the ingest loop: the curated survivors join the
+        # index so the NEXT batch's duplicates of them are dropped too
+        t0 = time.time()
+        append_to_index(
+            curated_back.select("doc_id", "text"), args.probe_index
+        )
+        report["index_grown"] = True
+        print(f"  index_grown [{round(time.time() - t0, 2)}s]")
 
     report["n_bins"] = curated_back.select("bin_id").distinct().count()
     report["total_sec"] = round(time.time() - t_start, 2)

@@ -150,3 +150,61 @@ def test_curation_normalize_and_line_dedup_stages(tmp_path):
             WHERE contains(text, 'footer')"""
     ).fetchone()[0]
     assert leaked == 0
+
+
+def test_curation_index_probe_and_grow(spark, tmp_path):
+    """--probe-index drops every doc that near-dups the prior corpus
+    (here: verbatim re-idd copies of docs 0..19), --grow-index appends
+    the curated survivors to the index afterwards."""
+    from pyspark.sql import functions as F
+
+    from open_data_linter_spark.dedup.incremental import (
+        build_minhash_index,
+        save_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prior = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    idx_path = tmp_path / "prior_idx"
+    save_index(build_minhash_index(prior), str(idx_path))
+    hashed_before = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{idx_path}/hashed/*.parquet')"
+    ).fetchone()[0]
+
+    out = tmp_path / "run_probe"
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_curation.py"),
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out),
+            "--master", "local[4]",
+            "--mixture-total", "30",
+            "--probe-index", str(idx_path),
+            "--grow-index",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(os.path.join(out, "report.json")) as f:
+        rep = json.load(f)
+    stages = {s["stage"]: s["rows"] for s in rep["stages"]}
+    assert "index_probe" in stages
+    assert stages["index_probe"] < stages["exact_dedup"]
+    # every copied doc's original is an exact dup of the prior corpus
+    leaked = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/curated/*.parquet') "
+        f"WHERE doc_id < 20"
+    ).fetchone()[0]
+    assert leaked == 0
+    # survivors joined the index
+    assert rep.get("index_grown") is True
+    hashed_after = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{idx_path}/hashed/*.parquet')"
+    ).fetchone()[0]
+    curated_rows = stages["packed_written"]
+    assert hashed_before < hashed_after <= hashed_before + curated_rows
