@@ -1093,6 +1093,34 @@ def q_audio_incremental_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup CLUSTERS + canonical survivor label — the keep-one
+    composition on the payload axis: fingerprint pairs
+    (dedup/audio_fp.py) -> connected components (dedup/cluster.py,
+    min-label propagation + pointer jumping). component_id = the minimum
+    member clip_id, i.e. the clip `deduplicate` keeps. The oracle is a
+    FULL exact INDEPENDENT twin: the engine derives clusters from the
+    decoded audio (FFT dominant-band shingles), DuckDB derives them from
+    the committed planted-group metadata twin — no engine value is
+    pinned; any precision or recall loss in the fingerprint pair set
+    breaks the row compare."""
+    _ensure_pkg(spark)
+    from open_data_linter_spark.audio.synth import synthesize_tone_clips
+    from open_data_linter_spark.dedup.audio_fp import audio_near_duplicates
+    from open_data_linter_spark.dedup.cluster import connected_components
+
+    clips = synthesize_tone_clips(spark, 256, 16)
+    pairs = audio_near_duplicates(clips, threshold=0.45)
+    return (
+        connected_components(pairs)
+        .select(
+            F.col("id").alias("clip_id"),
+            F.col("comp").alias("component_id"),
+        )
+        .orderBy("clip_id")
+    )
+
+
 def q_audio_rate_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript words-per-second outliers by modified z-score
     (rules/rate.py): the distribution-anomaly rule no fixed numeric
@@ -1371,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_uniqueness": q_audio_uniqueness,
         "audio_neardups": q_audio_neardups,
         "audio_incremental_match": q_audio_incremental_match,
+        "audio_dedup_clusters": q_audio_dedup_clusters,
         "audio_rate_outliers": q_audio_rate_outliers,
         "audio_drift_stats": q_audio_drift_stats,
         "audio_drift_hist": q_audio_drift_hist,
@@ -3157,6 +3186,28 @@ def oracle_sql() -> dict[str, str]:
                    ON q.batch_id = x.batch_id AND q.index_id = x.index_id) * 1.0
                   >= 0.95 * (SELECT count(*) FROM planted)
             ORDER BY r.batch_id, r.index_id
+        """,
+        "audio_dedup_clusters": f"""
+            -- FULL exact INDEPENDENT twin: no engine value pinned. The
+            -- engine builds clusters from the DECODED AUDIO (fingerprint
+            -- pairs -> connected components); this SQL builds them from
+            -- the committed planted-group METADATA twin. They must agree
+            -- row-for-row because the fingerprint pair set at threshold
+            -- 0.45 equals the planted same-group pair set exactly
+            -- (precision 1.0: best impostor 0.385; recall 1.0: planted
+            -- min 0.556 — see audio_neardups), and min-label CC over the
+            -- within-group cross pairs is min(clip_id) per group.
+            WITH twin AS (
+              SELECT clip_id, group_id
+              FROM read_parquet('{_FIX}/audio_fp_groups_256.parquet')
+            ), g AS (
+              SELECT group_id, count(*) AS n, min(clip_id) AS comp
+              FROM twin GROUP BY group_id
+            )
+            SELECT t.clip_id, g.comp AS component_id
+            FROM twin t JOIN g USING (group_id)
+            WHERE g.n >= 2
+            ORDER BY t.clip_id
         """,
         "audio_rate_outliers": f"""
             -- FULL exact twin: words-per-second from the committed

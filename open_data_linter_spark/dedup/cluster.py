@@ -46,11 +46,20 @@ def connected_components(
 ) -> DataFrame:
     """(id, component_id) for every id present in ``pairs``;
     component_id = the MINIMUM member id of the component (a canonical,
-    deterministic label).
+    deterministic label). Ids may be any orderable type: numeric ids run
+    the label loop directly; others (e.g. string clip_id) are encoded to
+    injective long surrogates first — the loop's monotone convergence
+    check sums labels, which needs numbers — and the canonical min-id
+    label is restored in the original space by one groupBy(min) + join
+    after the fixpoint (no order-preserving encoding needed, so no
+    single-partition window; surrogates are monotonically_increasing_id
+    over the persisted id set).
 
     Raises RuntimeError if ``max_iter`` rounds don't reach the fixpoint
     (diameter > max_iter — not a near-dup-shaped graph).
     """
+    from pyspark.sql.types import NumericType
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -58,6 +67,43 @@ def connected_components(
         .distinct()
     )
     edges = persist_scoped("cc.edges", edges)
+    if not isinstance(pairs.schema[id_a].dataType, NumericType):
+        # surrogate longs: the mapping need not preserve order — min-label
+        # CC only needs SOME total order on labels; the true min member id
+        # is recomputed per component afterwards
+        ids = persist_scoped(
+            "cc.idmap",
+            edges.select(F.col("src").alias("orig"))
+            .distinct()
+            .withColumn("nid", F.monotonically_increasing_id()),
+        )
+        nid_edges = persist_scoped(
+            "cc.edges.nid",
+            edges.join(
+                ids.select(F.col("orig").alias("src"), F.col("nid").alias("s")),
+                "src",
+            )
+            .join(
+                ids.select(F.col("orig").alias("dst"), F.col("nid").alias("d")),
+                "dst",
+            )
+            .select(F.col("s").alias("src"), F.col("d").alias("dst")),
+        )
+        nid_labels = _cc_label_loop(nid_edges, max_iter)
+        orig_labels = nid_labels.join(
+            ids.select(F.col("nid").alias("id"), "orig"), "id"
+        ).select(F.col("orig").alias("id"), F.col("comp").alias("ncomp"))
+        canon = orig_labels.groupBy("ncomp").agg(F.min("id").alias("comp"))
+        return persist_scoped(
+            "cc.labels",
+            orig_labels.join(canon, "ncomp").select("id", "comp"),
+        )
+    return _cc_label_loop(edges, max_iter)
+
+
+def _cc_label_loop(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Min-label propagation + pointer jumping over symmetrized numeric
+    edges (src, dst) until the label-sum fixpoint."""
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

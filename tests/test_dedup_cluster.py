@@ -59,6 +59,64 @@ def test_cc_long_chain_converges(spark):
     assert got == {i: 100 for i in range(100, 124)}
 
 
+def test_cc_string_ids_match_union_find(spark):
+    """Non-numeric ids take the surrogate-encoding path (the label loop's
+    convergence sum needs numbers): same random graph as the numeric
+    test, ids rendered as zero-padded strings — component labels must be
+    the MIN member string per component, exactly as union-find says."""
+    from open_data_linter_spark.dedup.cluster import connected_components
+
+    rng = np.random.default_rng(11)
+    edges = []
+    nodes = np.arange(200)
+    rng.shuffle(nodes)
+    for chunk in np.array_split(nodes, 30):
+        chunk = list(map(int, chunk))
+        for v in chunk[1:]:
+            edges.append((int(rng.choice(chunk)), v))
+    edges = [(a, b) for a, b in edges if a != b]
+    sid = lambda x: f"doc_{x:05d}"  # noqa: E731
+    df = spark.createDataFrame(
+        [(sid(a), sid(b)) for a, b in edges], "id_a string, id_b string"
+    )
+    got = {r.id: r.comp for r in connected_components(df).collect()}
+    want = {sid(k): sid(v) for k, v in _union_find(edges).items()}
+    assert got == want
+
+
+def test_cc_string_ids_empty_pairs(spark):
+    from open_data_linter_spark.dedup.cluster import connected_components
+
+    df = spark.createDataFrame([], "id_a string, id_b string")
+    assert connected_components(df).count() == 0
+
+
+def test_audio_keepone_dedup_matches_planted_groups(spark):
+    """The keep-one composition on the PAYLOAD axis: fingerprint pairs ->
+    string-id connected components -> deduplicate. Survivors must be
+    exactly the planted group leaders plus all singletons (the engine
+    derives this from decoded audio; the expectation comes from the
+    synthesis ground truth)."""
+    from open_data_linter_spark.audio.synth import synthesize_tone_clips
+    from open_data_linter_spark.dedup.audio_fp import audio_near_duplicates
+    from open_data_linter_spark.dedup.cluster import deduplicate
+
+    clips = synthesize_tone_clips(spark, 128, 8)
+    pairs = audio_near_duplicates(clips, threshold=0.45)
+    kept = {
+        r.clip_id
+        for r in deduplicate(clips, pairs, id_col="clip_id")
+        .select("clip_id")
+        .collect()
+    }
+    # planted layout: every 8-block is {leader at pos 0, variants at pos
+    # 6 and 7 of the leader, singletons at pos 1..5}
+    expect = {
+        f"clip_{i:08d}" for i in range(128) if i % 8 not in (6, 7)
+    }
+    assert kept == expect
+
+
 def test_cc_empty_pairs(spark):
     from open_data_linter_spark.dedup.cluster import connected_components
 
