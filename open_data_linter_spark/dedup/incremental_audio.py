@@ -91,6 +91,32 @@ def save_audio_fp_index(index: AudioFpIndex, path: str) -> None:
     ).write.mode("overwrite").parquet(f"{path}/params")
 
 
+def append_to_audio_fp_index(
+    accepted: DataFrame,
+    path: str,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    num_partitions: int | None = None,
+) -> None:
+    """Fold an accepted clip batch into a persisted index (the ingest
+    loop's last step: probe → filter survivors → append), decoding only
+    the batch. Fingerprint parameters come from the index's own params
+    sidecar — an appender can never mix shingle q / melody_q families.
+
+    The build-time ``max_key_df`` hot-key cap is NOT re-applied here: a
+    batch cannot recount the corpus, and each append adds at most
+    |batch| rows per key. Re-apply the cap by rebuilding the index
+    periodically (the usual compaction step for any append-only index)."""
+    spark = accepted.sparkSession
+    p = spark.read.parquet(f"{path}/params").head()
+    idx = build_audio_fp_index(
+        accepted, id_col, payload_col, int(p["q"]), int(p["melody_q"]),
+        max_key_df=None, num_partitions=num_partitions,
+    )
+    idx.keys_df.write.mode("append").parquet(f"{path}/keys")
+    idx.hashed_df.write.mode("append").parquet(f"{path}/hashed")
+
+
 def load_audio_fp_index(spark, path: str) -> AudioFpIndex:
     p = spark.read.parquet(f"{path}/params").head()
     return AudioFpIndex(

@@ -84,6 +84,28 @@ def save_embedding_index(index: EmbeddingIndex, path: str) -> None:
     ).write.mode("overwrite").parquet(f"{path}/params")
 
 
+def append_to_embedding_index(
+    accepted: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Fold an accepted vector batch into a persisted index (the ingest
+    loop's last step: probe → filter survivors → append). The hyperplane
+    family is regenerated from the index's own params sidecar, so the
+    appended rows band identically to the original build — an appender
+    can never mix plane families."""
+    spark = accepted.sparkSession
+    p = spark.read.parquet(f"{path}/params").head()
+    base = accepted.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    bands = hyperplane_band_rows(
+        base, int(p["bands"]), int(p["rows_per_band"]), int(p["dim"]),
+        int(p["seed"]),
+    )
+    bands.write.mode("append").parquet(f"{path}/bands")
+    base.write.mode("append").parquet(f"{path}/vecs")
+
+
 def load_embedding_index(spark, path: str) -> EmbeddingIndex:
     p = spark.read.parquet(f"{path}/params").head()
     return EmbeddingIndex(

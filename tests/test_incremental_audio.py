@@ -94,3 +94,47 @@ def test_build_time_hot_key_cap_drops_shared_keys(spark):
             batch, uncapped, threshold=THRESHOLD).collect()
     }
     assert pairs_capped <= pairs_uncapped and pairs_uncapped
+
+
+def test_append_folds_batch_into_audio_index(spark, tmp_path):
+    """The ingest loop closes on the audio axis: corpus = block leaders +
+    singletons, first ingest batch = the pos-6 variants (appended), then
+    the pos-7 probe must match BOTH its planted relatives — the leader
+    from the original build and the pos-6 variant that only exists in
+    the index because of the append."""
+    from open_data_linter_spark.dedup.incremental_audio import (
+        append_to_audio_fp_index,
+        save_audio_fp_index,
+    )
+
+    clips = synthesize_tone_clips(spark, N, num_partitions=8)
+    pos = F.substring("clip_id", 6, 8).cast("int") % 8
+    corpus = clips.where(~pos.isin(6, 7))
+    first_batch = clips.where(pos == 6)
+    probe = clips.where(pos == 7)
+    path = str(tmp_path / "afp_idx_grow")
+    save_audio_fp_index(build_audio_fp_index(corpus), path)
+
+    before = {
+        (r["batch_id"], r["index_id"])
+        for r in match_audio_against_index(
+            probe, load_audio_fp_index(spark, path), threshold=THRESHOLD
+        ).collect()
+    }
+    append_to_audio_fp_index(first_batch, path)
+    after = {
+        (r["batch_id"], r["index_id"])
+        for r in match_audio_against_index(
+            probe, load_audio_fp_index(spark, path), threshold=THRESHOLD
+        ).collect()
+    }
+    n_blocks = N // 8
+    # before: each pos-7 clip matches only its block leader
+    assert before == {
+        (f"clip_{b * 8 + 7:08d}", f"clip_{b * 8:08d}") for b in range(n_blocks)
+    }
+    # after: ...and the appended pos-6 variant too
+    assert after == before | {
+        (f"clip_{b * 8 + 7:08d}", f"clip_{b * 8 + 6:08d}")
+        for b in range(n_blocks)
+    }

@@ -91,3 +91,39 @@ def test_save_load_roundtrip_and_broadcast_plan(spark, tmp_path):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_append_folds_batch_into_embedding_index(spark, tmp_path):
+    """The ingest loop closes on the embedding axis: after append, a
+    later probe matches the appended vectors (banded with the sidecar's
+    regenerated plane family) as well as the original corpus."""
+    from open_data_linter_spark.dedup.incremental_embedding import (
+        append_to_embedding_index,
+    )
+    import random
+
+    corpus, batch = _data(spark)
+    path = str(tmp_path / "emb_idx_grow")
+    save_embedding_index(build_embedding_index(corpus, **_params()), path)
+    append_to_embedding_index(batch, path)
+
+    rng = random.Random(99)
+    batch_vecs = {r["vec_id"]: r["embedding"] for r in batch.collect()}
+    corpus_vecs = {r["vec_id"]: r["embedding"] for r in corpus.collect()}
+    probe = spark.createDataFrame(
+        [
+            (200, _perturb(batch_vecs[102], rng)),   # near-dup of APPENDED 102
+            (201, _perturb(corpus_vecs[4], rng)),    # near-dup of corpus 4
+            (202, _unit(rng)),                       # novel
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {
+        (r["batch_id"], r["index_id"])
+        for r in match_embeddings_against_index(
+            probe, load_embedding_index(spark, path), threshold=THRESHOLD
+        ).collect()
+    }
+    assert (200, 102) in pairs  # only reachable via the append
+    assert (201, 4) in pairs    # original corpus still matches
+    assert not any(b == 202 for b, _ in pairs)
