@@ -254,3 +254,70 @@ def streaming_index_ingest(
         matches.unpersist()
 
     return stream_df.writeStream.foreachBatch(ingest).outputMode("update")
+
+
+def streaming_audio_index_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    sink_path: str,
+    matches_path: str | None = None,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    threshold: float = 0.35,
+    grow_index: bool = True,
+):
+    """``streaming_index_ingest`` on the PAYLOAD axis — the north-star
+    ingest shape end-to-end: a stream of audio clips probes the
+    persisted fingerprint index (dedup/incremental_audio.py), drops
+    clips that near-dup the corpus (or a smaller-id clip of the same
+    micro-batch, greedy keep-smallest-id as in the text loop), appends
+    survivors to ``sink_path`` and — with ``grow_index`` — folds them
+    into the index, so a later batch's re-recording of an earlier
+    survivor also drops. Only the BATCH is ever decoded: the corpus was
+    fingerprinted once at build time, and per micro-batch the clip
+    payloads make two Arrow decode passes (probe + intra-batch pairing;
+    micro-batches are small by construction, the corpus is the thing
+    that must never be re-decoded). Same replay-safety caveats as the
+    text loop."""
+    from open_data_linter_spark.dedup.audio_fp import audio_near_duplicates
+    from open_data_linter_spark.dedup.incremental_audio import (
+        append_to_audio_fp_index,
+        load_audio_fp_index,
+        match_audio_against_index,
+    )
+
+    def ingest(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.head(1):
+            return
+        idx = load_audio_fp_index(spark, index_path)
+        matches = match_audio_against_index(
+            batch, idx, id_col, payload_col, threshold
+        ).persist()
+        if matches_path is not None:
+            matches.write.mode("append").parquet(matches_path)
+        intra_drops = (
+            audio_near_duplicates(
+                batch, id_col, payload_col, threshold,
+                q=idx.q, melody_q=idx.melody_q,
+            )
+            # pairs come out id_a < id_b: the larger side loses
+            .select(F.col("id_b").alias(id_col))
+        )
+        survivors = (
+            batch.join(
+                matches.select(F.col("batch_id").alias(id_col)),
+                id_col,
+                "left_anti",
+            )
+            .join(intra_drops, id_col, "left_anti")
+            .persist()
+        )
+        survivors.write.mode("append").parquet(sink_path)
+        if grow_index:
+            append_to_audio_fp_index(survivors, index_path, id_col,
+                                     payload_col)
+        survivors.unpersist()
+        matches.unpersist()
+
+    return stream_df.writeStream.foreachBatch(ingest).outputMode("update")

@@ -234,3 +234,80 @@ def test_streaming_index_ingest_cross_batch(spark, tmp_path):
     }
     assert (100, 3) in logged          # corpus match, batch 1
     assert (200, 101) in logged        # grown-index match, batch 2
+
+
+def test_streaming_audio_index_ingest_cross_batch(spark, tmp_path):
+    """The ingest loop on the PAYLOAD axis: clips that near-dup the
+    fingerprint corpus drop, intra-batch larger-id near-dups drop, and
+    survivors grow the index so a LATER batch's variant of an earlier
+    survivor also drops. Planted 32-clip tone fixture (4 blocks of 8:
+    leader at pos 0, variants of the leader at pos 6/7, singletons at
+    pos 1..5); block 1's leader (c8) and block 2's singleton c17 are
+    HELD OUT of the corpus and arrive via the stream."""
+    from pyspark.sql import functions as F
+
+    from open_data_linter_spark.audio.synth import synthesize_tone_clips
+    from open_data_linter_spark.dedup.incremental_audio import (
+        build_audio_fp_index,
+        save_audio_fp_index,
+    )
+    from open_data_linter_spark.streaming.dedup import (
+        streaming_audio_index_ingest,
+    )
+
+    cid = lambda i: f"clip_{i:08d}"  # noqa: E731
+    clips = synthesize_tone_clips(spark, 32, 4).persist()
+    pos = F.substring("clip_id", 6, 8).cast("int") % 8
+    corpus = clips.where(
+        pos.isin(0, 1, 2, 3, 4, 5) & ~F.col("clip_id").isin(cid(8), cid(17))
+    )
+    index_path = str(tmp_path / "afp_idx")
+    save_audio_fp_index(build_audio_fp_index(corpus), index_path)
+
+    now = time.time()
+    batch1 = [cid(6), cid(8), cid(15)]
+    # c6  = variant of corpus leader c0      -> drops via index probe
+    # c8  = held-out block-1 leader (novel)  -> survivor, appended
+    # c15 = variant of c8, same batch        -> intra-batch drop (c8 < c15)
+    batch2 = [cid(14), cid(17), cid(30)]
+    # c14 = variant of c8                    -> drops ONLY via grown index
+    # c17 = held-out singleton (novel)       -> survivor
+    # c30 = variant of corpus leader c24     -> drops via index probe
+    f1, f2 = tmp_path / "f1", tmp_path / "f2"
+    for path, ids, mt in ((f1, batch1, now - 20), (f2, batch2, now - 10)):
+        clips.where(F.col("clip_id").isin(ids)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(path))
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(path, f), (mt, mt))
+    flat = _flatten(tmp_path, f1, f2)
+    stream = (
+        spark.readStream.schema(clips.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    sink = str(tmp_path / "sink")
+    matches = str(tmp_path / "matches")
+    q = (
+        streaming_audio_index_ingest(
+            stream, index_path, sink, matches_path=matches, threshold=0.45
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    finished = q.awaitTermination(240)
+    if not finished:
+        q.stop()
+    clips.unpersist()
+    assert finished, "streaming query did not finish within 240s"
+    kept = {r.clip_id for r in spark.read.parquet(sink).collect()}
+    assert kept == {cid(8), cid(17)}
+    logged = {
+        (r.batch_id, r.index_id)
+        for r in spark.read.parquet(matches).collect()
+    }
+    assert (cid(6), cid(0)) in logged    # corpus match, batch 1
+    assert (cid(14), cid(8)) in logged   # grown-index match, batch 2
+    assert (cid(30), cid(24)) in logged  # corpus match, batch 2
