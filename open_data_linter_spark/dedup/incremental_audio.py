@@ -105,8 +105,9 @@ def append_to_audio_fp_index(
 
     The build-time ``max_key_df`` hot-key cap is NOT re-applied here: a
     batch cannot recount the corpus, and each append adds at most
-    |batch| rows per key. Re-apply the cap by rebuilding the index
-    periodically (the usual compaction step for any append-only index)."""
+    |batch| rows per key. Re-apply the cap periodically with
+    ``compact_audio_fp_index`` — it recounts from the stored key rows,
+    so compaction never re-decodes a clip."""
     spark = accepted.sparkSession
     p = spark.read.parquet(f"{path}/params").head()
     idx = build_audio_fp_index(
@@ -115,6 +116,50 @@ def append_to_audio_fp_index(
     )
     idx.keys_df.write.mode("append").parquet(f"{path}/keys")
     idx.hashed_df.write.mode("append").parquet(f"{path}/hashed")
+
+
+def compact_audio_fp_index(
+    spark, path: str, max_key_df: int = 200, out_path: str | None = None
+) -> None:
+    """Re-apply the hot-key cap over a grown index WITHOUT re-decoding
+    anything — the compaction step the appender's docstring defers to.
+    Appends skip the cap (a batch cannot recount the corpus), so keys
+    that went corpus-hot through growth accumulate candidate fan-out;
+    this pass recounts them from the STORED key rows (one groupBy over
+    two narrow columns — no payload, no FFT) and rewrites the keys
+    table without the hot ones. The hashed verify sets and the params
+    sidecar are untouched: capping only ever removes candidates.
+
+    Writes a full standalone index to ``out_path`` if given — the
+    cluster-safe mode: retarget readers when it lands. The default
+    in-place mode rewrites the keys table via temp subdir + rename
+    (shutil — local/posix semantics; on object stores use ``out_path``),
+    which keeps readers from seeing a half-written table but is not
+    safe against a probe running DURING the swap."""
+    import shutil
+
+    keys = spark.read.parquet(f"{path}/keys")
+    hot = (
+        keys.groupBy("kb")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_key_df)
+        .select("kb")
+    )
+    kept = keys.join(F.broadcast(hot), "kb", "left_anti")
+    par = spark.sparkContext.defaultParallelism
+    dst = f"{out_path}/keys" if out_path is not None else f"{path}/keys.compact"
+    kept.repartition(par, "kb").write.mode("overwrite").parquet(dst)
+    if out_path is not None:
+        # a full standalone index: copy the (untouched) verify sets + params
+        for sub in ("hashed", "params"):
+            spark.read.parquet(f"{path}/{sub}").write.mode(
+                "overwrite"
+            ).parquet(f"{out_path}/{sub}")
+        return
+    live, stale = f"{path}/keys", f"{path}/keys.old"
+    shutil.move(live, stale)
+    shutil.move(dst, live)
+    shutil.rmtree(stale)
 
 
 def load_audio_fp_index(spark, path: str) -> AudioFpIndex:

@@ -138,3 +138,52 @@ def test_append_folds_batch_into_audio_index(spark, tmp_path):
         (f"clip_{b * 8 + 7:08d}", f"clip_{b * 8 + 6:08d}")
         for b in range(n_blocks)
     }
+
+
+def test_compact_reapplies_cap_without_redecoding(spark, tmp_path):
+    """After growth, compaction with max_key_df=1 must drop every key
+    shared by two clips (planted leader+variant guarantee such keys),
+    shrinking the keys table; the compacted probe reports a SUBSET of
+    the uncapped probe's pairs; and out_path mode produces a standalone
+    index whose probe matches the in-place-compacted one exactly."""
+    from open_data_linter_spark.dedup.incremental_audio import (
+        append_to_audio_fp_index,
+        compact_audio_fp_index,
+        save_audio_fp_index,
+    )
+
+    corpus, batch = _split(spark)
+    path = str(tmp_path / "afp_idx_c")
+    save_audio_fp_index(build_audio_fp_index(corpus, max_key_df=None), path)
+    # grow with the pos-6 variants' BLOCK LEADER re-ingests? no — grow
+    # with the probe batch itself so appended keys exist, then compact
+    append_to_audio_fp_index(batch, path)
+    n_before = spark.read.parquet(f"{path}/keys").count()
+
+    uncapped_pairs = {
+        (r["batch_id"], r["index_id"])
+        for r in match_audio_against_index(
+            batch, load_audio_fp_index(spark, path), threshold=THRESHOLD
+        ).collect()
+    }
+
+    out = str(tmp_path / "afp_idx_c2")
+    compact_audio_fp_index(spark, path, max_key_df=1, out_path=out)
+    compact_audio_fp_index(spark, path, max_key_df=1)  # in place
+    n_after = spark.read.parquet(f"{path}/keys").count()
+    assert n_after < n_before
+
+    inplace_pairs = {
+        (r["batch_id"], r["index_id"])
+        for r in match_audio_against_index(
+            batch, load_audio_fp_index(spark, path), threshold=THRESHOLD
+        ).collect()
+    }
+    standalone_pairs = {
+        (r["batch_id"], r["index_id"])
+        for r in match_audio_against_index(
+            batch, load_audio_fp_index(spark, out), threshold=THRESHOLD
+        ).collect()
+    }
+    assert inplace_pairs == standalone_pairs
+    assert inplace_pairs <= uncapped_pairs and uncapped_pairs
