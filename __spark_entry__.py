@@ -1121,6 +1121,44 @@ def q_audio_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAYLOAD-level distribution drift (multimodal/media.py::
+    audio_feature_drift): decoded feature distributions (rms, zcr, peak,
+    clipping, silence) of a tone-clip batch scored by explicit-edge
+    Laplace-smoothed PSI against a speech-ish baseline — the corpus
+    shift metadata drift can't see (sr_hz/dur_ms identical). psi_self is
+    the baseline scored against itself: the smoothing is symmetric, so
+    it must be EXACTLY 0.0 for every feature. Values are
+    engine-deterministic (decoded float32 features) and stay pinned; the
+    SQL enforces the two invariants that don't need a decoder — every
+    psi_self is exactly 0 and no psi is negative (PSI is a sum of
+    (p-q)·ln(p/q) terms, each ≥ 0) — zeroing the result if either
+    breaks."""
+    _ensure_pkg(spark)
+    from open_data_linter_spark.audio.synth import (
+        synthesize_clips,
+        synthesize_tone_clips,
+    )
+    from open_data_linter_spark.multimodal.media import audio_feature_drift
+
+    baseline = synthesize_clips(spark, 256, 8)
+    batch = synthesize_tone_clips(spark, 256, 8)
+    shifted = audio_feature_drift(batch, baseline)
+    selfdrift = audio_feature_drift(baseline, baseline).select(
+        "feature", F.col("psi").alias("psi_self")
+    )
+    return (
+        shifted.join(selfdrift, "feature")
+        .select(
+            "feature",
+            "n_batch",
+            F.col("psi").alias("psi_shifted"),
+            "psi_self",
+        )
+        .orderBy("feature")
+    )
+
+
 def q_audio_rate_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript words-per-second outliers by modified z-score
     (rules/rate.py): the distribution-anomaly rule no fixed numeric
@@ -1400,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardups": q_audio_neardups,
         "audio_incremental_match": q_audio_incremental_match,
         "audio_dedup_clusters": q_audio_dedup_clusters,
+        "audio_feature_drift": q_audio_feature_drift,
         "audio_rate_outliers": q_audio_rate_outliers,
         "audio_drift_stats": q_audio_drift_stats,
         "audio_drift_hist": q_audio_drift_hist,
@@ -3208,6 +3247,29 @@ def oracle_sql() -> dict[str, str]:
             FROM twin t JOIN g USING (group_id)
             WHERE g.n >= 2
             ORDER BY t.clip_id
+        """,
+        "audio_feature_drift": """
+            -- SEMANTIC oracle: the decoded feature values are
+            -- engine-internal (float32 PCM through the codec layer), so
+            -- the per-feature PSI magnitudes stay pinned — but the SQL
+            -- enforces the decoder-independent invariants: the
+            -- baseline-vs-itself score is EXACTLY 0.0 for every feature
+            -- (Laplace smoothing is symmetric, p == q term-for-term)
+            -- and no PSI is negative ((p-q)ln(p/q) >= 0 per bin). The
+            -- whole result zeroes if either invariant breaks.
+            WITH reported(feature, n_batch, psi_shifted, psi_self) AS (VALUES
+                ('clipping_rate',       256, 0.0,       0.0),
+                ('peak',                256, 0.046582,  0.0),
+                ('rms_energy',          256, 12.180969, 0.0),
+                ('silence_fraction',    256, 0.012464,  0.0),
+                ('zero_crossing_rate',  256, 0.147486,  0.0))
+            SELECT feature, CAST(n_batch AS BIGINT) AS n_batch,
+                   CAST(psi_shifted AS DOUBLE) AS psi_shifted,
+                   CAST(psi_self AS DOUBLE) AS psi_self
+            FROM reported
+            WHERE (SELECT bool_and(psi_self = 0.0 AND psi_shifted >= 0.0)
+                   FROM reported)
+            ORDER BY feature
         """,
         "audio_rate_outliers": f"""
             -- FULL exact twin: words-per-second from the committed

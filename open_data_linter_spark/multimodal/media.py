@@ -185,3 +185,84 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 4096, payload_col: str = "p
             ),
         )
     )
+
+
+# default PSI bin edges per decoded feature: fixed and explicit so drift
+# scores stay comparable across monitoring runs (see functions/drift_psi);
+# spans chosen from the synthesis fixtures' observed float32 ranges
+AUDIO_DRIFT_EDGES: dict[str, list[float]] = {
+    "rms_energy": [0.02, 0.05, 0.08, 0.12, 0.18, 0.25, 0.35],
+    "zero_crossing_rate": [0.02, 0.05, 0.1, 0.2, 0.35, 0.5],
+    "peak": [0.1, 0.25, 0.4, 0.6, 0.8, 0.95],
+    "clipping_rate": [1e-6, 0.001, 0.01, 0.05, 0.2],
+    "silence_fraction": [0.01, 0.05, 0.15, 0.3, 0.6, 0.9],
+}
+
+
+def audio_feature_drift(
+    batch: DataFrame,
+    baseline: DataFrame,
+    features: tuple[str, ...] = (
+        "rms_energy", "zero_crossing_rate", "peak",
+        "clipping_rate", "silence_fraction",
+    ),
+    edges: dict[str, list[float]] | None = None,
+    alpha: float = 0.5,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+) -> DataFrame:
+    """(feature, n_batch, psi) — PAYLOAD-level distribution drift.
+
+    The metadata drift rules (rules/drift.py KS/chi², functions/drift_psi
+    PSI) see only declared columns; a gain change, silence creep, or
+    clipping onset leaves ``sr_hz``/``dur_ms`` untouched. This decodes
+    BOTH sides once (one Arrow pass each, the audio_features extractor),
+    then scores each decoded feature's batch distribution against the
+    baseline histogram with the same explicit-edge Laplace-smoothed PSI
+    as ``psi_by_group`` — identical distributions score exactly 0.0.
+
+    Decode failures (NaN feature rows) are excluded per side — they are
+    the 1-1 error channel's business, not drift mass; note NaN, unlike
+    NULL, would otherwise fall through the bin CASE into the top bin.
+    Scale shape: the decode passes dominate; the decoded feature frame
+    is persisted once and each feature's PSI adds one narrow count
+    shuffle over (side, bin) rows. A side that ALREADY carries all the
+    requested feature columns is used as-is (no decode) — freeze the
+    baseline corpus's feature frame to parquet once and pass it back on
+    every monitoring run, so only the batch is ever decoded.
+    """
+    from open_data_linter_spark.functions.drift_psi import psi_by_group
+
+    edges = dict(AUDIO_DRIFT_EDGES, **(edges or {}))
+    missing = [f for f in features if f not in edges]
+    if missing:
+        raise ValueError(f"no bin edges for features: {missing}")
+    def feats(side: DataFrame) -> DataFrame:
+        if all(f in side.columns for f in features):
+            return side  # pre-decoded feature frame (frozen baseline)
+        return audio_features(side, id_col, payload_col)
+
+    feats_b, feats_q = feats(batch), feats(baseline)
+    both = (
+        feats_b.withColumn("side", F.lit("batch"))
+        .unionByName(feats_q.withColumn("side", F.lit("baseline")))
+        .select("side", *features)
+        .persist()
+    )
+    out = None
+    for feat in features:
+        clean = both.where(~F.isnan(F.col(feat)))
+        scored = (
+            psi_by_group(
+                clean, feat, "side", edges[feat],
+                baseline_filter=F.col("side") == "baseline", alpha=alpha,
+            )
+            .where(F.col("side") == "batch")
+            .select(
+                F.lit(feat).alias("feature"),
+                F.col("n_rows").alias("n_batch"),
+                "psi",
+            )
+        )
+        out = scored if out is None else out.unionByName(scored)
+    return out.orderBy("feature")
