@@ -142,6 +142,22 @@ def main() -> int:
         for rid, m in sorted(vr.metrics.items())
         if m.get("violation_count")
     }
+    if args.baseline:
+        # payload-level drift beside the metadata KS/chi²: PSI over the
+        # DECODED feature distributions (multimodal/media.py). The
+        # baseline is decoded here because the CLI gets clip parquet; a
+        # monitoring deployment freezes audio_features(baseline) once
+        # and passes the feature frame (accepted as-is by the operator).
+        from open_data_linter_spark.multimodal.media import (
+            audio_feature_drift,
+        )
+
+        report["payload_drift"] = {
+            r["feature"]: r["psi"]
+            for r in audio_feature_drift(
+                batch, spark.read.parquet(args.baseline)
+            ).collect()
+        }
     # violations is None when the run produced no violation rows
     if vr.violations is not None:
         vr.violations.write.mode("overwrite").parquet(

@@ -76,6 +76,15 @@ def test_audio_ingest_cli_two_batches(spark, tmp_path):
     assert r1["matrix"]["1-6-schema"] is True
     assert r1["matrix"]["uniq"] is True
     assert r1["matrix"]["drift-sr"] is not None
+    # payload drift ran in run 1 (baseline given); a 3-clip batch can't
+    # pin magnitudes (sampling noise dominates a smoothed histogram), so
+    # assert the wiring: all five features scored, PSI is never negative
+    assert set(r1["payload_drift"]) == {
+        "rms_energy", "zero_crossing_rate", "peak",
+        "clipping_rate", "silence_fraction",
+    }
+    assert all(v >= 0.0 for v in r1["payload_drift"].values())
+    assert "payload_drift" not in r2  # no baseline in run 2
     # run 2 had no baseline/reference: could-not-check channel
     assert r2["matrix"]["drift-sr"] is None
     assert r2["matrix"]["payload-ref"] is None
