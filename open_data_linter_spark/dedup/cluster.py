@@ -70,12 +70,18 @@ def connected_components(
     if not isinstance(pairs.schema[id_a].dataType, NumericType):
         # surrogate longs: the mapping need not preserve order — min-label
         # CC only needs SOME total order on labels; the true min member id
-        # is recomputed per component afterwards
-        ids = persist_scoped(
-            "cc.idmap",
+        # is recomputed per component afterwards. localCheckpoint (NOT a
+        # lazy persist): monotonically_increasing_id is a function of the
+        # physical partition layout, so a recomputation after block
+        # eviction could assign DIFFERENT nids between the edge-mapping
+        # job and the final join-back — the checkpoint materializes the
+        # assignment once, and a lost block fails loudly instead of
+        # silently remapping
+        ids = (
             edges.select(F.col("src").alias("orig"))
             .distinct()
-            .withColumn("nid", F.monotonically_increasing_id()),
+            .withColumn("nid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
         )
         nid_edges = persist_scoped(
             "cc.edges.nid",
