@@ -1141,10 +1141,15 @@ def q_audio_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from open_data_linter_spark.multimodal.media import audio_feature_drift
 
-    baseline = synthesize_clips(spark, 256, 8)
+    from open_data_linter_spark.multimodal.media import audio_features
+
+    # frozen-baseline path: decode the baseline ONCE, reuse the feature
+    # frame for both PSI passes (the operator accepts a pre-decoded side
+    # as-is — the recurring-monitoring shape)
+    base_feats = audio_features(synthesize_clips(spark, 256, 8)).localCheckpoint()
     batch = synthesize_tone_clips(spark, 256, 8)
-    shifted = audio_feature_drift(batch, baseline)
-    selfdrift = audio_feature_drift(baseline, baseline).select(
+    shifted = audio_feature_drift(batch, base_feats)
+    selfdrift = audio_feature_drift(base_feats, base_feats).select(
         "feature", F.col("psi").alias("psi_self")
     )
     return (

@@ -243,11 +243,16 @@ def audio_feature_drift(
         return audio_features(side, id_col, payload_col)
 
     feats_b, feats_q = feats(batch), feats(baseline)
-    both = (
+    from open_data_linter_spark.dedup._cache import persist_scoped
+
+    # scoped persist (not bare .persist()): one generation per call site,
+    # releasable session-wide via clear_scoped — every feature's PSI and
+    # both PSI passes of a drift query reuse this one decoded frame
+    both = persist_scoped(
+        "media.feature_drift",
         feats_b.withColumn("side", F.lit("batch"))
         .unionByName(feats_q.withColumn("side", F.lit("baseline")))
-        .select("side", *features)
-        .persist()
+        .select("side", *features),
     )
     out = None
     for feat in features:
