@@ -1164,6 +1164,29 @@ def q_audio_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio context-window chunking (multimodal/media.py::chunk_audio):
+    sliding 1000 ms windows at 500 ms hop over each clip's PCM, tails
+    under 240 ms dropped — the pre-training split of long recordings.
+    FULL exact twin: chunk boundaries are pure integer arithmetic on
+    (sr_hz, n_samples), and the committed metadata twin carries the true
+    decoded n_samples (dur_ms alone is not exactly invertible), so
+    DuckDB replays every (clip, chunk_idx, chunk_samples) row with a
+    LATERAL series — no engine value pinned. The ms parameters are
+    chosen so sr·ms/1000 is integral at every fixture rate (Python
+    banker's rounding vs SQL half-away would otherwise diverge on .5)."""
+    _ensure_pkg(spark)
+    from open_data_linter_spark.audio.synth import synthesize_clips
+    from open_data_linter_spark.multimodal.media import chunk_audio
+
+    clips = synthesize_clips(spark, 512, 8)
+    return (
+        chunk_audio(clips, window_ms=1000, hop_ms=500, min_tail_ms=240)
+        .select("clip_id", "chunk_idx", "sr_hz", "chunk_samples")
+        .orderBy("clip_id", "chunk_idx")
+    )
+
+
 def q_audio_rate_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript words-per-second outliers by modified z-score
     (rules/rate.py): the distribution-anomaly rule no fixed numeric
@@ -1444,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_incremental_match": q_audio_incremental_match,
         "audio_dedup_clusters": q_audio_dedup_clusters,
         "audio_feature_drift": q_audio_feature_drift,
+        "audio_chunks": q_audio_chunks,
         "audio_rate_outliers": q_audio_rate_outliers,
         "audio_drift_stats": q_audio_drift_stats,
         "audio_drift_hist": q_audio_drift_hist,
@@ -3275,6 +3299,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE (SELECT bool_and(psi_self = 0.0 AND psi_shifted >= 0.0)
                    FROM reported)
             ORDER BY feature
+        """,
+        "audio_chunks": f"""
+            -- FULL exact twin: replay the chunk recurrence from the
+            -- committed metadata twin's true decoded n_samples. window
+            -- = 1000ms = sr samples, hop = 500ms = sr/2, min_tail =
+            -- 240ms = sr*240/1000 — all exact integers at every fixture
+            -- rate, so no rounding-convention ambiguity. Chunk k starts
+            -- at k*hop, takes least(window, n-start), and is kept iff
+            -- its length >= min_tail.
+            WITH twin AS (
+              SELECT clip_id, sr_hz, n_samples,
+                     CAST(sr_hz AS BIGINT)            AS w,
+                     CAST(sr_hz AS BIGINT) / 2        AS hop,
+                     CAST(sr_hz AS BIGINT) * 240 / 1000 AS min_tail
+              FROM read_parquet('{_FIX}/audio_meta_512_base.parquet')
+              WHERE n_samples IS NOT NULL
+            )
+            SELECT t.clip_id,
+                   CAST(s.k AS INTEGER) AS chunk_idx,
+                   t.sr_hz,
+                   CAST(LEAST(t.w, t.n_samples - s.k * t.hop) AS INTEGER)
+                     AS chunk_samples
+            -- static series: DuckDB's generate_series takes no lateral
+            -- column params; 64 >> the max possible k (fixture dur <=
+            -- 1500ms at 500ms hop -> k <= 3), and the WHERE re-derives
+            -- the true per-clip bound so the series size is not a cap
+            FROM twin t
+            CROSS JOIN (SELECT range AS k FROM range(0, 64)) s
+            WHERE s.k * t.hop < t.n_samples
+              AND t.n_samples - s.k * t.hop >= t.min_tail
+            ORDER BY t.clip_id, chunk_idx
         """,
         "audio_rate_outliers": f"""
             -- FULL exact twin: words-per-second from the committed

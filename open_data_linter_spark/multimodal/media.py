@@ -271,3 +271,90 @@ def audio_feature_drift(
         )
         out = scored if out is None else out.unionByName(scored)
     return out.orderBy("feature")
+
+
+AUDIO_CHUNKS_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("chunk_samples", T.IntegerType()),
+        T.StructField("bytes", T.BinaryType()),
+    ]
+)
+
+
+def chunk_audio(
+    df: DataFrame,
+    window_ms: int = 1000,
+    hop_ms: int | None = None,
+    min_tail_ms: int = 200,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    out_codec: str = "pcm_s16le",
+) -> DataFrame:
+    """Sliding fixed-length windows over each clip's PCM, re-encoded as
+    standalone clips — the audio analog of context-window chunking
+    (functions/chunking.py): the pre-training split of long recordings
+    to a model's context length.
+
+    Per decodable clip, window/hop/min-tail convert to sample counts at
+    the clip's OWN rate (``round(sr·ms/1000)``); chunk ``k`` starts at
+    ``k·hop`` and takes ``min(window, n−start)`` samples; tail chunks
+    shorter than ``min_tail`` are dropped. Defaults are non-overlapping
+    (``hop = window``); pass ``hop_ms < window_ms`` for overlap. Chunk
+    boundaries are pure integer arithmetic on ``(sr, n_samples)`` — the
+    DuckDB twin recomputes them exactly from the committed metadata —
+    and the emitted ``bytes`` are sample-exact PCM slices re-encoded
+    through the codec layer (round-trip-asserted in tests). Undecodable
+    clips emit no rows (decode failure is the 1-1 error channel's
+    business, rules/payload.py).
+
+    Scale shape: one Arrow decode pass, no shuffle at all — chunking is
+    a per-row flatMap (each input row yields its own chunk rows inside
+    the same task); downstream repartition is the caller's choice.
+    """
+    if window_ms < 1 or (hop_ms is not None and hop_ms < 1):
+        raise ValueError("window_ms and hop_ms must be >= 1")
+    if min_tail_ms > window_ms:
+        raise ValueError("min_tail_ms must be <= window_ms")
+    hop_ms = window_ms if hop_ms is None else hop_ms
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from open_data_linter_spark.audio.codecs import decode_clip, encode_clip
+
+        for b in batches:
+            rows = []
+            for cid, data in zip(b[id_col], b[payload_col]):
+                try:
+                    _, sr, pcm = decode_clip(bytes(data))
+                except (ValueError, TypeError):
+                    continue
+                n = len(pcm)
+                window = max(1, int(round(sr * window_ms / 1000.0)))
+                hop = max(1, int(round(sr * hop_ms / 1000.0)))
+                min_tail = int(round(sr * min_tail_ms / 1000.0))
+                k = 0
+                while k * hop < n:
+                    start = k * hop
+                    take = min(window, n - start)
+                    if take >= min_tail:
+                        rows.append(
+                            {
+                                "clip_id": cid,
+                                "chunk_idx": k,
+                                "sr_hz": sr,
+                                "chunk_samples": take,
+                                "bytes": encode_clip(
+                                    pcm[start:start + take], sr, out_codec
+                                ),
+                            }
+                        )
+                    k += 1
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_CHUNKS_SCHEMA.fields]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, schema=AUDIO_CHUNKS_SCHEMA
+    )

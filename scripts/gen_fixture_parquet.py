@@ -37,9 +37,24 @@ FIXTURES = {
 
 
 def main() -> None:
+    from open_data_linter_spark.audio.codecs import decode_clip
+
     os.makedirs(OUT_DIR, exist_ok=True)
     for fname, kwargs in FIXTURES.items():
-        pdf = gen_clips_pdf(np.arange(512), **kwargs)[META_COLS]
+        full = gen_clips_pdf(np.arange(512), **kwargs)
+
+        # decoded sample count per clip (NULL where undecodable): dur_ms
+        # round-trips through round(n/sr*1000) so it is NOT exactly
+        # invertible — operators that slice PCM (chunk_audio) need the
+        # true n for a FULL exact oracle
+        def _n(data):
+            try:
+                return len(decode_clip(bytes(data))[2])
+            except (ValueError, TypeError):
+                return None
+
+        pdf = full[META_COLS].copy()
+        pdf["n_samples"] = full["bytes"].map(_n).astype("Int64")
         path = os.path.join(OUT_DIR, fname)
         pdf.to_parquet(path, index=False)
         print(f"wrote {path}: {len(pdf)} rows")

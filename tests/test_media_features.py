@@ -110,3 +110,61 @@ def test_audio_feature_drift_frozen_baseline_and_nan_exclusion(spark):
     rows = audio_feature_drift(broken, frozen).collect()
     assert all(r.n_batch == 56 for r in rows)
     assert all(r.psi < 0.25 for r in rows)
+
+
+def test_chunk_audio_boundaries_and_roundtrip(spark):
+    """Chunk rows must replay the integer recurrence (windows at k*hop,
+    tails under min_tail dropped) AND the re-encoded bytes must decode
+    back to the sample-exact PCM slice of the source clip."""
+    import numpy as np
+
+    from open_data_linter_spark.audio.codecs import decode_clip
+    from open_data_linter_spark.audio.synth import synthesize_clips
+    from open_data_linter_spark.multimodal.media import chunk_audio
+
+    clips = synthesize_clips(spark, 24, 4)
+    src = {r.clip_id: decode_clip(bytes(r.bytes))[1:]  # (sr, pcm)
+           for r in clips.collect()}
+    rows = chunk_audio(
+        clips, window_ms=1000, hop_ms=500, min_tail_ms=240
+    ).collect()
+    assert rows
+    seen = {}
+    for r in rows:
+        sr, pcm = src[r.clip_id]
+        n = len(pcm)
+        window, hop, min_tail = sr, sr // 2, sr * 240 // 1000
+        start = r.chunk_idx * hop
+        assert r.sr_hz == sr
+        assert start < n and n - start >= min_tail
+        assert r.chunk_samples == min(window, n - start)
+        got_sr, got = decode_clip(bytes(r.bytes))[1:]
+        assert got_sr == sr
+        assert np.array_equal(got, pcm[start:start + r.chunk_samples])
+        seen.setdefault(r.clip_id, set()).add(r.chunk_idx)
+    # completeness: every clip yields every k with a long-enough tail
+    for cid, (sr, pcm) in src.items():
+        n, hop, min_tail = len(pcm), sr // 2, sr * 240 // 1000
+        want = {k for k in range(0, (n - 1) // hop + 1)
+                if n - k * hop >= min_tail}
+        assert seen.get(cid, set()) == want
+
+
+def test_chunk_audio_skips_undecodable_and_stays_shuffle_free(spark):
+    from pyspark.sql import functions as F
+
+    from open_data_linter_spark.audio.synth import synthesize_clips
+    from open_data_linter_spark.multimodal.media import chunk_audio
+
+    clips = synthesize_clips(spark, 16, 2)
+    broken = clips.withColumn(
+        "bytes",
+        F.when(F.substring("clip_id", 6, 8).cast("int") % 4 == 0,
+               F.lit(b"junk")).otherwise(F.col("bytes")),
+    )
+    out = chunk_audio(broken)
+    got_ids = {r.clip_id for r in out.select("clip_id").distinct().collect()}
+    assert got_ids == {f"clip_{i:08d}" for i in range(16) if i % 4 != 0}
+    # per-row flatMap: no Exchange anywhere in the chunking plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
