@@ -190,8 +190,16 @@ def audio_near_duplicates(
     melody_q: int = 3,
     max_bucket_size: int | None = 200,
     num_partitions: int | None = None,
+    hashed_keys: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) near-duplicate clip pairs, id_a < id_b.
+
+    ``hashed_keys``: a pre-computed ``audio_hashed_keys`` frame
+    (id, hs, ck) for this input — pass it when the caller already
+    fingerprinted the same clips (the ingest loops probe AND self-dedup
+    one batch: sharing the frame halves the decode work, which dominates
+    everything). Must have been produced with the same q/melody_q; the
+    caller owns its persistence.
 
     ``jaccard`` (the VERIFY metric) is over the distinct q-gram shingle
     sets of the per-frame dominant-band sequences, rounded to 6 decimals.
@@ -216,12 +224,17 @@ def audio_near_duplicates(
     ``num_partitions`` repartitions the (id, payload) projection before
     the decode pass — set it when the input is a single-file scan (one
     partition would serialize the decode; CLAUDE.md trap)."""
-    hashed = audio_hashed_keys(df, id_col, payload_col, q, melody_q,
-                               num_partitions)
     sc = df.sparkSession.sparkContext
     par = max(sc.defaultParallelism, 8)
-    # hashed feeds the inverted index (ck) AND both verify sides (hs)
-    hashed = persist_scoped("audio_fp.hashed", hashed)
+    if hashed_keys is not None:
+        hashed = hashed_keys
+    else:
+        # hashed feeds the inverted index (ck) AND both verify sides (hs)
+        hashed = persist_scoped(
+            "audio_fp.hashed",
+            audio_hashed_keys(df, id_col, payload_col, q, melody_q,
+                              num_partitions),
+        )
     buckets = (
         hashed.select("id", F.explode("ck").alias("sh"))
         .groupBy("sh")

@@ -97,6 +97,7 @@ def append_to_audio_fp_index(
     id_col: str = "clip_id",
     payload_col: str = "bytes",
     num_partitions: int | None = None,
+    batch_hashed: DataFrame | None = None,
 ) -> None:
     """Fold an accepted clip batch into a persisted index (the ingest
     loop's last step: probe → filter survivors → append), decoding only
@@ -107,15 +108,28 @@ def append_to_audio_fp_index(
     batch cannot recount the corpus, and each append adds at most
     |batch| rows per key. Re-apply the cap periodically with
     ``compact_audio_fp_index`` — it recounts from the stored key rows,
-    so compaction never re-decodes a clip."""
+    so compaction never re-decodes a clip.
+
+    ``batch_hashed``: a pre-computed ``audio_hashed_keys`` frame
+    covering (at least) the accepted clips, produced with the sidecar's
+    q/melody_q — the ingest loops fingerprint the whole batch once for
+    probe + self-dedup, and the append then needs only a semi-join, no
+    third decode."""
     spark = accepted.sparkSession
     p = spark.read.parquet(f"{path}/params").head()
-    idx = build_audio_fp_index(
-        accepted, id_col, payload_col, int(p["q"]), int(p["melody_q"]),
-        max_key_df=None, num_partitions=num_partitions,
-    )
-    idx.keys_df.write.mode("append").parquet(f"{path}/keys")
-    idx.hashed_df.write.mode("append").parquet(f"{path}/hashed")
+    if batch_hashed is not None:
+        hashed = batch_hashed.join(
+            accepted.select(F.col(id_col).alias("id")), "id", "left_semi"
+        )
+        keys = hashed.select("id", F.explode("ck").alias("kb"))
+    else:
+        idx = build_audio_fp_index(
+            accepted, id_col, payload_col, int(p["q"]), int(p["melody_q"]),
+            max_key_df=None, num_partitions=num_partitions,
+        )
+        keys, hashed = idx.keys_df, idx.hashed_df
+    keys.write.mode("append").parquet(f"{path}/keys")
+    hashed.select("id", "hs").write.mode("append").parquet(f"{path}/hashed")
 
 
 def compact_audio_fp_index(
@@ -180,8 +194,14 @@ def match_audio_against_index(
     threshold: float = 0.35,
     broadcast_batch: bool = True,
     num_partitions: int | None = None,
+    batch_hashed: DataFrame | None = None,
 ) -> DataFrame:
     """(batch_id, index_id, jaccard >= threshold) — new-vs-corpus pairs.
+
+    ``batch_hashed``: a pre-computed ``audio_hashed_keys`` frame for the
+    batch (same q/melody_q as the index — caller's contract); pass it
+    when the batch is also self-deduplicated in the same run so it is
+    decoded once, not twice. The caller owns its persistence.
 
     Only the BATCH is decoded; candidates come from an equi-join of the
     batch's melody-gram keys against the index's, verification is
@@ -192,11 +212,14 @@ def match_audio_against_index(
     of an id already in the index is not self-matched; batch-internal
     pairs are audio_near_duplicates' job."""
     b_hint = F.broadcast if broadcast_batch else (lambda d: d)
-    b_hashed = persist_scoped(
-        "afp_probe.hashed",
-        audio_hashed_keys(batch, id_col, payload_col, index.q,
-                          index.melody_q, num_partitions),
-    )
+    if batch_hashed is not None:
+        b_hashed = batch_hashed
+    else:
+        b_hashed = persist_scoped(
+            "afp_probe.hashed",
+            audio_hashed_keys(batch, id_col, payload_col, index.q,
+                              index.melody_q, num_partitions),
+        )
     b_keys = b_hashed.select(
         F.col("id").alias("batch_id"), F.explode("ck").alias("kb")
     )

@@ -279,7 +279,10 @@ def streaming_audio_index_ingest(
     micro-batches are small by construction, the corpus is the thing
     that must never be re-decoded). Same replay-safety caveats as the
     text loop."""
-    from open_data_linter_spark.dedup.audio_fp import audio_near_duplicates
+    from open_data_linter_spark.dedup.audio_fp import (
+        audio_hashed_keys,
+        audio_near_duplicates,
+    )
     from open_data_linter_spark.dedup.incremental_audio import (
         append_to_audio_fp_index,
         load_audio_fp_index,
@@ -291,15 +294,21 @@ def streaming_audio_index_ingest(
         if not batch.head(1):
             return
         idx = load_audio_fp_index(spark, index_path)
+        # fingerprint the micro-batch ONCE: the probe, the intra-batch
+        # self-dedup, and the index append all share this frame — the
+        # decode pass is the dominant cost and must not run three times
+        hashed = audio_hashed_keys(
+            batch, id_col, payload_col, idx.q, idx.melody_q
+        ).persist()
         matches = match_audio_against_index(
-            batch, idx, id_col, payload_col, threshold
+            batch, idx, id_col, payload_col, threshold, batch_hashed=hashed
         ).persist()
         if matches_path is not None:
             matches.write.mode("append").parquet(matches_path)
         intra_drops = (
             audio_near_duplicates(
                 batch, id_col, payload_col, threshold,
-                q=idx.q, melody_q=idx.melody_q,
+                q=idx.q, melody_q=idx.melody_q, hashed_keys=hashed,
             )
             # pairs come out id_a < id_b: the larger side loses
             .select(F.col("id_b").alias(id_col))
@@ -316,8 +325,9 @@ def streaming_audio_index_ingest(
         survivors.write.mode("append").parquet(sink_path)
         if grow_index:
             append_to_audio_fp_index(survivors, index_path, id_col,
-                                     payload_col)
+                                     payload_col, batch_hashed=hashed)
         survivors.unpersist()
         matches.unpersist()
+        hashed.unpersist()
 
     return stream_df.writeStream.foreachBatch(ingest).outputMode("update")

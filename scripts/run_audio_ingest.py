@@ -58,7 +58,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from open_data_linter_spark.audio.synth import codec_registry_pdf  # noqa: E402
-from open_data_linter_spark.dedup.audio_fp import audio_near_duplicates  # noqa: E402
+from open_data_linter_spark.dedup.audio_fp import (  # noqa: E402
+    audio_hashed_keys,
+    audio_near_duplicates,
+)
 from open_data_linter_spark.dedup.incremental_audio import (  # noqa: E402
     append_to_audio_fp_index,
     build_audio_fp_index,
@@ -180,8 +183,11 @@ def main() -> int:
     # ---- 3. index probe ---------------------------------------------------
     t0 = time.time()
     idx = load_audio_fp_index(spark, args.index)
+    # fingerprint the batch ONCE: probe, intra-batch dedup, and the index
+    # append share this frame (the decode pass dominates everything)
+    hashed = audio_hashed_keys(batch, q=idx.q, melody_q=idx.melody_q).persist()
     matches = match_audio_against_index(
-        batch, idx, threshold=args.threshold
+        batch, idx, threshold=args.threshold, batch_hashed=hashed
     ).persist()
     matches.write.mode("overwrite").parquet(os.path.join(args.out, "matches"))
     survivors = batch.join(
@@ -193,7 +199,8 @@ def main() -> int:
     # ---- 4. intra-batch dedup ----------------------------------------------
     t0 = time.time()
     intra = audio_near_duplicates(
-        batch, threshold=args.threshold, q=idx.q, melody_q=idx.melody_q
+        batch, threshold=args.threshold, q=idx.q, melody_q=idx.melody_q,
+        hashed_keys=hashed,
     ).select(F.col("id_b").alias("clip_id"))
     survivors = survivors.join(intra, "clip_id", "left_anti").localCheckpoint()
     matches.unpersist()
@@ -207,7 +214,7 @@ def main() -> int:
     accepted = spark.read.parquet(os.path.join(args.out, "accepted"))
     n_out = accepted.count()
     if args.grow:
-        append_to_audio_fp_index(accepted, args.index)
+        append_to_audio_fp_index(accepted, args.index, batch_hashed=hashed)
         report["index_grown"] = True
     stage("accepted_written", n_out, t0)
 
