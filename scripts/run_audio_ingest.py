@@ -78,7 +78,17 @@ from open_data_linter_spark.sources.fixtures import DUR_BIN_EDGES  # noqa: E402
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--batch", required=True, help="clip batch parquet")
+    ap.add_argument("--batch", required=True,
+                    help="clip batch parquet (or, with --raw-files, a"
+                         " directory/glob of raw audio containers)")
+    ap.add_argument("--raw-files", action="store_true",
+                    help="read --batch as loose WAV/ulaw/alaw files via"
+                         " sources/audio_files.clips_from_files: metadata"
+                         " derived from container headers, undecodable"
+                         " files flow to the 1-1 channel")
+    ap.add_argument("--transcripts", default=None,
+                    help="with --raw-files: (clip_id, transcript) parquet"
+                         " sidecar to join")
     ap.add_argument("--index", required=True,
                     help="persisted fingerprint index dir"
                          " (dedup/incremental_audio.py layout)")
@@ -119,7 +129,21 @@ def main() -> int:
         stage("index_built", corpus.count(), t0)
 
     t0 = time.time()
-    batch = spark.read.parquet(args.batch)
+    if args.raw_files:
+        from open_data_linter_spark.sources.audio_files import (
+            clips_from_files,
+        )
+
+        sidecar = (
+            spark.read.parquet(args.transcripts) if args.transcripts else None
+        )
+        # localCheckpoint: the raw scan re-decodes headers per consumer
+        # otherwise, and downstream stages consume the batch many times
+        batch = clips_from_files(
+            spark, args.batch, transcripts=sidecar
+        ).localCheckpoint()
+    else:
+        batch = spark.read.parquet(args.batch)
     n_in = batch.count()
     stage("batch_read", n_in, t0)
 
