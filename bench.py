@@ -115,6 +115,7 @@ def main() -> None:
     # driver fixture): decode+FFT melody pass + shingle bucket join ----
     from open_data_linter_spark.audio.synth import synthesize_tone_clips
     from open_data_linter_spark.dedup.audio_fp import audio_near_duplicates
+    from open_data_linter_spark.multimodal.media import chunk_audio
 
     tone = synthesize_tone_clips(spark, 4096, sc_parts)
 
@@ -169,6 +170,14 @@ def main() -> None:
             "audio_neardups_4k",
             time_action(
                 lambda: audio_near_duplicates(tone, threshold=0.45).count()
+            ),
+        )
+        _note(
+            "audio_chunks_4k",
+            time_action(
+                lambda: chunk_audio(
+                    tone, window_ms=1000, hop_ms=500, min_tail_ms=240
+                ).count()
             ),
         )
         _note("validation_full_matrix",

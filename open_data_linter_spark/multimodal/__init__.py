@@ -3,4 +3,6 @@ from open_data_linter_spark.multimodal.media import (  # noqa: F401
     media_features,
     frame_sample,
     audio_features,
+    audio_feature_drift,
+    chunk_audio,
 )
