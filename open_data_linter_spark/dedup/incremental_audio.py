@@ -114,21 +114,32 @@ def append_to_audio_fp_index(
     covering (at least) the accepted clips, produced with the sidecar's
     q/melody_q — the ingest loops fingerprint the whole batch once for
     probe + self-dedup, and the append then needs only a semi-join, no
-    third decode."""
+    third decode.
+
+    Idempotent on ids: clips whose id is ALREADY in the index are
+    skipped (one anti-join against the stored id column), so a crashed
+    run replayed with the same batch cannot double-append rows and
+    inflate every future probe of those clips. First-wins, matching the
+    probe's re-ingest semantics."""
     spark = accepted.sparkSession
-    p = spark.read.parquet(f"{path}/params").head()
+    existing = spark.read.parquet(f"{path}/hashed").select("id")
     if batch_hashed is not None:
         hashed = batch_hashed.join(
             accepted.select(F.col(id_col).alias("id")), "id", "left_semi"
-        )
-        keys = hashed.select("id", F.explode("ck").alias("kb"))
+        ).join(existing, "id", "left_anti")
     else:
-        idx = build_audio_fp_index(
+        p = spark.read.parquet(f"{path}/params").head()
+        hashed = audio_hashed_keys(
             accepted, id_col, payload_col, int(p["q"]), int(p["melody_q"]),
-            max_key_df=None, num_partitions=num_partitions,
-        )
-        keys, hashed = idx.keys_df, idx.hashed_df
-    keys.write.mode("append").parquet(f"{path}/keys")
+            num_partitions,
+        ).join(existing, "id", "left_anti")
+    # materialize BEFORE the hashed append: the anti-join's plan reads
+    # {path}/hashed, and appending to a path a live plan is reading from
+    # would race the write against its own input listing
+    hashed = hashed.localCheckpoint(eager=True)
+    hashed.select("id", F.explode("ck").alias("kb")).write.mode(
+        "append"
+    ).parquet(f"{path}/keys")
     hashed.select("id", "hs").write.mode("append").parquet(f"{path}/hashed")
 
 
@@ -149,9 +160,21 @@ def compact_audio_fp_index(
     in-place mode rewrites the keys table via temp subdir + rename
     (shutil — local/posix semantics; on object stores use ``out_path``),
     which keeps readers from seeing a half-written table but is not
-    safe against a probe running DURING the swap."""
+    safe against a probe running DURING the swap. Crash recovery: the
+    swap is two renames, so a crash between them leaves ``keys`` absent
+    with the previous table intact in ``keys.old`` — the next call (or
+    the recovery preamble below) restores it before doing anything
+    else; a crash after the swap leaves only a stale ``keys.old`` that
+    is cleaned up here."""
+    import os
     import shutil
 
+    live, stale = f"{path}/keys", f"{path}/keys.old"
+    if out_path is None:
+        if not os.path.isdir(live) and os.path.isdir(stale):
+            shutil.move(stale, live)  # crashed mid-swap: restore
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)  # crashed post-swap: drop the leftover
     keys = spark.read.parquet(f"{path}/keys")
     hot = (
         keys.groupBy("kb")
@@ -170,7 +193,6 @@ def compact_audio_fp_index(
                 "overwrite"
             ).parquet(f"{out_path}/{sub}")
         return
-    live, stale = f"{path}/keys", f"{path}/keys.old"
     shutil.move(live, stale)
     shutil.move(dst, live)
     shutil.rmtree(stale)

@@ -246,8 +246,10 @@ def audio_feature_drift(
     from open_data_linter_spark.dedup._cache import persist_scoped
 
     # scoped persist (not bare .persist()): one generation per call site,
-    # releasable session-wide via clear_scoped — every feature's PSI and
-    # both PSI passes of a drift query reuse this one decoded frame
+    # releasable session-wide via clear_scoped. Every feature's PSI in
+    # THIS call reuses the frame; a SECOND call evicts it (one-generation
+    # scope), so compose multi-pass drift queries by pre-decoding with
+    # audio_features and passing the frozen frame to each call
     both = persist_scoped(
         "media.feature_drift",
         feats_b.withColumn("side", F.lit("batch"))

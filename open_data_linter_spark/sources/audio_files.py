@@ -19,8 +19,10 @@ by construction.
 
 Transcripts are not inside audio containers: pass an optional
 ``(clip_id, transcript)`` frame (e.g. read from a sidecar manifest) and
-it left-joins on clip_id; otherwise transcript is NULL (the transcript
-rules report the could-not-check channel).
+it left-joins on clip_id; otherwise transcript is NULL — note the
+1-6-nulls ROW rule flags NULL transcripts as violations (a gate that
+drops on violations would drop everything; the ingest CLI exempts
+exactly that rule/column pair when no sidecar exists).
 """
 
 from __future__ import annotations

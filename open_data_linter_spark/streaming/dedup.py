@@ -273,12 +273,11 @@ def streaming_audio_index_ingest(
     micro-batch, greedy keep-smallest-id as in the text loop), appends
     survivors to ``sink_path`` and — with ``grow_index`` — folds them
     into the index, so a later batch's re-recording of an earlier
-    survivor also drops. Only the BATCH is ever decoded: the corpus was
-    fingerprinted once at build time, and per micro-batch the clip
-    payloads make two Arrow decode passes (probe + intra-batch pairing;
-    micro-batches are small by construction, the corpus is the thing
-    that must never be re-decoded). Same replay-safety caveats as the
-    text loop."""
+    survivor also drops. Each micro-batch is decoded exactly ONCE: the
+    corpus was fingerprinted at build time, and the probe, the
+    intra-batch pairing, and the index append all share one
+    ``audio_hashed_keys`` frame. Same replay-safety caveats as the
+    text loop (the index append itself is id-idempotent)."""
     from open_data_linter_spark.dedup.audio_fp import (
         audio_hashed_keys,
         audio_near_duplicates,

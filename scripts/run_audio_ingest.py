@@ -19,7 +19,9 @@ every later invocation decodes only its batch:
                   (broadcast-batch joins; corpus frames never shuffle)
   4. intra-batch  dedup/audio_fp.audio_near_duplicates,
                   greedy keep-smallest-id (the streaming loop's policy)
-  5. sink + grow  survivors append to --out/accepted; --grow folds
+  5. sink + grow  survivors write to --out/accepted (one --out per
+                  batch run — cross-run state lives in the INDEX, not
+                  the out dir); --grow folds
                   them into the index so the NEXT batch's duplicates
                   of them drop too (see also
                   streaming/dedup.streaming_audio_index_ingest for the
@@ -42,7 +44,9 @@ Writes to --out:
 
 Deterministic end-to-end: fingerprints, probe joins, and the keep-
 smallest-id policy are all seeded/hash-based — re-running a batch
-against the same index reproduces the same accepted set.
+against the same index reproduces the same accepted set, and the index
+append is idempotent on clip ids (already-present ids are skipped), so
+a crashed run replayed with --grow cannot double-append index rows.
 """
 
 from __future__ import annotations
@@ -185,22 +189,36 @@ def main() -> int:
                 batch, spark.read.parquet(args.baseline)
             ).collect()
         }
-    # violations is None when the run produced no violation rows
+    # violations is None when the run produced no violation rows; clear
+    # any stale dir from a previous run into the same --out so report
+    # and sink never disagree
+    viol_dir = os.path.join(args.out, "violations")
     if vr.violations is not None:
-        vr.violations.write.mode("overwrite").parquet(
-            os.path.join(args.out, "violations")
-        )
+        vr.violations.write.mode("overwrite").parquet(viol_dir)
+    elif os.path.isdir(viol_dir):
+        import shutil
+
+        shutil.rmtree(viol_dir)
     stage("validated", n_in, t0)
 
     # ---- 2. gate ----------------------------------------------------------
     if args.drop_invalid and vr.violations is not None:
         t0 = time.time()
-        bad = (
-            spark.read.parquet(os.path.join(args.out, "violations"))
-            .where(F.col("clip_id").isNotNull())
-            .select("clip_id")
-            .distinct()
+        bad = spark.read.parquet(viol_dir).where(
+            F.col("clip_id").isNotNull()
         )
+        if args.raw_files and not args.transcripts:
+            # a raw directory has no transcript source at all: every clip
+            # would carry a 1-6-nulls transcript violation and the gate
+            # would silently drop the WHOLE batch. The absence of a
+            # sidecar is a pipeline property, not per-clip invalidity —
+            # exempt exactly that (rule, column) pair; all other
+            # violations still gate.
+            bad = bad.where(
+                ~((F.col("rule_id") == "1-6-nulls")
+                  & (F.col("column") == "transcript"))
+            )
+        bad = bad.select("clip_id").distinct()
         batch = batch.join(bad, "clip_id", "left_anti").localCheckpoint()
         stage("gated", batch.count(), t0)
 

@@ -93,3 +93,39 @@ def test_audio_ingest_cli_two_batches(spark, tmp_path):
         os.path.join(out2, "matches")).collect()}
     assert (_cid(14), _cid(8)) in m2     # grown-index match
     assert (_cid(30), _cid(24)) in m2    # original-corpus match
+
+
+def test_raw_files_gate_does_not_drop_transcriptless_clips(spark, tmp_path):
+    """--raw-files + --drop-invalid WITHOUT a transcript sidecar: every
+    clip has a NULL transcript (1-6-nulls fires on all of them), but the
+    gate must exempt exactly that rule/column pair — clean clips pass,
+    the undecodable file still gates via its other violations."""
+    import numpy as np
+
+    from open_data_linter_spark.audio.codecs import encode_clip
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    rng = np.random.default_rng(9)
+    for i in range(2):
+        pcm = (rng.normal(0, 0.2, 16000) * 32767).clip(-32768, 32767).astype(
+            np.int16
+        )
+        (d / f"rec_{i}.wav").write_bytes(encode_clip(pcm, 16000, "pcm_s16le"))
+    (d / "junk.wav").write_bytes(b"RIFFnot-audio")
+
+    # tiny corpus so the probe has an index to hit (no planted dups here)
+    corpus = tmp_path / "corpus"
+    from open_data_linter_spark.audio.synth import synthesize_tone_clips
+
+    synthesize_tone_clips(spark, 8, 2).write.parquet(str(corpus))
+
+    out = str(tmp_path / "out")
+    _run(["--batch", str(d), "--raw-files", "--drop-invalid",
+          "--index", str(tmp_path / "idx"), "--out", out,
+          "--build-from", str(corpus), "--master", "local[8]"])
+    r = json.load(open(os.path.join(out, "report.json")))
+    acc = {row.clip_id for row in spark.read.parquet(
+        os.path.join(out, "accepted")).collect()}
+    assert acc == {"rec_0", "rec_1"}
+    assert r["stages"]["gated"]["rows"] == 2  # junk gated, clean kept

@@ -187,3 +187,30 @@ def test_compact_reapplies_cap_without_redecoding(spark, tmp_path):
     }
     assert inplace_pairs == standalone_pairs
     assert inplace_pairs <= uncapped_pairs and uncapped_pairs
+
+
+def test_append_is_idempotent_on_ids(spark, tmp_path):
+    """Replaying an append with the same batch (the crashed-run retry)
+    must not double the index rows or inflate probe results."""
+    from open_data_linter_spark.dedup.incremental_audio import (
+        append_to_audio_fp_index,
+        save_audio_fp_index,
+    )
+
+    corpus, batch = _split(spark)
+    path = str(tmp_path / "afp_idx_idem")
+    save_audio_fp_index(build_audio_fp_index(corpus, max_key_df=None), path)
+    append_to_audio_fp_index(batch, path)
+    keys_1 = spark.read.parquet(f"{path}/keys").count()
+    hashed_1 = spark.read.parquet(f"{path}/hashed").count()
+    pairs_1 = sorted(map(tuple, match_audio_against_index(
+        batch, load_audio_fp_index(spark, path), threshold=THRESHOLD
+    ).collect()))
+
+    append_to_audio_fp_index(batch, path)  # replay
+    assert spark.read.parquet(f"{path}/keys").count() == keys_1
+    assert spark.read.parquet(f"{path}/hashed").count() == hashed_1
+    pairs_2 = sorted(map(tuple, match_audio_against_index(
+        batch, load_audio_fp_index(spark, path), threshold=THRESHOLD
+    ).collect()))
+    assert pairs_2 == pairs_1 and pairs_1
