@@ -115,14 +115,25 @@ def append_to_index(
     last step: probe → filter survivors → append). Parameters come from
     the index's own params sidecar — an appender can never mix shingle
     k / permutation families. Append-mode parquet writes only the new
-    rows; the corpus frames are never read or rewritten."""
+    rows; the corpus frames are never read or rewritten.
+
+    Idempotent on ids: docs whose id is ALREADY in the index are skipped
+    (anti-join against the stored id column, materialized before the
+    self-path append), so a crashed run replayed with the same batch
+    cannot double-append rows and duplicate every future probe match."""
     spark = accepted.sparkSession
     p = spark.read.parquet(f"{path}/params").head()
+    existing = spark.read.parquet(f"{path}/hashed").select("id")
     idx = build_minhash_index(
         accepted, text_col, id_col, int(p["k"]), int(p["n_perm"]), int(p["bands"])
     )
-    idx.bands_df.write.mode("append").parquet(f"{path}/bands")
-    idx.hashed_df.write.mode("append").parquet(f"{path}/hashed")
+    hashed = idx.hashed_df.join(existing, "id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    idx.bands_df.join(
+        hashed.select("id"), "id", "left_semi"
+    ).write.mode("append").parquet(f"{path}/bands")
+    hashed.write.mode("append").parquet(f"{path}/hashed")
 
 
 def load_index(spark, path: str) -> MinhashIndex:

@@ -94,10 +94,20 @@ def append_to_embedding_index(
     loop's last step: probe → filter survivors → append). The hyperplane
     family is regenerated from the index's own params sidecar, so the
     appended rows band identically to the original build — an appender
-    can never mix plane families."""
+    can never mix plane families.
+
+    Idempotent on ids: vectors whose id is ALREADY in the index are
+    skipped (anti-join against the stored id column, materialized before
+    the self-path append), so a crashed run replayed with the same batch
+    cannot double-append rows and duplicate every future probe match."""
     spark = accepted.sparkSession
     p = spark.read.parquet(f"{path}/params").head()
-    base = accepted.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    existing = spark.read.parquet(f"{path}/vecs").select("id")
+    base = (
+        accepted.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .join(existing, "id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
     bands = hyperplane_band_rows(
         base, int(p["bands"]), int(p["rows_per_band"]), int(p["dim"]),
         int(p["seed"]),

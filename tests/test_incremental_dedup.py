@@ -127,3 +127,16 @@ def test_probe_plan_never_rescans_corpus_text(spark):
     out = match_against_index(_df(spark, BATCH), idx, threshold=0.5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+def test_append_is_idempotent_on_ids(spark, tmp_path):
+    """Replaying an append with the same batch (the crashed-run retry)
+    must not double the index rows."""
+    path = str(tmp_path / "idx_idem")
+    save_index(build_minhash_index(_df(spark, CORPUS), k=3), path)
+    append_to_index(_df(spark, BATCH), path)
+    n_bands = spark.read.parquet(f"{path}/bands").count()
+    n_hashed = spark.read.parquet(f"{path}/hashed").count()
+    append_to_index(_df(spark, BATCH), path)  # replay
+    assert spark.read.parquet(f"{path}/bands").count() == n_bands
+    assert spark.read.parquet(f"{path}/hashed").count() == n_hashed

@@ -127,3 +127,21 @@ def test_append_folds_batch_into_embedding_index(spark, tmp_path):
     assert (200, 102) in pairs  # only reachable via the append
     assert (201, 4) in pairs    # original corpus still matches
     assert not any(b == 202 for b, _ in pairs)
+
+
+def test_append_is_idempotent_on_ids(spark, tmp_path):
+    """Replaying an append with the same batch (the crashed-run retry)
+    must not double the index rows."""
+    from open_data_linter_spark.dedup.incremental_embedding import (
+        append_to_embedding_index,
+    )
+
+    corpus, batch = _data(spark)
+    path = str(tmp_path / "emb_idx_idem")
+    save_embedding_index(build_embedding_index(corpus, **_params()), path)
+    append_to_embedding_index(batch, path)
+    n_bands = spark.read.parquet(f"{path}/bands").count()
+    n_vecs = spark.read.parquet(f"{path}/vecs").count()
+    append_to_embedding_index(batch, path)  # replay
+    assert spark.read.parquet(f"{path}/bands").count() == n_bands
+    assert spark.read.parquet(f"{path}/vecs").count() == n_vecs
