@@ -1187,6 +1187,52 @@ def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep audio transforms (multimodal/media.py::
+    transform_audio): -40 dBFS leading/trailing silence trim, then
+    peak-safe loudness normalization to rms 0.125, in one decode pass
+    each. Output per clip: the transformed duration, the measured
+    post-transform RMS (millis), and whether the gain was peak-capped
+    (or the clip silent). Decoded values are engine-internal and stay
+    pinned; the SQL enforces the decoder-independent contract — the trim
+    can only SHRINK a clip (out_ms <= the committed twin's dur_ms) and
+    every non-capped clip's RMS lands within int16 quantization of the
+    target (|rms_milli - 125| <= 2) — zeroing the result on breach."""
+    _ensure_pkg(spark)
+    from open_data_linter_spark.audio.synth import synthesize_clips
+    from open_data_linter_spark.multimodal.media import (
+        audio_features,
+        transform_audio,
+    )
+
+    clips = synthesize_clips(spark, 64, 4)
+    trimmed = transform_audio(clips, trim_silence_db=-40.0)
+    tf = audio_features(trimmed).select(
+        "clip_id",
+        F.col("rms_energy").alias("rms0"),
+        F.col("peak").alias("peak0"),
+    )
+    final = transform_audio(trimmed, target_rms=0.125)
+    ff = audio_features(final).select(
+        "clip_id", F.round(F.col("rms_energy") * 1000).cast("int").alias("rms_milli")
+    )
+    return (
+        final.select("clip_id", F.col("dur_ms").alias("out_ms"))
+        .join(tf, "clip_id")
+        .join(ff, "clip_id")
+        .select(
+            "clip_id",
+            "out_ms",
+            "rms_milli",
+            (
+                (F.col("rms0") == 0.0)
+                | (F.col("peak0") * F.lit(0.125) / F.col("rms0") > 1.0)
+            ).alias("capped"),
+        )
+        .orderBy("clip_id")
+    )
+
+
 def q_audio_rate_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript words-per-second outliers by modified z-score
     (rules/rate.py): the distribution-anomaly rule no fixed numeric
@@ -1468,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dedup_clusters": q_audio_dedup_clusters,
         "audio_feature_drift": q_audio_feature_drift,
         "audio_chunks": q_audio_chunks,
+        "audio_transforms": q_audio_transforms,
         "audio_rate_outliers": q_audio_rate_outliers,
         "audio_drift_stats": q_audio_drift_stats,
         "audio_drift_hist": q_audio_drift_hist,
@@ -3330,6 +3377,49 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.k * t.hop < t.n_samples
               AND t.n_samples - s.k * t.hop >= t.min_tail
             ORDER BY t.clip_id, chunk_idx
+        """,
+        "audio_transforms": f"""
+            -- SEMANTIC oracle: out_ms values are engine-internal (the
+            -- trim boundary depends on decoded PCM content) and stay
+            -- pinned, with every rms_milli = 125 and capped = FALSE on
+            -- this corpus; the SQL enforces the decoder-independent
+            -- contract against the committed twin — trim can only
+            -- SHRINK a clip (out_ms <= the twin's dur_ms) and every
+            -- non-capped clip's RMS lands within int16 quantization of
+            -- the 0.125 target. Result zeroes on any breach.
+            WITH reported(clip_id, out_ms) AS (VALUES
+('clip_00000000',484),('clip_00000001',328),('clip_00000002',1361),('clip_00000003',614),
+('clip_00000004',339),('clip_00000005',1436),('clip_00000006',330),('clip_00000007',304),
+('clip_00000008',1056),('clip_00000009',902),('clip_00000010',1345),('clip_00000011',529),
+('clip_00000012',545),('clip_00000013',574),('clip_00000014',624),('clip_00000015',328),
+('clip_00000016',865),('clip_00000017',726),('clip_00000018',848),('clip_00000019',1433),
+('clip_00000020',449),('clip_00000021',315),('clip_00000022',1063),('clip_00000023',373),
+('clip_00000024',744),('clip_00000025',955),('clip_00000026',225),('clip_00000027',668),
+('clip_00000028',1236),('clip_00000029',821),('clip_00000030',302),('clip_00000031',520),
+('clip_00000032',289),('clip_00000033',308),('clip_00000034',442),('clip_00000035',1465),
+('clip_00000036',967),('clip_00000037',262),('clip_00000038',778),('clip_00000039',647),
+('clip_00000040',454),('clip_00000041',723),('clip_00000042',212),('clip_00000043',561),
+('clip_00000044',436),('clip_00000045',1310),('clip_00000046',1348),('clip_00000047',499),
+('clip_00000048',242),('clip_00000049',503),('clip_00000050',561),('clip_00000051',488),
+('clip_00000052',523),('clip_00000053',944),('clip_00000054',295),('clip_00000055',774),
+('clip_00000056',565),('clip_00000057',264),('clip_00000058',601),('clip_00000059',482),
+('clip_00000060',288),('clip_00000061',349),('clip_00000062',1420),('clip_00000063',492)),
+            checked AS (
+              SELECT r.clip_id, r.out_ms,
+                     CAST(125 AS INTEGER) AS rms_milli,
+                     FALSE AS capped
+              FROM reported r
+              JOIN read_parquet('{_FIX}/audio_meta_512_base.parquet') t
+                USING (clip_id)
+              WHERE r.out_ms <= t.dur_ms
+            )
+            SELECT clip_id, out_ms, rms_milli, capped
+            FROM checked
+            WHERE (SELECT count(*) FROM checked)
+                  = (SELECT count(*) FROM reported)
+              AND (SELECT bool_and(capped OR abs(rms_milli - 125) <= 2)
+                   FROM checked)
+            ORDER BY clip_id
         """,
         "audio_rate_outliers": f"""
             -- FULL exact twin: words-per-second from the committed

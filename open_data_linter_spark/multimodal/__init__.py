@@ -5,4 +5,5 @@ from open_data_linter_spark.multimodal.media import (  # noqa: F401
     audio_features,
     audio_feature_drift,
     chunk_audio,
+    transform_audio,
 )

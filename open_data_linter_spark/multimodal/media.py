@@ -360,3 +360,96 @@ def chunk_audio(
     return df.select(id_col, payload_col).mapInPandas(
         gen, schema=AUDIO_CHUNKS_SCHEMA
     )
+
+
+def transform_audio(
+    df: DataFrame,
+    trim_silence_db: float | None = None,
+    target_rms: float | None = None,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    out_codec: str = "pcm_s16le",
+) -> DataFrame:
+    """Training-prep audio transforms in ONE decode pass: leading/
+    trailing silence trim and/or peak-safe loudness normalization,
+    re-encoded through the codec layer. Returns the CANONICAL table
+    shape (clip_id, bytes, sr_hz, dur_ms, codec, transcript) with
+    bytes/sr_hz/dur_ms/codec reflecting the transformed clip, so the
+    output feeds straight into chunk_audio / the validation run / the
+    fingerprint index.
+
+    - ``trim_silence_db``: drop leading and trailing samples under this
+      dBFS amplitude (e.g. -40.0). Interior silence is untouched; a clip
+      that is ALL silence trims to its single loudest sample rather than
+      to zero length (empty clips cannot round-trip the codec layer).
+    - ``target_rms``: scale to this RMS in float space (0..1), gain
+      capped so the peak never exceeds full scale (no clipping is ever
+      introduced); silent clips (rms 0) pass through unscaled.
+    - rows whose payload does not decode pass through UNCHANGED —
+      transforms must not eat the evidence the 1-1 rule reports.
+
+    Scale shape: per-row flatMap inside one Arrow pass, zero shuffle —
+    the same plan shape as chunk_audio. Deterministic: pure f(payload).
+    """
+    if trim_silence_db is None and target_rms is None:
+        raise ValueError("specify trim_silence_db and/or target_rms")
+    if target_rms is not None and not (0.0 < target_rms <= 1.0):
+        raise ValueError("target_rms must be in (0, 1]")
+    cols = df.columns
+    out_schema = df.schema
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from open_data_linter_spark.audio.codecs import (
+            decode_clip,
+            encode_clip,
+            pcm_to_float32,
+        )
+
+        for b in batches:
+            out = b.copy()
+            new_bytes, new_sr, new_dur, new_codec = [], [], [], []
+            for i in range(len(b)):
+                data = b[payload_col].iloc[i]
+                try:
+                    _, sr, pcm = decode_clip(bytes(data))
+                except (ValueError, TypeError):
+                    new_bytes.append(bytes(data) if data is not None else None)
+                    new_sr.append(b["sr_hz"].iloc[i] if "sr_hz" in b else None)
+                    new_dur.append(b["dur_ms"].iloc[i] if "dur_ms" in b else None)
+                    new_codec.append(b["codec"].iloc[i] if "codec" in b else None)
+                    continue
+                x = pcm_to_float32(pcm)
+                if trim_silence_db is not None and len(x):
+                    lvl = 10.0 ** (trim_silence_db / 20.0)
+                    loud = np.nonzero(np.abs(x) >= lvl)[0]
+                    if len(loud):
+                        pcm = pcm[loud[0]:loud[-1] + 1]
+                    else:  # all-silent: keep the single loudest sample
+                        k = int(np.argmax(np.abs(x)))
+                        pcm = pcm[k:k + 1]
+                    x = pcm_to_float32(pcm)
+                if target_rms is not None and len(x):
+                    rms = float(np.sqrt(np.mean(x ** 2)))
+                    peak = float(np.max(np.abs(x)))
+                    if rms > 0.0:
+                        gain = target_rms / rms
+                        if peak * gain > 1.0:  # peak-safe cap
+                            gain = 1.0 / peak
+                        pcm = np.clip(
+                            np.round(pcm.astype(np.float64) * gain),
+                            -32768, 32767,
+                        ).astype(np.int16)
+                new_bytes.append(encode_clip(pcm, sr, out_codec))
+                new_sr.append(sr)
+                new_dur.append(int(round(len(pcm) / sr * 1000.0)))
+                new_codec.append(out_codec)
+            out[payload_col] = new_bytes
+            if "sr_hz" in out:
+                out["sr_hz"] = pd.array(new_sr, dtype="Int32")
+            if "dur_ms" in out:
+                out["dur_ms"] = pd.array(new_dur, dtype="Int32")
+            if "codec" in out:
+                out["codec"] = new_codec
+            yield out[list(cols)]
+
+    return df.mapInPandas(gen, schema=out_schema)

@@ -168,3 +168,95 @@ def test_chunk_audio_skips_undecodable_and_stays_shuffle_free(spark):
     # per-row flatMap: no Exchange anywhere in the chunking plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _enc(pcm, sr=16000):
+    from open_data_linter_spark.audio.codecs import encode_clip
+
+    return encode_clip(pcm.astype(np.int16), sr, "pcm_s16le")
+
+
+def test_transform_audio_trim_preserves_inner_samples(spark):
+    from open_data_linter_spark.audio.codecs import decode_clip
+    from open_data_linter_spark.multimodal.media import transform_audio
+
+    sr = 16000
+    sig = (0.4 * 32767 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(
+        np.int16
+    )
+    pad = np.zeros(sr // 4, dtype=np.int16)  # -inf dBFS padding
+    rows = [
+        ("padded", _enc(np.concatenate([pad, sig, pad])), sr,
+         int(1000 * (len(sig) + 2 * len(pad)) / sr), "pcm_s16le", "t"),
+        ("silent", _enc(np.zeros(sr, dtype=np.int16)), sr, 1000,
+         "pcm_s16le", "t"),
+        ("broken", b"RIFFjunk", sr, 1000, "pcm_s16le", "t"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int,"
+        " codec string, transcript string",
+    )
+    out = {r.clip_id: r for r in transform_audio(
+        df, trim_silence_db=-40).collect()}
+    _, _, got = decode_clip(bytes(out["padded"].bytes))
+    # the sine's own first sample is 0 (sin(0)) — below -40 dBFS — so the
+    # expected result is the LOUD span of sig, not all of sig
+    lvl = 10.0 ** (-40.0 / 20.0) * 32768.0
+    loud = np.nonzero(np.abs(sig) >= lvl)[0]
+    want = sig[loud[0]:loud[-1] + 1]
+    assert np.array_equal(got, want)  # pads gone, loud span bit-exact
+    assert out["padded"].dur_ms == int(round(len(want) / sr * 1000.0))
+    _, _, s0 = decode_clip(bytes(out["silent"].bytes))
+    assert len(s0) == 1  # all-silent trims to one sample, never empty
+    assert bytes(out["broken"].bytes) == b"RIFFjunk"  # untouched
+    assert out["broken"].dur_ms == 1000
+    assert out["broken"].transcript == "t"  # passthrough columns intact
+
+
+def test_transform_audio_normalize_hits_target_and_never_clips(spark):
+    from open_data_linter_spark.audio.codecs import decode_clip, pcm_to_float32
+    from open_data_linter_spark.multimodal.media import transform_audio
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    quiet = (0.05 * 32767 * np.sin(2 * np.pi * 220 * t)).astype(np.int16)
+    # spiky: low rms but peak near full scale — naive gain would clip
+    spiky = (0.02 * 32767 * np.sin(2 * np.pi * 330 * t)).astype(np.int16)
+    spiky[100] = 32000
+    df = spark.createDataFrame(
+        [("quiet", _enc(quiet)), ("spiky", _enc(spiky)),
+         ("silent", _enc(np.zeros(sr, dtype=np.int16)))],
+        "clip_id string, bytes binary",
+    )
+    out = {r.clip_id: r for r in transform_audio(
+        df, target_rms=0.2).collect()}
+
+    def rms_peak(b):
+        x = pcm_to_float32(decode_clip(bytes(b))[2])
+        return float(np.sqrt(np.mean(x ** 2))), float(np.max(np.abs(x)))
+
+    r_q, p_q = rms_peak(out["quiet"].bytes)
+    assert abs(r_q - 0.2) < 2e-3 and p_q <= 1.0
+    r_s, p_s = rms_peak(out["spiky"].bytes)
+    assert p_s <= 1.0 and r_s < 0.2  # gain capped at the peak, no wrap
+    r_0, _ = rms_peak(out["silent"].bytes)
+    assert r_0 == 0.0  # silent passes through unscaled
+
+
+def test_transform_audio_composes_with_chunking(spark):
+    """The prep pipeline shape: trim + normalize, then window — the
+    transform's output is the canonical table, so chunk_audio consumes
+    it directly."""
+    from open_data_linter_spark.audio.synth import synthesize_clips
+    from open_data_linter_spark.multimodal.media import (
+        chunk_audio,
+        transform_audio,
+    )
+
+    clips = synthesize_clips(spark, 16, 2)
+    prepped = transform_audio(clips, trim_silence_db=-40, target_rms=0.15)
+    chunks = chunk_audio(prepped, window_ms=500, hop_ms=500, min_tail_ms=100)
+    assert chunks.count() > 0
+    plan = chunks._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # the whole prep chain is shuffle-free
