@@ -1233,6 +1233,54 @@ def q_audio_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-rate unification (multimodal/media.py::transform_audio
+    target_sr / resample_pcm): linear-interpolation resample of the
+    mixed-rate corpus to 16 kHz in one decode pass. FULL exact twin:
+    the output length is the pure-integer formula
+    ``greatest(1, (n*16000 + sr//2) // sr)`` over the committed twin's
+    true decoded n_samples — no engine value pinned. n_out is read back
+    from the emitted bytes via the feature extractor (duration_s is
+    exactly n/sr in float64; round() recovers the integer)."""
+    _ensure_pkg(spark)
+    from open_data_linter_spark.audio.synth import synthesize_clips
+    from open_data_linter_spark.multimodal.media import (
+        audio_features,
+        transform_audio,
+    )
+
+    clips = synthesize_clips(spark, 512, 8)
+    out = transform_audio(clips, target_sr=16000)
+    return (
+        audio_features(out)
+        .select(
+            "clip_id",
+            F.round(F.col("duration_s") * 16000).cast("long").alias("n_out"),
+        )
+        .orderBy("clip_id")
+    )
+
+
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style silence-gap segmentation (multimodal/media.py::
+    segment_on_silence): utterance spans recovered from the DECODED
+    audio of the gapped fixture (tone bursts separated by digital
+    silence, audio/synth.py::_gapped_layout). FULL INDEPENDENT twin:
+    the committed truth parquet carries the PLANTED spans — derived
+    from the synthesis layout, never from the decoder — so any missed
+    boundary, off-by-one, or phantom segment breaks the compare."""
+    _ensure_pkg(spark)
+    from open_data_linter_spark.audio.synth import synthesize_gapped_clips
+    from open_data_linter_spark.multimodal.media import segment_on_silence
+
+    clips = synthesize_gapped_clips(spark, 256, 8)
+    return (
+        segment_on_silence(clips)
+        .select("clip_id", "seg_idx", "sr_hz", "start_sample", "seg_samples")
+        .orderBy("clip_id", "seg_idx")
+    )
+
+
 def q_audio_rate_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript words-per-second outliers by modified z-score
     (rules/rate.py): the distribution-anomaly rule no fixed numeric
@@ -1515,6 +1563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_feature_drift": q_audio_feature_drift,
         "audio_chunks": q_audio_chunks,
         "audio_transforms": q_audio_transforms,
+        "audio_resample": q_audio_resample,
+        "audio_segments": q_audio_segments,
         "audio_rate_outliers": q_audio_rate_outliers,
         "audio_drift_stats": q_audio_drift_stats,
         "audio_drift_hist": q_audio_drift_hist,
@@ -3377,6 +3427,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.k * t.hop < t.n_samples
               AND t.n_samples - s.k * t.hop >= t.min_tail
             ORDER BY t.clip_id, chunk_idx
+        """,
+        "audio_resample": f"""
+            -- FULL exact twin: the resampled length is pure integer
+            -- arithmetic on the committed twin's true decoded n_samples
+            -- (half-up rounding written divisionless so DuckDB and
+            -- Python agree exactly): n_out = greatest(1,
+            -- (n*16000 + sr//2) // sr).
+            SELECT clip_id,
+                   CAST(GREATEST(1,
+                        (CAST(n_samples AS BIGINT) * 16000
+                         + CAST(sr_hz AS BIGINT) // 2)
+                        // CAST(sr_hz AS BIGINT)) AS BIGINT) AS n_out
+            FROM read_parquet('{_FIX}/audio_meta_512_base.parquet')
+            WHERE n_samples IS NOT NULL
+            ORDER BY clip_id
+        """,
+        "audio_segments": f"""
+            -- FULL INDEPENDENT twin: the planted utterance spans,
+            -- committed from the synthesis layout (never the decoder) —
+            -- the engine must recover every boundary sample-exactly
+            -- from the decoded audio alone.
+            SELECT clip_id,
+                   CAST(seg_idx AS INTEGER) AS seg_idx,
+                   CAST(sr_hz AS INTEGER) AS sr_hz,
+                   CAST(start_sample AS INTEGER) AS start_sample,
+                   CAST(seg_samples AS INTEGER) AS seg_samples
+            FROM read_parquet('{_FIX}/audio_gapped_truth_256.parquet')
+            ORDER BY clip_id, seg_idx
         """,
         "audio_transforms": f"""
             -- SEMANTIC oracle: out_ms values are engine-internal (the

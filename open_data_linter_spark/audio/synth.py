@@ -418,6 +418,124 @@ def gen_tone_clips_pdf(
     return pdf
 
 
+# ------------------------------------------ gapped-utterance VAD fixture
+
+_GAP_SEED = 13
+
+
+def _gapped_layout(i: int, seed: int = _GAP_SEED):
+    """Planted layout for gapped clip ``i``: (sr, lead_n, [(start, n,
+    f0, amp), ...], total_n). Pure f(i), shared by the clips generator
+    and the ground-truth twin so the truth never depends on the decoder
+    or the segmentation operator. Constraints that make the planted
+    spans EXACTLY recoverable by segment_on_silence's defaults
+    (-40 dBFS, 150 ms gap, 100 ms min segment): bursts are 150-400 ms
+    (>= min segment), inter-burst gaps 200-450 ms of digital silence
+    (>= min gap; A-law's no-true-zero decode of 0 is ~8/32768, far
+    under the -40 dB level), burst amplitude 0.35-0.5 (far above it),
+    and the first/last burst samples are pinned to full amplitude so
+    span edges are loud by construction (a sine's phase-0 edge would
+    start below threshold). Interior |cos| dips under the level last
+    ~2 samples per zero crossing — orders of magnitude under min gap.
+    """
+    rng = np.random.default_rng((seed, i, 13))
+    sr = int(rng.choice(SR_CHOICES, p=SR_PROBS))
+    n_seg = 0 if i % 17 == 0 else int(rng.integers(1, 5))
+    lead_n = int(round(sr * int(rng.integers(40, 301)) / 1000.0))
+    trail_n = int(round(sr * int(rng.integers(40, 301)) / 1000.0))
+    pos = lead_n
+    spans = []
+    for k in range(n_seg):
+        burst_n = int(round(sr * int(rng.integers(150, 401)) / 1000.0))
+        f0 = float(rng.uniform(200.0, min(2000.0, sr / 4.0)))
+        amp = float(rng.uniform(0.35, 0.5))
+        spans.append((pos, burst_n, f0, amp))
+        pos += burst_n
+        if k < n_seg - 1:
+            pos += int(round(sr * int(rng.integers(200, 451)) / 1000.0))
+    total_n = pos + trail_n
+    return sr, lead_n, spans, total_n
+
+
+def gen_gapped_clips_pdf(indices: np.ndarray, seed: int = _GAP_SEED) -> pd.DataFrame:
+    """Clips-table slice of the gapped-utterance fixture: seeded tone
+    bursts separated by true digital silence, every boundary planted."""
+    rows = []
+    for i in map(int, indices):
+        sr, _, spans, total_n = _gapped_layout(i, seed)
+        x = np.zeros(total_n, dtype=np.float64)
+        for start, n, f0, amp in spans:
+            t = np.arange(n, dtype=np.float64) / sr
+            burst = amp * np.cos(2 * np.pi * f0 * t)
+            burst[0] = amp
+            burst[-1] = amp  # pin span edges above the loudness level
+            x[start:start + n] = burst
+        pcm = np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
+        rng = np.random.default_rng((seed, i, 21))
+        codec = str(rng.choice(CODEC_CHOICES, p=CODEC_PROBS))
+        transcript = " ".join(rng.choice(_VOCAB, size=int(rng.integers(3, 13))))
+        rows.append(
+            {
+                "clip_id": clip_id_for(i),
+                "bytes": encode_clip(pcm, sr, codec),
+                "sr_hz": sr,
+                "dur_ms": int(round(total_n / sr * 1000.0)),
+                "codec": codec,
+                "transcript": transcript,
+            }
+        )
+    pdf = pd.DataFrame(
+        rows, columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+    )
+    pdf["sr_hz"] = pdf["sr_hz"].astype("Int32")
+    pdf["dur_ms"] = pdf["dur_ms"].astype("Int32")
+    return pdf
+
+
+def gen_gapped_truth_pdf(indices: np.ndarray, seed: int = _GAP_SEED) -> pd.DataFrame:
+    """Ground-truth twin: one row per planted utterance span."""
+    rows = []
+    for i in map(int, indices):
+        sr, _, spans, _ = _gapped_layout(i, seed)
+        for k, (start, n, _, _) in enumerate(spans):
+            rows.append(
+                {
+                    "clip_id": clip_id_for(i),
+                    "seg_idx": k,
+                    "sr_hz": sr,
+                    "start_sample": start,
+                    "seg_samples": n,
+                }
+            )
+    return pd.DataFrame(
+        rows, columns=["clip_id", "seg_idx", "sr_hz", "start_sample", "seg_samples"]
+    )
+
+
+def synthesize_gapped_clips(spark, n: int, num_partitions: int = 16, seed: int = _GAP_SEED):
+    """Distributed gapped-fixture synthesis (same shape as synthesize_clips)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("sr_hz", T.IntegerType()),
+            T.StructField("dur_ms", T.IntegerType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("transcript", T.StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield gen_gapped_clips_pdf(b["id"].to_numpy(), seed)
+
+    return spark.range(0, n, numPartitions=num_partitions).mapInPandas(
+        gen, schema=schema
+    )
+
+
 def gen_tone_groups_pdf(indices: np.ndarray, seed: int = 7) -> pd.DataFrame:
     """Ground-truth metadata twin: (clip_id, group_id, variant) per clip."""
     rows = [

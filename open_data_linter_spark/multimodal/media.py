@@ -362,26 +362,160 @@ def chunk_audio(
     )
 
 
+AUDIO_SEGMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("seg_idx", T.IntegerType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("start_sample", T.IntegerType()),
+        T.StructField("seg_samples", T.IntegerType()),
+        T.StructField("bytes", T.BinaryType()),
+    ]
+)
+
+
+def segment_pcm(
+    x: np.ndarray, sr: int, level: float, min_gap: int, min_seg: int
+) -> list[tuple[int, int]]:
+    """Silence-gap segmentation of one float clip: (start, length) spans.
+
+    A sample is LOUD when ``|x| >= level``. Two loud samples belong to
+    the same segment while the silent run between them is shorter than
+    ``min_gap`` samples; each segment spans [first_loud, last_loud] of
+    its group (leading/trailing silence of ANY length is trimmed — only
+    in-between gaps need to clear ``min_gap``). Segments shorter than
+    ``min_seg`` samples are dropped. Pure integer geometry on the loud
+    index set, so a planted fixture replays it independently.
+    """
+    loud = np.nonzero(np.abs(x) >= level)[0]
+    if len(loud) == 0:
+        return []
+    # split where the silent run between successive loud samples >= min_gap
+    breaks = np.nonzero(np.diff(loud) - 1 >= min_gap)[0]
+    starts = np.concatenate(([0], breaks + 1))
+    ends = np.concatenate((breaks, [len(loud) - 1]))
+    spans = []
+    for s, e in zip(starts, ends):
+        a, b = int(loud[s]), int(loud[e])
+        if b - a + 1 >= min_seg:
+            spans.append((a, b - a + 1))
+    return spans
+
+
+def segment_on_silence(
+    df: DataFrame,
+    threshold_db: float = -40.0,
+    min_gap_ms: int = 150,
+    min_segment_ms: int = 100,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    out_codec: str = "pcm_s16le",
+) -> DataFrame:
+    """VAD-style utterance splitting: one row per speech segment, silence
+    gaps >= ``min_gap_ms`` removed — the audio analog of paragraph
+    splitting before chunking (a long recording of separated utterances
+    becomes independent training clips, and chunk windows never straddle
+    dead air). Gap/length thresholds convert to samples at each clip's
+    OWN rate; emitted ``bytes`` are sample-exact PCM slices re-encoded
+    through the codec layer. Undecodable clips emit no rows (decode
+    failure is the 1-1 error channel's business, rules/payload.py).
+
+    Scale shape: one Arrow decode pass, zero shuffle — per-row flatMap
+    exactly like chunk_audio; compose ``segment_on_silence -> chunk_audio``
+    for the full long-recording split.
+    """
+    if min_gap_ms < 1 or min_segment_ms < 1:
+        raise ValueError("min_gap_ms and min_segment_ms must be >= 1")
+    level = 10.0 ** (threshold_db / 20.0)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from open_data_linter_spark.audio.codecs import (
+            decode_clip,
+            encode_clip,
+            pcm_to_float32,
+        )
+
+        for b in batches:
+            rows = []
+            for cid, data in zip(b[id_col], b[payload_col]):
+                try:
+                    _, sr, pcm = decode_clip(bytes(data))
+                except (ValueError, TypeError):
+                    continue
+                min_gap = max(1, int(round(sr * min_gap_ms / 1000.0)))
+                min_seg = max(1, int(round(sr * min_segment_ms / 1000.0)))
+                x = pcm_to_float32(pcm)
+                for k, (start, take) in enumerate(
+                    segment_pcm(x, sr, level, min_gap, min_seg)
+                ):
+                    rows.append(
+                        {
+                            "clip_id": cid,
+                            "seg_idx": k,
+                            "sr_hz": sr,
+                            "start_sample": start,
+                            "seg_samples": take,
+                            "bytes": encode_clip(
+                                pcm[start:start + take], sr, out_codec
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SEGMENTS_SCHEMA.fields]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, schema=AUDIO_SEGMENTS_SCHEMA
+    )
+
+
+def resample_pcm(pcm: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    """Linear-interpolation sample-rate conversion of an int16 PCM array.
+
+    Output length is the pure-integer formula
+    ``max(1, (n*target + sr//2) // sr)`` — half-up rounding written so a
+    DuckDB twin replays it exactly from ``(n_samples, sr_hz)`` alone (no
+    float round-trip, no banker's-rounding divergence). Output sample
+    ``j`` interpolates the source at position ``j*sr/target`` (float64),
+    clamped to the last sample when upsampling runs past the end.
+    """
+    n = len(pcm)
+    if n == 0 or sr == target_sr:
+        return pcm
+    n_out = max(1, (n * target_sr + sr // 2) // sr)
+    pos = np.arange(n_out, dtype=np.float64) * (sr / target_sr)
+    y = np.interp(pos, np.arange(n, dtype=np.float64), pcm.astype(np.float64))
+    return np.clip(np.round(y), -32768, 32767).astype(np.int16)
+
+
 def transform_audio(
     df: DataFrame,
     trim_silence_db: float | None = None,
+    target_sr: int | None = None,
     target_rms: float | None = None,
     id_col: str = "clip_id",
     payload_col: str = "bytes",
     out_codec: str = "pcm_s16le",
 ) -> DataFrame:
     """Training-prep audio transforms in ONE decode pass: leading/
-    trailing silence trim and/or peak-safe loudness normalization,
-    re-encoded through the codec layer. Returns the CANONICAL table
-    shape (clip_id, bytes, sr_hz, dur_ms, codec, transcript) with
-    bytes/sr_hz/dur_ms/codec reflecting the transformed clip, so the
-    output feeds straight into chunk_audio / the validation run / the
-    fingerprint index.
+    trailing silence trim, sample-rate conversion, and/or peak-safe
+    loudness normalization (applied in that order), re-encoded through
+    the codec layer. Returns the CANONICAL table shape (clip_id, bytes,
+    sr_hz, dur_ms, codec, transcript) with bytes/sr_hz/dur_ms/codec
+    reflecting the transformed clip, so the output feeds straight into
+    chunk_audio / the validation run / the fingerprint index.
 
     - ``trim_silence_db``: drop leading and trailing samples under this
       dBFS amplitude (e.g. -40.0). Interior silence is untouched; a clip
       that is ALL silence trims to its single loudest sample rather than
       to zero length (empty clips cannot round-trip the codec layer).
+    - ``target_sr``: linear-interpolation resample to this rate — the
+      rate unification every training pipeline runs before featurizing
+      (and before the fingerprint index, whose melody grid is
+      rate-relative). Output length is the exact integer formula in
+      ``resample_pcm`` (SQL-replayable). Trim runs BEFORE resample so
+      boundaries are found at native resolution; normalize runs after
+      so the RMS target holds in the emitted bytes.
     - ``target_rms``: scale to this RMS in float space (0..1), gain
       capped so the peak never exceeds full scale (no clipping is ever
       introduced); silent clips (rms 0) pass through unscaled.
@@ -391,10 +525,12 @@ def transform_audio(
     Scale shape: per-row flatMap inside one Arrow pass, zero shuffle —
     the same plan shape as chunk_audio. Deterministic: pure f(payload).
     """
-    if trim_silence_db is None and target_rms is None:
-        raise ValueError("specify trim_silence_db and/or target_rms")
+    if trim_silence_db is None and target_rms is None and target_sr is None:
+        raise ValueError("specify trim_silence_db, target_sr and/or target_rms")
     if target_rms is not None and not (0.0 < target_rms <= 1.0):
         raise ValueError("target_rms must be in (0, 1]")
+    if target_sr is not None and target_sr < 1:
+        raise ValueError("target_sr must be >= 1")
     cols = df.columns
     out_schema = df.schema
 
@@ -427,6 +563,10 @@ def transform_audio(
                     else:  # all-silent: keep the single loudest sample
                         k = int(np.argmax(np.abs(x)))
                         pcm = pcm[k:k + 1]
+                    x = pcm_to_float32(pcm)
+                if target_sr is not None and sr != target_sr:
+                    pcm = resample_pcm(pcm, sr, target_sr)
+                    sr = target_sr
                     x = pcm_to_float32(pcm)
                 if target_rms is not None and len(x):
                     rms = float(np.sqrt(np.mean(x ** 2)))

@@ -65,6 +65,15 @@ def main() -> None:
     path = os.path.join(OUT_DIR, "audio_fp_groups_256.parquet")
     gen_tone_groups_pdf(np.arange(256)).to_parquet(path, index=False)
     print(f"wrote {path}: 256 rows")
+    # planted utterance spans for the VAD-segmentation oracle — derived
+    # from the layout alone (audio/synth.py::_gapped_layout), never from
+    # the decoder or the segmentation operator
+    from open_data_linter_spark.audio.synth import gen_gapped_truth_pdf
+
+    path = os.path.join(OUT_DIR, "audio_gapped_truth_256.parquet")
+    truth = gen_gapped_truth_pdf(np.arange(256))
+    truth.to_parquet(path, index=False)
+    print(f"wrote {path}: {len(truth)} rows")
 
 
 if __name__ == "__main__":

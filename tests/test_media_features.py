@@ -260,3 +260,134 @@ def test_transform_audio_composes_with_chunking(spark):
     assert chunks.count() > 0
     plan = chunks._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # the whole prep chain is shuffle-free
+
+
+def test_resample_pcm_exactness():
+    """Linear-interp resample: exact midpoints on a 2x upsampled ramp,
+    constant signals stay constant, and the output length replays the
+    divisionless half-up integer formula at every fixture rate."""
+    from open_data_linter_spark.audio.synth import SR_CHOICES
+    from open_data_linter_spark.multimodal.media import resample_pcm
+
+    ramp = (np.arange(10, dtype=np.int16) * 100)
+    up = resample_pcm(ramp, 8000, 16000)
+    assert up[:8].tolist() == [0, 50, 100, 150, 200, 250, 300, 350]
+    const = resample_pcm(np.full(100, 1234, dtype=np.int16), 44100, 8000)
+    assert set(const.tolist()) == {1234}
+    same = resample_pcm(ramp, 8000, 8000)
+    assert np.array_equal(same, ramp)  # identity, no float round-trip
+    for sr in map(int, SR_CHOICES):
+        for target in map(int, SR_CHOICES):
+            for n in (1, 7, 999, 12345):
+                got = len(resample_pcm(np.zeros(n, dtype=np.int16), sr, target))
+                assert got == max(1, (n * target + sr // 2) // sr)
+
+
+def test_transform_audio_resample_preserves_tone(spark):
+    from open_data_linter_spark.audio.codecs import decode_clip, pcm_to_float32
+    from open_data_linter_spark.multimodal.media import transform_audio
+
+    sr = 8000
+    t = np.arange(sr) / sr  # 1 s of 440 Hz
+    tone = (0.4 * 32767 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    df = spark.createDataFrame(
+        [("tone", _enc(tone, sr), sr, 1000, "pcm_s16le", "t"),
+         ("broken", b"RIFFjunk", sr, 1000, "pcm_s16le", "t")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int,"
+        " codec string, transcript string",
+    )
+    out = {r.clip_id: r for r in transform_audio(df, target_sr=16000).collect()}
+    assert out["tone"].sr_hz == 16000
+    got_sr, got = decode_clip(bytes(out["tone"].bytes))[1:]
+    assert got_sr == 16000
+    assert len(got) == (len(tone) * 16000 + 4000) // 8000
+    assert abs(out["tone"].dur_ms - 1000) <= 1
+    x = pcm_to_float32(got)
+    spec = np.abs(np.fft.rfft(x))
+    f_dom = np.argmax(spec) * 16000 / len(x)
+    assert abs(f_dom - 440.0) < 2.0  # pitch preserved through the interp
+    assert bytes(out["broken"].bytes) == b"RIFFjunk"  # 1-1 evidence intact
+    assert out["broken"].sr_hz == sr  # metadata untouched on decode failure
+
+
+def test_transform_audio_trim_resample_normalize_one_pass(spark):
+    from open_data_linter_spark.audio.codecs import decode_clip, pcm_to_float32
+    from open_data_linter_spark.audio.synth import synthesize_clips
+    from open_data_linter_spark.multimodal.media import transform_audio
+
+    clips = synthesize_clips(spark, 16, 2)
+    out = transform_audio(
+        clips, trim_silence_db=-40, target_sr=16000, target_rms=0.2
+    )
+    rows = out.collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r.sr_hz == 16000
+        sr, pcm = decode_clip(bytes(r.bytes))[1:]
+        assert sr == 16000
+        x = pcm_to_float32(pcm)
+        assert float(np.max(np.abs(x))) <= 1.0  # normalize stays peak-safe
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # all three transforms in one pass
+
+
+def test_segment_on_silence_recovers_planted_spans(spark):
+    """Every planted utterance span of the gapped fixture is recovered
+    sample-exactly from the decoded audio, the emitted bytes are exact
+    PCM slices, and all-silence clips emit no rows."""
+    from open_data_linter_spark.audio.codecs import decode_clip
+    from open_data_linter_spark.audio.synth import (
+        gen_gapped_truth_pdf,
+        synthesize_gapped_clips,
+    )
+    from open_data_linter_spark.multimodal.media import segment_on_silence
+
+    clips = synthesize_gapped_clips(spark, 64, 4)
+    src = {r.clip_id: decode_clip(bytes(r.bytes))[1:] for r in clips.collect()}
+    rows = segment_on_silence(clips).collect()
+    got = sorted((r.clip_id, r.seg_idx, r.sr_hz, r.start_sample, r.seg_samples)
+                 for r in rows)
+    truth = gen_gapped_truth_pdf(np.arange(64))
+    want = sorted(map(tuple, truth.itertuples(index=False)))
+    assert got == want
+    for r in rows:
+        sr, pcm = src[r.clip_id]
+        got_sr, seg = decode_clip(bytes(r.bytes))[1:]
+        assert got_sr == sr
+        assert np.array_equal(
+            seg, pcm[r.start_sample:r.start_sample + r.seg_samples]
+        )
+    # clip 0 (i % 17 == 0) is planted all-silence: zero segments
+    assert all(r.clip_id != "clip_00000000" for r in rows)
+
+
+def test_segment_on_silence_gap_merge_and_min_segment(spark):
+    from open_data_linter_spark.multimodal.media import segment_on_silence
+
+    sr = 16000
+    burst = np.full(sr // 4, 12000, dtype=np.int16)  # 250 ms, loud
+    short = np.full(sr // 100, 12000, dtype=np.int16)  # 10 ms, under min
+    gap_short = np.zeros(sr // 10, dtype=np.int16)   # 100 ms < min_gap 150
+    gap_long = np.zeros(sr // 2, dtype=np.int16)     # 500 ms >= min_gap
+    merged = np.concatenate([burst, gap_short, burst])
+    split = np.concatenate([burst, gap_long, burst, gap_long, short])
+    df = spark.createDataFrame(
+        [("merged", _enc(merged, sr)), ("split", _enc(split, sr)),
+         ("broken", b"RIFFjunk")],
+        "clip_id string, bytes binary",
+    )
+    out = segment_on_silence(df)
+    rows = {}
+    for r in out.collect():
+        rows.setdefault(r.clip_id, []).append(
+            (r.seg_idx, r.start_sample, r.seg_samples))
+    # sub-min_gap silence does NOT split: one span covering both bursts
+    assert rows["merged"] == [(0, 0, len(merged))]
+    # long gaps split; the trailing 10 ms burst is dropped (min_segment)
+    assert rows["split"] == [
+        (0, 0, len(burst)),
+        (1, len(burst) + len(gap_long), len(burst)),
+    ]
+    assert "broken" not in rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
