@@ -1281,6 +1281,32 @@ def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcript_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript character error rate vs the reference transcript
+    (functions/text.py::transcript_cer): every 31st clip carries the
+    planted 'payload_transcript' corruption (clean + ' extra'), the rest
+    are exact matches. FULL contract twin: the committed metadata twin
+    holds the clean transcripts (already in normalized form, so
+    n_ref_chars = length(transcript)), the planted set is pure f(clip_id),
+    and appending ' extra' costs exactly 6 char insertions — DuckDB
+    replays every (n_ref_chars, edit_distance, cer) value without
+    needing char-level levenshtein (DuckDB's builtin is BYTE-level and
+    diverges on the CJK vocabulary)."""
+    _ensure_pkg(spark)
+    from open_data_linter_spark.audio.synth import (
+        synthesize_clips,
+        synthesize_reference,
+    )
+    from open_data_linter_spark.functions.text import transcript_cer
+
+    corrupt = {i: "payload_transcript" for i in range(0, 512, 31)}
+    clips = synthesize_clips(spark, 512, 8, corrupt=corrupt)
+    refs = synthesize_reference(spark, 512, 8).select(
+        "clip_id", "transcript_ref"
+    )
+    return transcript_cer(clips.join(refs, "clip_id")).orderBy("clip_id")
+
+
 def q_audio_rate_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript words-per-second outliers by modified z-score
     (rules/rate.py): the distribution-anomaly rule no fixed numeric
@@ -1565,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_transforms": q_audio_transforms,
         "audio_resample": q_audio_resample,
         "audio_segments": q_audio_segments,
+        "transcript_cer": q_transcript_cer,
         "audio_rate_outliers": q_audio_rate_outliers,
         "audio_drift_stats": q_audio_drift_stats,
         "audio_drift_hist": q_audio_drift_hist,
@@ -3455,6 +3482,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(seg_samples AS INTEGER) AS seg_samples
             FROM read_parquet('{_FIX}/audio_gapped_truth_256.parquet')
             ORDER BY clip_id, seg_idx
+        """,
+        "transcript_cer": f"""
+            -- FULL contract twin: clean transcripts are committed in
+            -- normalized form (lowercase vocab, single spaces), every
+            -- 31st clip's hypothesis appends ' extra' (6 char
+            -- insertions), everything else matches exactly — so every
+            -- value replays from the twin + the plant formula. DuckDB's
+            -- levenshtein is byte-level (CJK substitution = 3) and is
+            -- deliberately NOT used.
+            SELECT clip_id,
+                   CAST(length(transcript) AS INTEGER) AS n_ref_chars,
+                   CAST(CASE WHEN CAST(substr(clip_id, 6) AS INTEGER)
+                                  % 31 = 0
+                             THEN 6 ELSE 0 END AS INTEGER)
+                     AS edit_distance,
+                   CAST(CASE WHEN CAST(substr(clip_id, 6) AS INTEGER)
+                                  % 31 = 0
+                             THEN 6.0 / length(transcript)
+                             ELSE 0.0 END AS DOUBLE) AS cer
+            FROM read_parquet('{_FIX}/audio_meta_512_base.parquet')
+            ORDER BY clip_id
         """,
         "audio_transforms": f"""
             -- SEMANTIC oracle: out_ms values are engine-internal (the

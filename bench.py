@@ -113,11 +113,19 @@ def main() -> None:
 
     # ---- audio fingerprint dedup at bench scale (not the 256-clip
     # driver fixture): decode+FFT melody pass + shingle bucket join ----
-    from open_data_linter_spark.audio.synth import synthesize_tone_clips
+    from open_data_linter_spark.audio.synth import (
+        synthesize_gapped_clips,
+        synthesize_tone_clips,
+    )
     from open_data_linter_spark.dedup.audio_fp import audio_near_duplicates
-    from open_data_linter_spark.multimodal.media import chunk_audio
+    from open_data_linter_spark.multimodal.media import (
+        chunk_audio,
+        segment_on_silence,
+        transform_audio,
+    )
 
     tone = synthesize_tone_clips(spark, 4096, sc_parts)
+    gapped = synthesize_gapped_clips(spark, 4096, sc_parts)
 
     # ---- validation throughput over the synthetic audio table ----
     # bucketed-by-clip_id layout on tmpfs (BENCH/BASELINE.md: the sandbox
@@ -177,6 +185,16 @@ def main() -> None:
             time_action(
                 lambda: chunk_audio(
                     tone, window_ms=1000, hop_ms=500, min_tail_ms=240
+                ).count()
+            ),
+        )
+        _note(
+            # the prep pipeline: VAD segmentation then 16 kHz resample —
+            # two chained Arrow decode+re-encode passes over 4096 clips
+            "audio_prep_4k",
+            time_action(
+                lambda: transform_audio(
+                    segment_on_silence(gapped), target_sr=16000
                 ).count()
             ),
         )

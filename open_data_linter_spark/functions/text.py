@@ -54,6 +54,46 @@ JA_CHARS = r"[぀-ヿ一-鿿]"  # hiragana/katakana/CJK
 ES_STOPWORDS = "el la de que y en los del se las por un para con no una su al es".split()
 
 
+def ws_normalized(c: Column) -> Column:
+    """The tokenize contract rendered back to a string: lowercase,
+    single-space-joined, no edge whitespace. Blank/NULL input -> ''."""
+    return F.concat_ws(" ", ws_tokens(c))
+
+
+def transcript_cer(
+    df,
+    hyp_col: str = "transcript",
+    ref_col: str = "transcript_ref",
+    id_col: str = "clip_id",
+):
+    """Per-row character error rate of a transcript against its reference
+    — the tolerance-based counterpart of the payload rule's EXACT
+    transcript-equality check (rules/payload.py): an ASR-refresh or
+    re-annotation pass is gated on cer <= eps rather than equality.
+
+    Both sides are ws-normalized first (the package tokenize contract),
+    so whitespace/case drift never counts as an error; the distance is
+    Spark's JVM ``levenshtein`` (UTF-16 code units = characters for BMP
+    text — NOT DuckDB's byte-level ``levenshtein``, which counts a CJK
+    substitution as 3). A NULL/blank hypothesis scores as a full
+    deletion (cer 1.0 against a non-empty reference).
+
+    Output: (id_col, n_ref_chars, edit_distance, cer) with
+    ``cer = edit_distance / greatest(1, n_ref_chars)``. Pure projection
+    — whole-stage codegen, zero shuffle, scales linearly.
+    """
+    hyp = ws_normalized(F.col(hyp_col))
+    ref = ws_normalized(F.col(ref_col))
+    dist = F.levenshtein(hyp, ref)
+    n_ref = F.length(ref)
+    return df.select(
+        id_col,
+        n_ref.alias("n_ref_chars"),
+        dist.alias("edit_distance"),
+        (dist / F.greatest(n_ref, F.lit(1))).cast("double").alias("cer"),
+    )
+
+
 def token_count(c: Column) -> Column:
     """Whitespace token count (0 for empty/null) — ``ws_tokens`` contract."""
     return F.size(ws_tokens(c))

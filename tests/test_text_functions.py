@@ -138,3 +138,33 @@ def test_token_count_ignores_edge_whitespace(spark):
         for r in df.select("i", TX.token_count(F.col("s")).alias("n")).collect()
     }
     assert got == {0: 2, 1: 2, 2: 2, 3: 3, 4: 0, 5: 0, 6: 0, 7: 1, 8: 3}
+
+
+def test_transcript_cer_char_level_and_normalization(spark):
+    """CER is char-level (a CJK substitution costs 1, not its UTF-8
+    bytes), whitespace/case drift is free, and a NULL hypothesis scores
+    as a full deletion."""
+    from open_data_linter_spark.functions.text import transcript_cer
+
+    rows = [
+        ("exact", "hello world", "hello world"),
+        ("ws", "  Hello\tworld \n", "hello world"),   # normalization free
+        ("sub", "kitten", "sitting"),                 # classic distance 3
+        ("cjk", "平成 data", "令和 data"),             # 2 char subs, not 6
+        ("null", None, "hello world"),                # full deletion
+        ("both_blank", "   ", None),                  # 0 edits, cer 0
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, transcript string,"
+                                     " transcript_ref string")
+    got = {r.clip_id: r for r in transcript_cer(df).collect()}
+    assert (got["exact"].edit_distance, got["exact"].cer) == (0, 0.0)
+    assert (got["ws"].edit_distance, got["ws"].cer) == (0, 0.0)
+    assert got["sub"].edit_distance == 3
+    assert got["sub"].cer == 3 / 7
+    assert got["cjk"].edit_distance == 2
+    assert got["null"].edit_distance == 11
+    assert got["null"].cer == 1.0
+    assert (got["both_blank"].n_ref_chars, got["both_blank"].cer) == (0, 0.0)
+    # pure projection: no shuffle anywhere in the plan
+    plan = transcript_cer(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
