@@ -221,7 +221,15 @@ def remove_duplicate_spans(
         F.col("s").alias("cs"),
         (F.col("s") + glen - F.lit(1)).cast("int").alias("ce"),
     )
-    runs = cov.groupBy("id").agg(
+    # explicit fixed-count hash partitioning before the two heaviest
+    # narrow stages (the interval-merge fold here, the span-key hashing
+    # below): their input rows are tiny, so AQE's byte-based coalescing
+    # would funnel them to ONE task (the dedup/embedding.py trap) — a
+    # user-specified repartition pins the width. No extra shuffle bytes:
+    # collect_list's partial agg reduces nothing, so the groupBy would
+    # have shuffled every cov row anyway.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    runs = cov.repartition(par, "id").groupBy("id").agg(
         _covered_runs(F.collect_list(F.struct("cs", "ce"))).alias("runs")
     )
     # span keys computed on the still-aggregated runs array so each doc's
@@ -263,7 +271,9 @@ def remove_duplicate_spans(
         lambda i: ~F.exists(drops_arr, lambda d: (i >= d["rs"]) & (i <= d["re"])),
     )
     return (
-        base.join(drops, "id", "left")
+        # the reassembly projection (per-token nested-HOF filter) is the
+        # third heavy-on-small-rows stage: pin the final join's width too
+        base.join(drops.repartition(par, "id"), "id", "left")
         .select(
             F.col("id").alias(id_col),
             n.cast("long").alias("n_tokens"),

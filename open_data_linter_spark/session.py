@@ -38,6 +38,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE: coalescePartitions.minPartitionSize stays at the 1MB
+        # default. Lowering it to 16kb session-wide widens every
+        # heavy-compute-on-small-rows stage (span_removal 3.6s -> 1.9s at
+        # sf0.1) but costs the validation matrix ~19% in tiny-task
+        # scheduling overhead across its concurrent families — operators
+        # that hit the 1-task funnel pin their own boundary with an
+        # explicit fixed-count repartition instead (dedup/embedding.py,
+        # dedup/spans.py pattern).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # audio payloads are large: cap Arrow batches so decode UDFs never
