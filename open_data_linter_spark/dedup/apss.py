@@ -71,8 +71,15 @@ def apss_jaccard_pairs(
     # row_number would serialize on one partition) — the (tdf, tok) struct
     # IS the sort key.
     dfc = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("tdf"))
+    # explicit fixed-count width under the sort-fold: the (id, tdf, tok)
+    # rows are tiny, so AQE byte-coalescing would run the per-doc
+    # array_sort(collect_list) on ONE task (the dedup/embedding.py trap);
+    # collect_list partials reduce nothing, so the pinned repartition
+    # shuffles the same bytes the groupBy would have
+    par = df.sparkSession.sparkContext.defaultParallelism
     ordered = (
         exploded.join(dfc, "tok")
+        .repartition(par, "id")
         .groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("tdf", "tok"))).alias("st"))
     )
@@ -112,6 +119,10 @@ def apss_jaccard_pairs(
     union = F.size(F.array_union("hs_a", "hs_b")).cast("double")
     return (
         cand.join(hs_a, "id_a")
+        # pin the verify stage's width: candidate rows are tiny but the
+        # per-pair array_intersect/union over full hashed token sets is
+        # the expensive part — AQE would coalesce it to one task
+        .repartition(par, "id_b")
         .join(hs_b, "id_b")
         # filter on the UNROUNDED ratio: the candidate stages guarantee
         # retention only for true-J >= t, so a rounded filter would admit
