@@ -1121,6 +1121,44 @@ def q_audio_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based audio retrieval: payload-derived embeddings feeding
+    the generic ANN stack. One Arrow decode+FFT pass (multimodal/media.py
+    ``audio_embeddings``: 48-log-band mean-pooled energy profile,
+    L2-normalized — exactly gain-invariant) then exact cosine top-2 per
+    query via similarity/knn.py ``brute_force_topk`` (queries broadcast).
+    Queries are the planted variant clips (block positions 6 and 7 of
+    every 8-block); each variant's group has exactly two other members
+    (the leader and the sibling variant), so BOTH top-2 neighbors must
+    land in the query's own planted group. Oracle is a FULL exact
+    INDEPENDENT twin: the engine derives neighbors from the decoded
+    audio, DuckDB derives the expected (clip, rank -> neighbor group)
+    table from the committed planted-group metadata twin — no engine
+    value pinned; any embedding-quality loss breaks the row compare
+    (measured worst in-group/out-group cosine margin 0.15)."""
+    _ensure_pkg(spark)
+    from open_data_linter_spark.audio.synth import synthesize_tone_clips
+    from open_data_linter_spark.multimodal.media import audio_embeddings
+    from open_data_linter_spark.similarity.knn import brute_force_topk
+
+    clips = synthesize_tone_clips(spark, 256, 16)
+    # the embedding frame is consumed twice (corpus + query side) — a lazy
+    # persist pins the single decode pass without an eager extra job
+    emb = audio_embeddings(clips).persist()
+    pos = F.substring("clip_id", 6, 8).cast("int") % 8
+    queries = emb.where(pos >= 6)
+    top2 = brute_force_topk(emb, queries, k=2, vec_col="embedding", id_col="clip_id")
+    nidx = F.substring("neighbor_id", 6, 8).cast("int")
+    neighbor_group = F.format_string(
+        "clip_%08d", F.when(nidx % 8 >= 6, nidx - nidx % 8).otherwise(nidx)
+    )
+    return top2.select(
+        F.col("query_id").alias("clip_id"),
+        F.col("rank").alias("nn_rank"),
+        neighbor_group.alias("neighbor_group"),
+    ).orderBy("clip_id", "nn_rank")
+
+
 def q_audio_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PAYLOAD-level distribution drift (multimodal/media.py::
     audio_feature_drift): decoded feature distributions (rms, zcr, peak,
@@ -1586,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardups": q_audio_neardups,
         "audio_incremental_match": q_audio_incremental_match,
         "audio_dedup_clusters": q_audio_dedup_clusters,
+        "audio_knn": q_audio_knn,
         "audio_feature_drift": q_audio_feature_drift,
         "audio_chunks": q_audio_chunks,
         "audio_transforms": q_audio_transforms,
@@ -3400,6 +3439,26 @@ def oracle_sql() -> dict[str, str]:
             FROM twin t JOIN g USING (group_id)
             WHERE g.n >= 2
             ORDER BY t.clip_id
+        """,
+        "audio_knn": f"""
+            -- FULL exact INDEPENDENT twin: no engine value pinned. The
+            -- engine finds each variant clip's top-2 cosine neighbors
+            -- over DECODED-AUDIO embeddings; this SQL derives the
+            -- expected table from the committed planted-group METADATA
+            -- twin: every variant's group holds exactly two other
+            -- members (leader + sibling variant), both closer in
+            -- embedding space than any impostor (worst margin 0.15), so
+            -- ranks 1 and 2 must both map to the query's own group.
+            WITH twin AS (
+              SELECT clip_id, group_id, variant
+              FROM read_parquet('{_FIX}/audio_fp_groups_256.parquet')
+            )
+            SELECT t.clip_id, CAST(r.nn_rank AS INT) AS nn_rank,
+                   t.group_id AS neighbor_group
+            FROM twin t
+            CROSS JOIN (SELECT 1 AS nn_rank UNION ALL SELECT 2) r
+            WHERE t.variant <> 'base'
+            ORDER BY t.clip_id, r.nn_rank
         """,
         "audio_feature_drift": """
             -- SEMANTIC oracle: the decoded feature values are

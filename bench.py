@@ -198,6 +198,32 @@ def main() -> None:
                 ).count()
             ),
         )
+        def _audio_knn_pass() -> None:
+            # payload embeddings (decode+FFT mean-pool) + exact cosine
+            # top-2 for the 2048 planted-variant queries; in-run sanity:
+            # ≥97% of retrieved neighbors share the query's planted group
+            # (measured 98.8% — trunc variants lose rank-2 to impostors)
+            from open_data_linter_spark.multimodal.media import audio_embeddings
+            from open_data_linter_spark.similarity.knn import brute_force_topk
+
+            emb = audio_embeddings(tone).persist()
+            pos = F.substring("clip_id", 6, 8).cast("int") % 8
+            top2 = brute_force_topk(
+                emb, emb.where(pos >= 6), k=2, vec_col="embedding", id_col="clip_id"
+            )
+            qi = F.substring("query_id", 6, 8).cast("int")
+            ni = F.substring("neighbor_id", 6, 8).cast("int")
+
+            def grp(c):
+                return F.when(c % 8 >= 6, c - c % 8).otherwise(c)
+
+            same, n = top2.select(
+                (grp(qi) == grp(ni)).cast("int").alias("s")
+            ).agg(F.sum("s"), F.count("*")).collect()[0]
+            emb.unpersist()
+            assert n == 2048 and same / n >= 0.97, (same, n)
+
+        _note("audio_knn_4k", time_action(_audio_knn_pass))
         _note("validation_full_matrix",
               time_action(lambda: run.run(clips, dict(ctx))))
 

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from open_data_linter_spark.audio.bands import EDGES, FRAME_S, HOP_S
+from open_data_linter_spark.audio.bands import band_energies
 from open_data_linter_spark.dedup._cache import persist_scoped
 
 
@@ -54,28 +54,13 @@ def band_sequence(x: np.ndarray, sr: int) -> np.ndarray:
     """Dominant-band index per analysis frame (pure numpy, unit-testable).
 
     ``x`` is float PCM in [-1, 1]. Returns int32 band ids (0..N_BANDS-1).
-    Clips shorter than one frame return an empty sequence."""
-    frame = int(round(sr * FRAME_S))
-    hop = int(round(sr * HOP_S))
-    if len(x) < frame:
+    Clips shorter than one frame return an empty sequence. The spectral
+    front end (framing + FFT + log-band segment sums, incl. the open-tail
+    and empty-segment reduceat guards) lives in audio/bands.py so the
+    embedding operator pools the SAME energies this argmax reads."""
+    e = band_energies(x, sr)
+    if e.shape[0] == 0:
         return np.empty(0, dtype=np.int32)
-    frames = np.lib.stride_tricks.sliding_window_view(x, frame)[::hop]
-    p = np.abs(np.fft.rfft(frames * np.hanning(frame), axis=1)) ** 2
-    freqs = np.fft.rfftfreq(frame, 1.0 / sr)
-    # bands are contiguous bin ranges (freqs ascending): reduceat segment
-    # sums. EDGES[-1]=3800 < Nyquist>=4000 for every supported sr, so every
-    # boundary index is in range.
-    bounds = np.searchsorted(freqs, EDGES, side="left")
-    # reduceat over ALL 49 edges, then drop the trailing segment: passing
-    # bounds[:-1] would make band 47 run from EDGES[47] to Nyquist instead
-    # of [EDGES[47], 3800), absorbing every above-grid energy (hiss,
-    # sibilance) and breaking the bands.py sr-invariance contract.
-    e = np.add.reduceat(p, bounds, axis=1)[:, :-1]
-    # reduceat quirk: an EMPTY segment (possible at sr=8000 where low bands
-    # are narrower than one bin) yields p[start] instead of 0 — zero it
-    empty = bounds[1:] <= bounds[:-1]
-    if empty.any():
-        e[:, empty] = 0.0
     return np.argmax(e, axis=1).astype(np.int32)
 
 

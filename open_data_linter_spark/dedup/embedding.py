@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from open_data_linter_spark.dedup._cache import persist_scoped, spread_and_pin
-from open_data_linter_spark.functions.vectors import cosine, hyperplane_bucket
+from open_data_linter_spark.functions.vectors import (
+    cosine_given_norms,
+    hyperplane_bucket,
+    norm,
+)
 
 
 def hyperplane_band_rows(
@@ -130,15 +134,29 @@ def embedding_near_duplicates(
         # size, under-parallelizing the per-pair cosine work — spread the
         # pairs explicitly before attaching vectors
         cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
-        va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-        vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        # norms projected once per ROW here, so the per-pair verify pays
+        # one array fold (the dot) instead of three (vectors.py
+        # cosine_given_norms — float-identical to plain cosine)
+        va = base.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"),
+            norm(F.col("v")).alias("na"),
+        )
+        vb = base.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"),
+            norm(F.col("v")).alias("nb"),
+        )
         return (
             cand.join(va, "id_a")
             .join(vb, "id_b")
             .select(
                 "id_a",
                 "id_b",
-                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+                F.round(
+                    cosine_given_norms(
+                        F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                    ),
+                    6,
+                ).alias("cos_sim"),
             )
             .where(F.col("cos_sim") >= threshold)
             .orderBy("id_a", "id_b")
@@ -152,13 +170,19 @@ def embedding_near_duplicates(
         planes /= np.linalg.norm(planes, axis=1, keepdims=True)
         base = base.withColumn("bucket", hyperplane_bucket(F.col("v"), planes.tolist()))
         join_on.insert(0, F.col("l.bucket") == F.col("r.bucket"))
+    base = base.withColumn("nv", norm(F.col("v")))  # once per row, not per pair
     l, r = base.alias("l"), base.alias("r")
     return (
         l.join(r, on=join_on)
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos_sim"),
+            F.round(
+                cosine_given_norms(
+                    F.col("l.v"), F.col("r.v"), F.col("l.nv"), F.col("r.nv")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
         .orderBy("id_a", "id_b")

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from open_data_linter_spark.dedup._cache import spread_and_pin
 from open_data_linter_spark.dedup.embedding import hyperplane_band_rows
-from open_data_linter_spark.functions.vectors import cosine
+from open_data_linter_spark.functions.vectors import cosine_given_norms, norm
 
 
 @dataclass(frozen=True)
@@ -158,7 +158,15 @@ def match_embeddings_against_index(
         .select("batch_id", "index_id")
         .dropDuplicates(["batch_id", "index_id"])
     )
-    v_b = b_base.select(F.col("id").alias("batch_id"), F.col("v").alias("vb"))
+    # batch-side norms are projected once per row (tiny, broadcast); the
+    # INDEX side's norm is deliberately computed post-join, per MATCHED
+    # pair — candidates << corpus here, so hoisting it into the streamed
+    # corpus scan would pay one array fold per index row instead of per
+    # match (2 folds per verified pair vs plain cosine's 3, never worse)
+    v_b = b_base.select(
+        F.col("id").alias("batch_id"), F.col("v").alias("vb"),
+        norm(F.col("v")).alias("nb"),
+    )
     v_i = index.vecs_df.select(F.col("id").alias("index_id"), F.col("v").alias("vi"))
     # broadcast the id-only pairs into the batch vectors, then the joined
     # candidate vectors — the corpus table streams unshuffled
@@ -168,7 +176,12 @@ def match_embeddings_against_index(
         verified.select(
             "batch_id",
             "index_id",
-            F.round(cosine(F.col("vb"), F.col("vi")), 6).alias("cos_sim"),
+            F.round(
+                cosine_given_norms(
+                    F.col("vb"), F.col("vi"), F.col("nb"), norm(F.col("vi"))
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
         .orderBy("batch_id", "index_id")

@@ -35,6 +35,23 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d == 0, F.lit(0.0)).otherwise(dot(a, b) / d)
 
 
+def cosine_given_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine(a, b)`` with the operand norms precomputed per ROW.
+
+    The similarity family's inner loop scores O(pairs) candidates; plain
+    ``cosine`` evaluates THREE array-fold HOFs per pair (dot + both
+    norms), re-deriving each operand's norm for every pair it appears in.
+    Projecting ``norm(v)`` once per row before the join and passing it
+    here leaves ONE HOF (the dot) per pair — the expression is the same
+    ``dot/(na*nb)`` with the same zero guard, so float results are
+    bit-identical to ``cosine``. (Projections don't collapse across a
+    join boundary, so the per-row norm is computed exactly once per side:
+    at hash-relation build for the broadcast side, pre-join for the
+    stream side.)"""
+    d = na * nb
+    return F.when(d == 0, F.lit(0.0)).otherwise(dot(a, b) / d)
+
+
 def bucket_signatures(vec_col: str, planes_3d) -> Column:
     """All LSH table buckets in one vectorized pass: array<long> of length
     ``tables`` for a (tables, bits, dim) plane tensor.

