@@ -667,6 +667,21 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate (round 4, functions/blocklist.py; Raffel
+    et al. 1910.10683 §2.2): per-doc blocked-token occurrence fraction +
+    distinct blocked-phrase presence over the package tokenize contract.
+    Pure projection — zero shuffle, whole-stage codegen (plan-asserted in
+    tests). FULL exact DuckDB twin."""
+    from open_data_linter_spark.functions.blocklist import blocklist_stats
+
+    return blocklist_stats(
+        _t(spark, sf_dir, "documents"),
+        ["slow", "scan", "fail"],
+        ["row scan", "merge batch"],
+    ).orderBy("doc_id")
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 keyword top-10 (round 4, similarity/bm25.py): lexical
     retrieval beside the embedding ANN paths — one corpus shuffle builds
@@ -1597,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "ppl_quality_buckets": q_ppl_quality_buckets,
         "dsir_select": q_dsir_select,
+        "blocklist_screen": q_blocklist_screen,
         "line_dedup": q_line_dedup,
         "normalize_text": q_normalize_text,
         "corpus_divergence": q_corpus_divergence,
@@ -2763,6 +2779,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY logw DESC, fe.doc_id
             LIMIT 50
+        """,
+        "blocklist_screen": r"""
+            -- FULL exact twin: identical tokenize contract; blocked-token
+            -- occurrences via list_filter + IN; phrase presence on the
+            -- space-padded normalized text (token-boundary exact).
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                       lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '') AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(t,
+                     x -> x IN ('slow','scan','fail'))) AS BIGINT)
+                       AS n_blocked,
+                   CASE WHEN len(t) = 0 THEN NULL
+                        ELSE round(
+                          CAST(len(list_filter(t,
+                            x -> x IN ('slow','scan','fail'))) AS DOUBLE)
+                          / CAST(len(t) AS DOUBLE), 6)
+                   END AS blocked_fraction,
+                   CAST(
+                     (CASE WHEN position(' row scan ' IN
+                        ' ' || array_to_string(t, ' ') || ' ') > 0
+                      THEN 1 ELSE 0 END)
+                   + (CASE WHEN position(' merge batch ' IN
+                        ' ' || array_to_string(t, ' ') || ' ') > 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked_phrases
+            FROM toks
+            ORDER BY doc_id
         """,
         "bm25": r"""
             -- FULL exact twin: identical tokenize contract, +1 idf form,

@@ -24,6 +24,10 @@ curation sequence (each stage is the library operator, nothing bespoke):
                            non-first occurrences of cross-doc duplicated
                            spans are cut and the cleaned text substituted —
                            affected docs' text becomes ws-normalized)
+  4c. blocklist gate       functions/blocklist.blocklist_filter (optional,
+                           --blocklist/--blocklist-phrases; C4 badlist —
+                           any-hit drop, or a fraction cap via
+                           --max-blocked-fraction)
   5. quality filter        functions/text.quality_score floor
   5b. repetition gates     functions/repetition.repetition_filter
                            (Gopher dup-2gram + top-2gram caps)
@@ -86,6 +90,7 @@ from open_data_linter_spark.dedup.spans import (  # noqa: E402
 from open_data_linter_spark.dedup.lines import (  # noqa: E402
     remove_boilerplate_lines,
 )
+from open_data_linter_spark.functions.blocklist import blocklist_filter  # noqa: E402
 from open_data_linter_spark.functions.normalize import normalize_text  # noqa: E402
 from open_data_linter_spark.functions.packing import pack_sequences  # noqa: E402
 from open_data_linter_spark.functions.sampling import mixture_sample  # noqa: E402
@@ -135,6 +140,14 @@ def main() -> int:
                          " distinct docs (boilerplate pass; output line"
                          " endings are LF-normalized for affected docs)")
     ap.add_argument("--line-min-docs", type=int, default=5)
+    ap.add_argument("--blocklist", default=None,
+                    help="comma-separated blocked tokens (C4-style gate,"
+                         " functions/blocklist.py)")
+    ap.add_argument("--blocklist-phrases", default=None,
+                    help="comma-separated blocked multi-word phrases")
+    ap.add_argument("--max-blocked-fraction", type=float, default=0.0,
+                    help="keep docs whose blocked-token fraction is <= this"
+                         " (0.0 = any hit drops)")
     ap.add_argument("--min-quality", type=float, default=0.2)
     ap.add_argument("--mixture-alpha", type=float, default=0.7)
     ap.add_argument("--mixture-total", type=int, default=None,
@@ -308,6 +321,16 @@ def main() -> int:
             .drop("text_clean", "n_dropped")
         )
         docs = stage("span_removal", docs, t0)
+
+    if args.blocklist or args.blocklist_phrases:
+        t0 = time.time()
+        docs = blocklist_filter(
+            docs,
+            [t for t in (args.blocklist or "").split(",") if t],
+            [p for p in (args.blocklist_phrases or "").split(",") if p],
+            max_fraction=args.max_blocked_fraction,
+        )
+        docs = stage("blocklist", docs, t0)
 
     t0 = time.time()
     docs = docs.where(quality_score(F.col("text")) >= args.min_quality)
