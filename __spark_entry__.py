@@ -682,6 +682,27 @@ def q_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scores (round 4, functions/quality_model.py;
+    Brown et al. 2005.14165 Appendix A): closed-form NB log-odds
+    classifier trained src0-as-curated vs src1-as-raw, every doc scored
+    with the length-normalized mean log-odds + sigmoid. buckets=None =
+    raw string features, so this is a FULL exact DuckDB twin retraining
+    the identical model; the at-scale path sets buckets and the weight
+    table broadcasts (plan-asserted in tests/test_quality_model.py)."""
+    from open_data_linter_spark.functions.quality_model import (
+        quality_model_scores,
+        train_quality_classifier,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    model = train_quality_classifier(
+        d.where(F.col("source") == "src0"),
+        d.where(F.col("source") == "src1"),
+    )
+    return quality_model_scores(d, model).orderBy("doc_id")
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 keyword top-10 (round 4, similarity/bm25.py): lexical
     retrieval beside the embedding ANN paths — one corpus shuffle builds
@@ -1613,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_quality_buckets": q_ppl_quality_buckets,
         "dsir_select": q_dsir_select,
         "blocklist_screen": q_blocklist_screen,
+        "quality_model_scores": q_quality_model_scores,
         "line_dedup": q_line_dedup,
         "normalize_text": q_normalize_text,
         "corpus_divergence": q_corpus_divergence,
@@ -2811,6 +2833,61 @@ def oracle_sql() -> dict[str, str]:
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked_phrases
             FROM toks
             ORDER BY doc_id
+        """,
+        "quality_model_scores": r"""
+            -- FULL exact twin retraining the NB log-odds model: identical
+            -- tokenize contract, add-1 smoothing over the pos ∪ neg vocab
+            -- (V = distinct features), OOV weight = the same formula at
+            -- count 0, per-doc mean rounded to 6 decimals (partition-
+            -- order-independence contract), sigmoid of the ROUNDED mean.
+            -- CASTs to DOUBLE keep DuckDB off HUGEINT/decimal arithmetic.
+            WITH toks AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(
+                       lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '') AS t
+              FROM documents
+            ), occ AS (
+              SELECT doc_id, source, unnest(t) AS f FROM toks
+            ), pc AS (
+              SELECT f, CAST(count(*) AS BIGINT) AS c_pos
+              FROM occ WHERE source = 'src0' GROUP BY 1
+            ), nc AS (
+              SELECT f, CAST(count(*) AS BIGINT) AS c_neg
+              FROM occ WHERE source = 'src1' GROUP BY 1
+            ), u AS (
+              SELECT coalesce(pc.f, nc.f) AS f,
+                     coalesce(c_pos, 0) AS c_pos,
+                     coalesce(c_neg, 0) AS c_neg
+              FROM pc FULL JOIN nc ON pc.f = nc.f
+            ), sc AS (
+              SELECT CAST(sum(c_pos) AS DOUBLE) AS t_pos,
+                     CAST(sum(c_neg) AS DOUBLE) AS t_neg,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM u
+            ), w AS (
+              SELECT f,
+                     ln((CAST(c_pos AS DOUBLE) + 1.0) / (t_pos + 1.0 * v))
+                   - ln((CAST(c_neg AS DOUBLE) + 1.0) / (t_neg + 1.0 * v))
+                       AS w
+              FROM u CROSS JOIN sc
+            ), w0 AS (
+              SELECT ln(1.0 / (t_pos + 1.0 * v))
+                   - ln(1.0 / (t_neg + 1.0 * v)) AS w0
+              FROM sc
+            ), scored AS (
+              SELECT occ.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     round(sum(coalesce(w.w, w0.w0)) / count(*), 6)
+                       AS mean_logodds
+              FROM occ LEFT JOIN w USING (f) CROSS JOIN w0
+              GROUP BY 1
+            )
+            SELECT d.doc_id, s.n_tokens, s.mean_logodds,
+                   round(1.0 / (1.0 + exp(-s.mean_logodds)), 6)
+                     AS p_quality
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "bm25": r"""
             -- FULL exact twin: identical tokenize contract, +1 idf form,
