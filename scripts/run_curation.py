@@ -29,6 +29,11 @@ curation sequence (each stage is the library operator, nothing bespoke):
                            any-hit drop, or a fraction cap via
                            --max-blocked-fraction)
   5. quality filter        functions/text.quality_score floor
+  5a. learned quality gate functions/quality_model (optional,
+                           --qm-pos-docs/--qm-neg-docs: train the NB
+                           log-odds classifier curated-vs-crawl, keep
+                           docs via the seeded Pareto acceptance rule —
+                           the GPT-3 Appendix-A stage)
   5b. repetition gates     functions/repetition.repetition_filter
                            (Gopher dup-2gram + top-2gram caps)
   5c. PII redaction        functions/pii.redact_pii (transform, not a
@@ -92,6 +97,10 @@ from open_data_linter_spark.dedup.lines import (  # noqa: E402
 )
 from open_data_linter_spark.functions.blocklist import blocklist_filter  # noqa: E402
 from open_data_linter_spark.functions.normalize import normalize_text  # noqa: E402
+from open_data_linter_spark.functions.quality_model import (  # noqa: E402
+    pareto_quality_sample,
+    train_quality_classifier,
+)
 from open_data_linter_spark.functions.packing import pack_sequences  # noqa: E402
 from open_data_linter_spark.functions.sampling import mixture_sample  # noqa: E402
 from open_data_linter_spark.functions.text import quality_score  # noqa: E402
@@ -149,6 +158,19 @@ def main() -> int:
                     help="keep docs whose blocked-token fraction is <= this"
                          " (0.0 = any hit drops)")
     ap.add_argument("--min-quality", type=float, default=0.2)
+    ap.add_argument("--qm-pos-docs", default=None,
+                    help="parquet of curated 'positive' docs — with"
+                         " --qm-neg-docs enables the learned quality gate"
+                         " (functions/quality_model.py)")
+    ap.add_argument("--qm-neg-docs", default=None,
+                    help="parquet of raw 'negative' docs for the learned"
+                         " quality gate")
+    ap.add_argument("--qm-shape", type=float, default=9.0,
+                    help="Pareto shape of the acceptance rule (bigger ="
+                         " sharper gate)")
+    ap.add_argument("--qm-buckets", type=int, default=4096,
+                    help="feature-hash buckets so the weight table"
+                         " broadcasts at scale (0 = raw string features)")
     ap.add_argument("--mixture-alpha", type=float, default=0.7)
     ap.add_argument("--mixture-total", type=int, default=None,
                     help="sample budget; default 80%% of the surviving rows")
@@ -335,6 +357,21 @@ def main() -> int:
     t0 = time.time()
     docs = docs.where(quality_score(F.col("text")) >= args.min_quality)
     docs = stage("quality_filter", docs, t0)
+
+    if args.qm_pos_docs and args.qm_neg_docs:
+        t0 = time.time()
+        buckets = args.qm_buckets or None
+        # localCheckpoint: scores consume the model through two subtrees
+        # (weights + the OOV row) — pin it so training runs exactly once
+        model = train_quality_classifier(
+            spark.read.parquet(args.qm_pos_docs),
+            spark.read.parquet(args.qm_neg_docs),
+            buckets=buckets,
+        ).localCheckpoint(eager=True)
+        docs = pareto_quality_sample(
+            docs, model, shape=args.qm_shape, buckets=buckets
+        )
+        docs = stage("quality_model", docs, t0)
 
     t0 = time.time()
     docs = repetition_filter(
