@@ -703,6 +703,25 @@ def q_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_model_scores(d, model).orderBy("doc_id")
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-export manifest (round 4, sources/shards.py): the
+    training-data packaging sink's per-shard (n_docs, n_tokens, n_chars,
+    xor-fingerprint) ledger over the deterministic md5-mod-8 placement.
+    Assignment is a pure projection (no shuffle, plan-asserted in
+    tests/test_shards.py); the manifest is one partial-aggregated
+    groupBy. FULL exact DuckDB twin — md5 → conv(hex,16,10) is
+    replayed via CAST('0x…' AS BIGINT), so every placement, count, and
+    xor fold is independently recomputed."""
+    from open_data_linter_spark.sources.shards import (
+        shard_assignments,
+        shard_manifest,
+    )
+
+    return shard_manifest(
+        shard_assignments(_t(spark, sf_dir, "documents"), 8), 8
+    )
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 keyword top-10 (round 4, similarity/bm25.py): lexical
     retrieval beside the embedding ANN paths — one corpus shuffle builds
@@ -1635,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "blocklist_screen": q_blocklist_screen,
         "quality_model_scores": q_quality_model_scores,
+        "shard_manifest": q_shard_manifest,
         "line_dedup": q_line_dedup,
         "normalize_text": q_normalize_text,
         "corpus_divergence": q_corpus_divergence,
@@ -2888,6 +2908,41 @@ def oracle_sql() -> dict[str, str]:
                      AS p_quality
             FROM documents d LEFT JOIN scored s USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "shard_manifest": r"""
+            -- FULL exact twin of the export sink's manifest: shard =
+            -- 60-bit md5 prefix of the id string mod 8 (Spark conv ==
+            -- CAST('0x…' AS BIGINT); value is non-negative so % == pmod),
+            -- token counts through the package tokenize contract, and the
+            -- xor-folded per-doc fingerprint over (id ':' text). The
+            -- skeleton keeps empty shards as zero rows.
+            WITH a AS (
+              SELECT doc_id, text,
+                     CAST(CAST(concat('0x',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 8 AS INTEGER) AS shard
+              FROM documents
+            ), agg AS (
+              SELECT shard,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(list_filter(string_split_regex(
+                       lower(coalesce(text,'')), '[ \t\n\x0b\f\r]+'),
+                       x -> x <> ''))) AS BIGINT) AS n_tokens,
+                     CAST(sum(length(coalesce(text,''))) AS BIGINT)
+                       AS n_chars,
+                     CAST(bit_xor(CAST(concat('0x',
+                       substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                         || coalesce(text,'')), 1, 15))
+                       AS BIGINT)) AS BIGINT) AS fingerprint
+              FROM a GROUP BY shard
+            )
+            SELECT CAST(r.range AS INTEGER) AS shard,
+                   coalesce(n_docs, 0) AS n_docs,
+                   coalesce(n_tokens, 0) AS n_tokens,
+                   coalesce(n_chars, 0) AS n_chars,
+                   coalesce(fingerprint, 0) AS fingerprint
+            FROM range(8) r LEFT JOIN agg ON CAST(r.range AS INTEGER) = agg.shard
+            ORDER BY shard
         """,
         "bm25": r"""
             -- FULL exact twin: identical tokenize contract, +1 idf form,
