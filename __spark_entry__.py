@@ -1415,6 +1415,28 @@ def q_audio_rate_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transcript_rate_outliers(clips)
 
 
+def q_audio_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-axis sharded-export manifest (round 4, sources/shards.py):
+    the packaging sink over the clip table — md5-mod-8 placement on
+    clip_id, per-shard clip/byte/duration totals and an xor-folded
+    PAYLOAD fingerprint (md5 of the actual synthesized bytes). FULL
+    INDEPENDENT twin: the engine hashes the bytes it decodes; the SQL
+    replays from the committed gen-time hashlib digests
+    (tests/data/audio_meta_512_base.parquet payload_md5/n_bytes) — any
+    byte drift in synthesis or codec framing breaks the compare."""
+    _ensure_pkg(spark)
+    from open_data_linter_spark.audio.synth import synthesize_clips
+    from open_data_linter_spark.sources.shards import (
+        shard_assignments,
+        shard_manifest_binary,
+    )
+
+    clips = synthesize_clips(spark, 512, 16)
+    return shard_manifest_binary(
+        shard_assignments(clips, 8, id_col="clip_id"), 8
+    )
+
+
 def q_audio_drift_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-checkable half of the drift rule: the sr_hz histograms of the
     clean baseline and the distribution-shifted batch (both re-derived via
@@ -1692,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_rate_outliers": q_audio_rate_outliers,
         "audio_drift_stats": q_audio_drift_stats,
         "audio_drift_hist": q_audio_drift_hist,
+        "audio_shard_manifest": q_audio_shard_manifest,
         "tabular_lint_matrix": q_tabular_lint_matrix,
         "column_profile_hll": q_column_profile_hll,
         "column_profile_exact": q_column_profile_exact,
@@ -3479,6 +3502,39 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_FIX}/audio_meta_512_dup.parquet')
             GROUP BY clip_id HAVING count(*) > 1
             ORDER BY clip_id
+        """,
+        "audio_shard_manifest": f"""
+            -- FULL INDEPENDENT twin of the audio packaging manifest: the
+            -- engine md5s the BYTES it synthesizes; this replays from the
+            -- committed gen-time hashlib digests (payload_md5), so any
+            -- byte drift in synthesis/codec framing breaks the compare.
+            -- Placement: 60-bit md5 prefix of clip_id mod 8 (non-negative,
+            -- so % == pmod).
+            WITH a AS (
+              SELECT clip_id, dur_ms, n_bytes, payload_md5,
+                     CAST(CAST(concat('0x',
+                       substr(md5(clip_id), 1, 15)) AS BIGINT) % 8
+                       AS INTEGER) AS shard
+              FROM read_parquet('{_FIX}/audio_meta_512_base.parquet')
+            ), agg AS (
+              SELECT shard,
+                     CAST(count(*) AS BIGINT) AS n_clips,
+                     CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+                     CAST(sum(dur_ms) AS BIGINT) AS total_dur_ms,
+                     CAST(bit_xor(CAST(concat('0x',
+                       substr(md5(clip_id || ':'
+                         || coalesce(payload_md5, '')), 1, 15))
+                       AS BIGINT)) AS BIGINT) AS fingerprint
+              FROM a GROUP BY shard
+            )
+            SELECT CAST(r.range AS INTEGER) AS shard,
+                   coalesce(n_clips, 0) AS n_clips,
+                   coalesce(n_bytes, 0) AS n_bytes,
+                   coalesce(total_dur_ms, 0) AS total_dur_ms,
+                   coalesce(fingerprint, 0) AS fingerprint
+            FROM range(8) r
+            LEFT JOIN agg ON CAST(r.range AS INTEGER) = agg.shard
+            ORDER BY shard
         """,
         "audio_neardups": f"""
             -- SEMANTIC oracle: the jaccard values are engine-internal

@@ -113,6 +113,56 @@ def shard_manifest(
     )
 
 
+def shard_manifest_binary(
+    assigned: DataFrame,
+    n_shards: int,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    dur_col: str = "dur_ms",
+) -> DataFrame:
+    """Audio-axis manifest over a frame carrying ``shard``: exactly
+    ``n_shards`` rows of ``(shard, n_clips, n_bytes, total_dur_ms,
+    fingerprint)``. The per-clip hash folds md5 of the PAYLOAD BYTES
+    (`md5(id ':' md5(bytes))` — the inner md5 makes it replayable from a
+    committed hex digest without shipping bytes to the oracle), xor-folded
+    so the manifest is partition-order independent. NULL payloads hash as
+    the empty digest string and count 0 bytes."""
+    doc_h = _hex60(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.coalesce(F.md5(F.col(bytes_col)), F.lit("")),
+        )
+    )
+    spark = assigned.sparkSession
+    skeleton = spark.range(n_shards).select(
+        F.col("id").cast("int").alias("shard")
+    )
+    agg = assigned.groupBy("shard").agg(
+        F.count("*").alias("n_clips"),
+        F.sum(F.coalesce(F.length(F.col(bytes_col)), F.lit(0))).alias(
+            "n_bytes"
+        ),
+        F.sum(F.col(dur_col)).alias("total_dur_ms"),
+        F.bit_xor(doc_h).alias("fingerprint"),
+    )
+    return (
+        skeleton.join(agg, "shard", "left")
+        .select(
+            "shard",
+            F.coalesce("n_clips", F.lit(0)).cast("long").alias("n_clips"),
+            F.coalesce("n_bytes", F.lit(0)).cast("long").alias("n_bytes"),
+            F.coalesce("total_dur_ms", F.lit(0))
+            .cast("long")
+            .alias("total_dur_ms"),
+            F.coalesce("fingerprint", F.lit(0))
+            .cast("long")
+            .alias("fingerprint"),
+        )
+        .orderBy("shard")
+    )
+
+
 def export_shards(
     df: DataFrame,
     out_path: str,

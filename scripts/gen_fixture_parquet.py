@@ -13,6 +13,7 @@ Usage: python scripts/gen_fixture_parquet.py
 
 from __future__ import annotations
 
+import hashlib
 import os
 import sys
 
@@ -55,6 +56,15 @@ def main() -> None:
 
         pdf = full[META_COLS].copy()
         pdf["n_samples"] = full["bytes"].map(_n).astype("Int64")
+        # payload digest + byte length: lets oracles replay payload-level
+        # invariants (shard manifests) without shipping bytes to DuckDB —
+        # hashlib here must match Spark's F.md5 on the same binary
+        pdf["payload_md5"] = full["bytes"].map(
+            lambda b: hashlib.md5(bytes(b)).hexdigest() if b is not None else None
+        )
+        pdf["n_bytes"] = (
+            full["bytes"].map(lambda b: len(b) if b is not None else 0).astype("int64")
+        )
         path = os.path.join(OUT_DIR, fname)
         pdf.to_parquet(path, index=False)
         print(f"wrote {path}: {len(pdf)} rows")

@@ -151,3 +151,44 @@ def test_verify_flags_tampered_shard(spark, docs, tmp_path):
     assert [r["shard"] for r in bad] == [0]
     assert bad[0]["actual_n_docs"] == bad[0]["manifest_n_docs"] - 1
     assert bad[0]["actual_fingerprint"] != bad[0]["manifest_fingerprint"]
+
+
+def test_binary_manifest_matches_hashlib_twin(spark):
+    from open_data_linter_spark.sources.shards import shard_manifest_binary
+
+    CLIPS = [
+        ("c0", b"\x00\x01payload-a", 120),
+        ("c1", b"", 0),
+        ("c2", None, 40),
+        ("c3", b"\xff" * 64, 500),
+    ]
+    df = spark.createDataFrame(
+        CLIPS, "clip_id string, bytes binary, dur_ms long"
+    )
+    n = 3
+    got = {
+        r["shard"]: (
+            r["n_clips"], r["n_bytes"], r["total_dur_ms"], r["fingerprint"]
+        )
+        for r in shard_manifest_binary(
+            shard_assignments(df, n, id_col="clip_id"), n
+        ).collect()
+    }
+    assert set(got) == set(range(n))
+    by_shard = {s: [] for s in range(n)}
+    for cid, b, dur in CLIPS:
+        by_shard[_shard_py(cid, n)].append((cid, b, dur))
+    for s in range(n):
+        rows = by_shard[s]
+        fp = 0
+        for cid, b, _ in rows:
+            digest = hashlib.md5(b).hexdigest() if b is not None else ""
+            h = hashlib.md5((cid + ":" + digest).encode()).hexdigest()
+            fp ^= int(h[:15], 16)
+        want = (
+            len(rows),
+            sum(len(b) if b is not None else 0 for _, b, _ in rows),
+            sum(d for _, _, d in rows),
+            fp,
+        )
+        assert got[s] == want, (s, got[s], want)
