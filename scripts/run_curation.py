@@ -40,6 +40,9 @@ curation sequence (each stage is the library operator, nothing bespoke):
                            filter; disable with --no-redact-pii)
   6. mixture sampling      functions/sampling.mixture_sample (temperature)
   7. sequence packing      functions/packing.pack_sequences
+  8. sharded export        sources/shards.export_shards (optional,
+                           --shards N: single-file shards + integrity
+                           manifest under OUT/shards)
 
 spark-submit shape:
 
@@ -103,6 +106,7 @@ from open_data_linter_spark.functions.quality_model import (  # noqa: E402
 )
 from open_data_linter_spark.functions.packing import pack_sequences  # noqa: E402
 from open_data_linter_spark.functions.sampling import mixture_sample  # noqa: E402
+from open_data_linter_spark.sources.shards import export_shards  # noqa: E402
 from open_data_linter_spark.functions.text import quality_score  # noqa: E402
 from open_data_linter_spark.session import get_spark  # noqa: E402
 
@@ -176,6 +180,10 @@ def main() -> int:
                     help="sample budget; default 80%% of the surviving rows")
     ap.add_argument("--group-col", default="lang")
     ap.add_argument("--pack-budget", type=int, default=2048)
+    ap.add_argument("--shards", type=int, default=0,
+                    help="also export the curated corpus as N single-file"
+                         " shards + manifest under OUT/shards"
+                         " (sources/shards.py; 0 = skip)")
     args = ap.parse_args()
 
     spark = get_spark("odl-curation", master=args.master)
@@ -404,6 +412,18 @@ def main() -> int:
     curated.write.mode("overwrite").parquet(os.path.join(args.out, "curated"))
     curated_back = spark.read.parquet(os.path.join(args.out, "curated"))
     stage("packed_written", curated_back, t0)
+
+    if args.shards:
+        # packaging sink: N single-file shards + integrity manifest under
+        # out/shards/ (sources/shards.py) — the artifact a training run
+        # actually loads; placement is id-hash deterministic so re-runs
+        # produce byte-stable shards
+        t0 = time.time()
+        export_shards(curated_back, os.path.join(args.out, "shards"),
+                      args.shards)
+        print(f"  shards_written ({args.shards}) "
+              f"[{round(time.time() - t0, 2)}s]")
+        report["n_shards"] = args.shards
 
     if args.probe_index and args.grow_index:
         # back half of the ingest loop: the curated survivors join the
