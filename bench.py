@@ -71,6 +71,9 @@ HEADLINE = [
     "corpus_divergence",  # round 4: per-lang KL/JS, two count shuffles
     "knn_ivf_pq",        # round 4: residual-PQ probe join + ADC scoring
     "incremental_index_match",  # round 4: batch-vs-index probe (no self-join)
+    "blocklist_screen",  # round 4: C4 badlist gate (pure projection)
+    "quality_model_scores",  # round 4: NB log-odds train + broadcast score
+    "shard_manifest",    # round 4: packaging sink's manifest aggregation
 ]
 
 
