@@ -682,6 +682,34 @@ def q_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite (round 4, rules/constraints.py):
+    seven user-declared expectations over orders — not-null, uniqueness,
+    a bounded range with a tolerance knob, a value domain, a regex
+    format, and a cross-field boolean — evaluated in ONE aggregation
+    pass (single-leaf plan asserted in tests/test_constraints.py).
+    FULL exact DuckDB twin recomputing every counter, rate, and
+    pass/fail verdict from the raw table."""
+    from open_data_linter_spark.rules.constraints import check_constraints
+
+    suite = [
+        {"kind": "not_null", "column": "o_orderkey", "id": "c1_orderkey_nn"},
+        {"kind": "unique", "column": "o_orderkey", "id": "c2_orderkey_unique"},
+        {"kind": "range", "column": "o_totalprice", "min": 0.0,
+         "max": 400000.0, "max_violation_rate": 0.01,
+         "id": "c3_totalprice_range"},
+        {"kind": "in_set", "column": "o_orderstatus",
+         "values": ["F", "O", "P"], "id": "c4_status_domain"},
+        {"kind": "matches", "column": "o_orderpriority",
+         "regex": "[1-5]-[A-Z ]+", "id": "c5_priority_format"},
+        {"kind": "expr", "sql": "o_custkey > 0", "id": "c6_custkey_pos"},
+        {"kind": "not_null", "column": "o_orderdate", "id": "c7_date_nn"},
+    ]
+    return check_constraints(_t(spark, sf_dir, "orders"), suite).orderBy(
+        "constraint_id"
+    )
+
+
 def q_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scores (round 4, functions/quality_model.py;
     Brown et al. 2005.14165 Appendix A): closed-form NB log-odds
@@ -1677,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_screen": q_blocklist_screen,
         "quality_model_scores": q_quality_model_scores,
         "shard_manifest": q_shard_manifest,
+        "constraint_suite": q_constraint_suite,
         "line_dedup": q_line_dedup,
         "normalize_text": q_normalize_text,
         "corpus_divergence": q_corpus_divergence,
@@ -2931,6 +2960,67 @@ def oracle_sql() -> dict[str, str]:
                      AS p_quality
             FROM documents d LEFT JOIN scored s USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "constraint_suite": r"""
+            -- FULL exact twin: every counter recomputed from orders in one
+            -- aggregate, rates rounded to 6 (both engines round positive
+            -- halves away from zero on doubles), passed = rate <= the
+            -- spec's tolerance. "column" is reserved — quoted.
+            WITH t AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN o_orderkey IS NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS bad1,
+                     CAST(count(o_orderkey) AS BIGINT) AS chk2,
+                     CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+                          AS BIGINT) AS bad2,
+                     CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                          AND (o_totalprice < 0.0 OR o_totalprice > 400000.0)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS bad3,
+                     CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('F','O','P')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS bad4,
+                     CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                          AND NOT regexp_full_match(o_orderpriority,
+                                                    '[1-5]-[A-Z ]+')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS bad5,
+                     CAST(sum(CASE WHEN NOT coalesce(o_custkey > 0, FALSE)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS bad6,
+                     CAST(sum(CASE WHEN o_orderdate IS NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS bad7
+              FROM orders
+            ), rows_ AS (
+              SELECT 'c1_orderkey_nn' AS constraint_id, 'not_null' AS kind,
+                     'o_orderkey' AS "column", n AS n_checked,
+                     bad1 AS n_violations, 0.0 AS tol FROM t
+              UNION ALL
+              SELECT 'c2_orderkey_unique', 'unique', 'o_orderkey',
+                     chk2, bad2, 0.0 FROM t
+              UNION ALL
+              SELECT 'c3_totalprice_range', 'range', 'o_totalprice',
+                     n, bad3, 0.01 FROM t
+              UNION ALL
+              SELECT 'c4_status_domain', 'in_set', 'o_orderstatus',
+                     n, bad4, 0.0 FROM t
+              UNION ALL
+              SELECT 'c5_priority_format', 'matches', 'o_orderpriority',
+                     n, bad5, 0.0 FROM t
+              UNION ALL
+              SELECT 'c6_custkey_pos', 'expr', NULL, n, bad6, 0.0 FROM t
+              UNION ALL
+              SELECT 'c7_date_nn', 'not_null', 'o_orderdate',
+                     n, bad7, 0.0 FROM t
+            )
+            SELECT constraint_id, kind, "column", n_checked, n_violations,
+                   CASE WHEN n_checked > 0 THEN
+                     round(CAST(n_violations AS DOUBLE)
+                           / CAST(n_checked AS DOUBLE), 6) END
+                     AS violation_rate,
+                   coalesce(CASE WHEN n_checked > 0 THEN
+                     round(CAST(n_violations AS DOUBLE)
+                           / CAST(n_checked AS DOUBLE), 6) <= tol END,
+                     TRUE) AS passed
+            FROM rows_
+            ORDER BY constraint_id
         """,
         "shard_manifest": r"""
             -- FULL exact twin of the export sink's manifest: shard =

@@ -1,0 +1,173 @@
+"""Declarative constraint suites: user-declared checks, one scan.
+
+The reference engine ships a FIXED rule set (csv_linter.py's 1-x checks);
+production tables also carry table-SPECIFIC expectations — "o_orderkey is
+never null and unique", "o_totalprice ∈ [0, 600k]", "status ∈ {F,O,P}",
+"l_shipdate ≤ l_receiptdate". This module is the declarative layer over
+the same pass/fail + violation-count contract (core/model.py's shape):
+a constraint SUITE is plain data, compiled into ONE aggregation pass.
+
+Spark-first design: every row-level constraint becomes a
+``sum(CASE WHEN violated)`` counter inside a single ``df.agg`` — the scan
+reads only the referenced columns (column pruning), the aggregation is
+partial (map-side combine), and adding a constraint adds an expression,
+not a job. ``unique`` folds in as ``count(col) - count(DISTINCT col)``
+in the same pass. At 10^12 rows the suite costs one scan regardless of
+how many constraints it carries — the property the reference's
+per-check passes over a pandas frame cannot have.
+
+Constraint kinds (``kind`` key of each spec dict):
+
+- ``not_null``:   violation = NULL value
+- ``unique``:     violations = count(col) - count(DISTINCT col)
+                  (non-null duplicate occurrences beyond the first)
+- ``range``:      violation = non-null value outside [``min``, ``max``]
+                  (either bound optional)
+- ``in_set``:     violation = non-null value not in ``values``
+- ``matches``:    violation = non-null value not fully matching ``regex``
+- ``expr``:       violation = rows where the boolean SQL ``sql`` is NOT
+                  true (cross-field checks; NULL counts as a violation —
+                  declare the null-tolerance inside the expression)
+
+Every spec may carry ``max_violation_rate`` (default 0.0): the constraint
+passes while violations/checked ≤ the tolerance — the Great-Expectations
+"mostly" knob. ``n_checked`` is the total row count for row-level kinds
+(NULL handling is the constraint's own business, mirroring how the
+reference counts cells), and the non-null count for ``unique``.
+
+Violation-row sampling (``constraint_violations``) reuses the suite's
+compiled predicate for ONE constraint and returns the offending rows
+with the engine's (rule_id, column, message)-style coordinates.
+
+Reference seed: csv_linter.py's per-check invalid-cell counters and
+1-13's masked-domain check (the in_set analog); extended here to a
+user-declared suite per the training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_KINDS = ("not_null", "unique", "range", "in_set", "matches", "expr")
+
+
+def _violated(spec: Mapping[str, Any]) -> Column:
+    """Boolean violation predicate for a row-level spec (not ``unique``)."""
+    kind = spec["kind"]
+    if kind == "expr":
+        ok = F.expr(spec["sql"])
+        # NOT true: false OR null — an unevaluable cross-field check is a
+        # violation unless the expression itself tolerates the nulls
+        return ~ok.eqNullSafe(F.lit(True))
+    c = F.col(spec["column"])
+    if kind == "not_null":
+        return c.isNull()
+    if kind == "range":
+        lo, hi = spec.get("min"), spec.get("max")
+        bad = F.lit(False)
+        if lo is not None:
+            bad = bad | (c < F.lit(lo))
+        if hi is not None:
+            bad = bad | (c > F.lit(hi))
+        return c.isNotNull() & bad
+    if kind == "in_set":
+        return c.isNotNull() & ~c.isin(list(spec["values"]))
+    if kind == "matches":
+        return c.isNotNull() & ~c.cast("string").rlike(
+            "^(?:" + spec["regex"] + ")$"
+        )
+    raise ValueError(f"unknown constraint kind {kind!r}")
+
+
+def _cid(i: int, spec: Mapping[str, Any]) -> str:
+    return spec.get("id") or f"c{i:02d}_{spec['kind']}_{spec.get('column', 'expr')}"
+
+
+def check_constraints(
+    df: DataFrame, suite: Sequence[Mapping[str, Any]]
+) -> DataFrame:
+    """Evaluate a constraint suite in ONE aggregation pass.
+
+    Returns one row per constraint, in suite order:
+    ``(constraint_id, kind, column, n_checked, n_violations,
+    violation_rate, passed)`` — rate rounded to 6 places, NULL on an
+    empty check set; ``passed`` compares the rate against the spec's
+    ``max_violation_rate`` (empty check set passes).
+    """
+    if not suite:
+        raise ValueError("suite must declare at least one constraint")
+    for spec in suite:
+        if spec["kind"] not in _KINDS:
+            raise ValueError(f"unknown constraint kind {spec['kind']!r}")
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
+    for i, spec in enumerate(suite):
+        if spec["kind"] == "unique":
+            c = F.col(spec["column"])
+            aggs.append(F.count(c).alias(f"chk_{i}"))
+            aggs.append(
+                (F.count(c) - F.count_distinct(c)).alias(f"bad_{i}")
+            )
+        else:
+            aggs.append(
+                F.sum(_violated(spec).cast("long")).alias(f"bad_{i}")
+            )
+    totals = df.agg(*aggs)
+
+    rows: list[Column] = []
+    for i, spec in enumerate(suite):
+        checked = (
+            F.col(f"chk_{i}")
+            if spec["kind"] == "unique"
+            else F.col("__rows")
+        )
+        bad = F.coalesce(F.col(f"bad_{i}"), F.lit(0))
+        rate = F.when(
+            checked > 0, F.round(bad.cast("double") / checked, 6)
+        )
+        tol = float(spec.get("max_violation_rate", 0.0))
+        rows.append(
+            F.struct(
+                F.lit(_cid(i, spec)).alias("constraint_id"),
+                F.lit(spec["kind"]).alias("kind"),
+                F.lit(spec.get("column")).cast("string").alias("column"),
+                checked.cast("long").alias("n_checked"),
+                bad.cast("long").alias("n_violations"),
+                rate.alias("violation_rate"),
+                F.coalesce(rate <= F.lit(tol), F.lit(True)).alias("passed"),
+            )
+        )
+    return totals.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.*")
+
+
+def constraint_violations(
+    df: DataFrame,
+    suite: Sequence[Mapping[str, Any]],
+    constraint_id: str,
+    limit: int | None = 100,
+) -> DataFrame:
+    """Rows violating ONE row-level constraint of the suite (evidence
+    sampling — pair with the counts from ``check_constraints``).
+    ``unique`` needs group context, so it reports the duplicated VALUES
+    (value, occurrences) instead of raw rows."""
+    for i, spec in enumerate(suite):
+        if _cid(i, spec) != constraint_id:
+            continue
+        if spec["kind"] == "unique":
+            c = F.col(spec["column"])
+            out = (
+                df.where(c.isNotNull())
+                .groupBy(c.alias("value"))
+                .agg(F.count(F.lit(1)).alias("occurrences"))
+                .where(F.col("occurrences") > 1)
+                .orderBy(F.col("occurrences").desc(), F.col("value"))
+            )
+        else:
+            out = df.where(_violated(spec))
+        return out.limit(limit) if limit is not None else out
+    raise KeyError(f"no constraint with id {constraint_id!r} in suite")

@@ -1,0 +1,112 @@
+"""Declarative constraint suites: per-kind semantics vs a hand-counted
+twin, tolerance knob, empty-input conventions, single-scan plan,
+violation-row sampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_data_linter_spark.rules.constraints import (
+    check_constraints,
+    constraint_violations,
+)
+
+ROWS = [
+    # (id, status, price, code, ship_day, receipt_day)
+    (1, "F", 10.0, "AB-1", 3, 5),
+    (2, "O", -1.0, "XY-2", 7, 7),
+    (3, None, 55.5, "bad!", 9, 2),   # null status, bad code, ship>receipt
+    (4, "P", 600.0, "CD-9", 1, 4),
+    (4, "F", 20.0, "EF-3", 2, 2),    # duplicate id
+    (5, "Z", None, None, None, 6),   # status outside set, nulls
+]
+SCHEMA = ("id long, status string, price double, code string,"
+          " ship_day int, receipt_day int")
+
+SUITE = [
+    {"kind": "not_null", "column": "status", "id": "status_nn"},
+    {"kind": "unique", "column": "id", "id": "id_unique"},
+    {"kind": "range", "column": "price", "min": 0.0, "max": 500.0,
+     "id": "price_range"},
+    {"kind": "in_set", "column": "status", "values": ["F", "O", "P"],
+     "id": "status_domain"},
+    {"kind": "matches", "column": "code", "regex": "[A-Z]{2}-[0-9]",
+     "id": "code_format"},
+    {"kind": "expr", "sql": "ship_day <= receipt_day", "id": "ship_order"},
+]
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def test_counts_match_hand_twin(spark, frame):
+    got = {r["constraint_id"]: r.asDict()
+           for r in check_constraints(frame, SUITE).collect()}
+    n = len(ROWS)
+    # hand counts: null status ×1; id dups: 6 non-null ids, 5 distinct → 1;
+    # price: -1 and 600 out of range → 2; status in_set: 'Z' → 1;
+    # code: 'bad!' fails, NULL skipped → 1; expr: ship>receipt ×1 plus the
+    # NULL ship_day row (NOT true) → 2
+    want = {
+        "status_nn": (n, 1), "id_unique": (6, 1), "price_range": (n, 2),
+        "status_domain": (n, 1), "code_format": (n, 1), "ship_order": (n, 2),
+    }
+    assert set(got) == set(want)
+    for cid, (checked, bad) in want.items():
+        r = got[cid]
+        assert (r["n_checked"], r["n_violations"]) == (checked, bad), cid
+        assert r["violation_rate"] == round(bad / checked, 6)
+        assert r["passed"] is (bad == 0)
+
+
+def test_result_preserves_suite_order(spark, frame):
+    ids = [r["constraint_id"]
+           for r in check_constraints(frame, SUITE).collect()]
+    assert ids == [s["id"] for s in SUITE]
+
+
+def test_tolerance_knob(spark, frame):
+    loose = [dict(SUITE[2], max_violation_rate=0.5)]
+    r = check_constraints(frame, loose).collect()[0]
+    assert r["n_violations"] == 2 and r["passed"] is True
+    tight = [dict(SUITE[2], max_violation_rate=0.1)]
+    assert check_constraints(frame, tight).collect()[0]["passed"] is False
+
+
+def test_empty_input_passes_with_null_rate(spark):
+    empty = spark.createDataFrame([], SCHEMA)
+    for r in check_constraints(empty, SUITE).collect():
+        assert (r["n_checked"], r["n_violations"]) == (0, 0)
+        assert r["violation_rate"] is None
+        assert r["passed"] is True
+
+
+def test_single_scan_plan(spark, frame):
+    plan = (
+        check_constraints(frame, SUITE)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the whole suite (incl. the count-distinct fold) reads the input once:
+    # one leaf (createDataFrame = LogicalRDD), no self-join/union fan-out
+    assert plan.count("LogicalRDD") == 1, plan
+    assert "Join" not in plan and "Union" not in plan, plan
+
+
+def test_violation_sampling(spark, frame):
+    bad_prices = sorted(
+        r["price"]
+        for r in constraint_violations(frame, SUITE, "price_range").collect()
+    )
+    assert bad_prices == [-1.0, 600.0]
+    dups = constraint_violations(frame, SUITE, "id_unique").collect()
+    assert [(r["value"], r["occurrences"]) for r in dups] == [(4, 2)]
+    with pytest.raises(KeyError):
+        constraint_violations(frame, SUITE, "nope")
+
+
+def test_unknown_kind_rejected(spark, frame):
+    with pytest.raises(ValueError, match="unknown constraint kind"):
+        check_constraints(frame, [{"kind": "frobnicate", "column": "id"}])
