@@ -710,6 +710,36 @@ def q_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version snapshot diff (round 4, rules/snapshot.py): an
+    'old' orders snapshot (orderkeys ≢ 0 mod 3, o_orderpriority still
+    present) vs the 'new' full version (o_orderdate added, o_custkey
+    migrated bigint→string) — per-column presence/type changes plus
+    null-rate and exact-cardinality drift, ONE aggregate per side and a
+    broadcast cross of two single rows (plan-asserted in
+    tests/test_snapshot.py). FULL exact DuckDB twin recomputing every
+    stat from both relations; the type strings are facts of the query's
+    own casts."""
+    from open_data_linter_spark.rules.snapshot import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    new = o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("string").alias("o_custkey"),
+        "o_totalprice",
+        "o_orderstatus",
+        "o_orderdate",
+    )
+    return snapshot_diff(old, new).orderBy("column")
+
+
 def q_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scores (round 4, functions/quality_model.py;
     Brown et al. 2005.14165 Appendix A): closed-form NB log-odds
@@ -1706,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_model_scores": q_quality_model_scores,
         "shard_manifest": q_shard_manifest,
         "constraint_suite": q_constraint_suite,
+        "snapshot_diff": q_snapshot_diff,
         "line_dedup": q_line_dedup,
         "normalize_text": q_normalize_text,
         "corpus_divergence": q_corpus_divergence,
@@ -3021,6 +3052,92 @@ def oracle_sql() -> dict[str, str]:
                      TRUE) AS passed
             FROM rows_
             ORDER BY constraint_id
+        """,
+        "snapshot_diff": r"""
+            -- FULL exact twin: both snapshot relations rebuilt from raw
+            -- orders, every count/null-rate/exact-distinct recomputed;
+            -- presence/type literals mirror the query's own projections
+            -- and casts. Rates rounded to 6, delta over the rounded
+            -- rates. "column" is reserved — quoted.
+            WITH so AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(o_orderkey) AS BIGINT) AS nn_ok,
+                     CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d_ok,
+                     CAST(count(o_custkey) AS BIGINT) AS nn_ck,
+                     CAST(count(DISTINCT o_custkey) AS BIGINT) AS d_ck,
+                     CAST(count(o_totalprice) AS BIGINT) AS nn_tp,
+                     CAST(count(DISTINCT o_totalprice) AS BIGINT) AS d_tp,
+                     CAST(count(o_orderstatus) AS BIGINT) AS nn_os,
+                     CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS d_os,
+                     CAST(count(o_orderpriority) AS BIGINT) AS nn_op,
+                     CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS d_op
+              FROM orders WHERE o_orderkey % 3 <> 0
+            ), sn AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(o_orderkey) AS BIGINT) AS nn_ok,
+                     CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d_ok,
+                     CAST(count(CAST(o_custkey AS VARCHAR)) AS BIGINT)
+                       AS nn_ck,
+                     CAST(count(DISTINCT CAST(o_custkey AS VARCHAR))
+                       AS BIGINT) AS d_ck,
+                     CAST(count(o_totalprice) AS BIGINT) AS nn_tp,
+                     CAST(count(DISTINCT o_totalprice) AS BIGINT) AS d_tp,
+                     CAST(count(o_orderstatus) AS BIGINT) AS nn_os,
+                     CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS d_os,
+                     CAST(count(o_orderdate) AS BIGINT) AS nn_od,
+                     CAST(count(DISTINCT o_orderdate) AS BIGINT) AS d_od
+              FROM orders
+            ), rows_ AS (
+              SELECT 'o_custkey' AS "column",
+                     TRUE AS in_old, TRUE AS in_new,
+                     'bigint' AS type_old, 'string' AS type_new,
+                     TRUE AS type_changed,
+                     so.n AS n_old, sn.n AS n_new,
+                     so.nn_ck AS nn_old, sn.nn_ck AS nn_new,
+                     so.d_ck AS distinct_old, sn.d_ck AS distinct_new
+              FROM so CROSS JOIN sn
+              UNION ALL
+              SELECT 'o_orderdate', FALSE, TRUE, NULL, 'timestamp_ntz', FALSE,
+                     so.n, sn.n, NULL, sn.nn_od, NULL, sn.d_od
+              FROM so CROSS JOIN sn
+              UNION ALL
+              SELECT 'o_orderkey', TRUE, TRUE, 'bigint', 'bigint', FALSE,
+                     so.n, sn.n, so.nn_ok, sn.nn_ok, so.d_ok, sn.d_ok
+              FROM so CROSS JOIN sn
+              UNION ALL
+              SELECT 'o_orderpriority', TRUE, FALSE, 'string', NULL, FALSE,
+                     so.n, sn.n, so.nn_op, NULL, so.d_op, NULL
+              FROM so CROSS JOIN sn
+              UNION ALL
+              SELECT 'o_orderstatus', TRUE, TRUE, 'string', 'string', FALSE,
+                     so.n, sn.n, so.nn_os, sn.nn_os, so.d_os, sn.d_os
+              FROM so CROSS JOIN sn
+              UNION ALL
+              SELECT 'o_totalprice', TRUE, TRUE, 'double', 'double', FALSE,
+                     so.n, sn.n, so.nn_tp, sn.nn_tp, so.d_tp, sn.d_tp
+              FROM so CROSS JOIN sn
+            )
+            SELECT "column", in_old, in_new, type_old, type_new,
+                   type_changed, n_old, n_new,
+                   CASE WHEN nn_old IS NOT NULL AND n_old > 0 THEN
+                     round(CAST(n_old - nn_old AS DOUBLE)
+                           / CAST(n_old AS DOUBLE), 6) END
+                     AS null_rate_old,
+                   CASE WHEN nn_new IS NOT NULL AND n_new > 0 THEN
+                     round(CAST(n_new - nn_new AS DOUBLE)
+                           / CAST(n_new AS DOUBLE), 6) END
+                     AS null_rate_new,
+                   round(
+                     CASE WHEN nn_new IS NOT NULL AND n_new > 0 THEN
+                       round(CAST(n_new - nn_new AS DOUBLE)
+                             / CAST(n_new AS DOUBLE), 6) END
+                   - CASE WHEN nn_old IS NOT NULL AND n_old > 0 THEN
+                       round(CAST(n_old - nn_old AS DOUBLE)
+                             / CAST(n_old AS DOUBLE), 6) END, 6)
+                     AS null_rate_delta,
+                   distinct_old, distinct_new
+            FROM rows_
+            ORDER BY "column"
         """,
         "shard_manifest": r"""
             -- FULL exact twin of the export sink's manifest: shard =
