@@ -740,6 +740,29 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new).orderBy("column")
 
 
+def q_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot reconciliation (round 4, rules/reconcile.py):
+    an 'old' orders version (keys ≢0 mod 7) vs a 'new' one (keys ≢0
+    mod 5, status rewritten to 'X' on keys ≡0 mod 11) — counts of
+    inserted/deleted/updated/unchanged keys from ONE hash-reduced full
+    outer join (the shuffle carries (key, 60-bit md5) pairs, never the
+    payload; plan-asserted in tests/test_reconcile.py). FULL
+    INDEPENDENT twin: the engine classifies by md5 row-hash equality,
+    the SQL re-classifies by comparing the raw column values — a hash
+    construction or serialization bug breaks the compare."""
+    from open_data_linter_spark.rules.reconcile import reconcile_counts
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.where((F.col("o_orderkey") % 7) != 0)
+    new = o.where((F.col("o_orderkey") % 5) != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return reconcile_counts(old, new, "o_orderkey")
+
+
 def q_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scores (round 4, functions/quality_model.py;
     Brown et al. 2005.14165 Appendix A): closed-form NB log-odds
@@ -1737,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "constraint_suite": q_constraint_suite,
         "snapshot_diff": q_snapshot_diff,
+        "reconcile_orders": q_reconcile_orders,
         "line_dedup": q_line_dedup,
         "normalize_text": q_normalize_text,
         "corpus_divergence": q_corpus_divergence,
@@ -3052,6 +3076,49 @@ def oracle_sql() -> dict[str, str]:
                      TRUE) AS passed
             FROM rows_
             ORDER BY constraint_id
+        """,
+        "reconcile_orders": r"""
+            -- FULL INDEPENDENT twin: re-classifies every key by comparing
+            -- the RAW column values (IS NOT DISTINCT FROM, null-safe)
+            -- where the engine compares 60-bit md5 row-hashes — any hash
+            -- construction or serialization bug breaks the compare. The
+            -- skeleton keeps zero classes present.
+            WITH oldv AS (
+              SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+            ), newv AS (
+              SELECT o_orderkey, o_custkey,
+                     CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                          ELSE o_orderstatus END AS o_orderstatus,
+                     o_totalprice, o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 5 <> 0
+            ), j AS (
+              SELECT CASE
+                       WHEN o.o_orderkey IS NULL THEN 'inserted'
+                       WHEN n.o_orderkey IS NULL THEN 'deleted'
+                       WHEN NOT (
+                         o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                         AND o.o_orderstatus
+                             IS NOT DISTINCT FROM n.o_orderstatus
+                         AND o.o_totalprice
+                             IS NOT DISTINCT FROM n.o_totalprice
+                         AND o.o_orderdate
+                             IS NOT DISTINCT FROM n.o_orderdate
+                         AND o.o_orderpriority
+                             IS NOT DISTINCT FROM n.o_orderpriority
+                       ) THEN 'updated'
+                       ELSE 'unchanged'
+                     END AS change
+              FROM oldv o FULL JOIN newv n
+                ON o.o_orderkey = n.o_orderkey
+            ), counted AS (
+              SELECT change, CAST(count(*) AS BIGINT) AS n
+              FROM j GROUP BY change
+            )
+            SELECT s.change, coalesce(c.n, 0) AS n_keys
+            FROM (VALUES ('deleted'), ('inserted'), ('unchanged'),
+                         ('updated')) s(change)
+            LEFT JOIN counted c ON s.change = c.change
+            ORDER BY s.change
         """,
         "snapshot_diff": r"""
             -- FULL exact twin: both snapshot relations rebuilt from raw

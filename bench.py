@@ -74,6 +74,9 @@ HEADLINE = [
     "blocklist_screen",  # round 4: C4 badlist gate (pure projection)
     "quality_model_scores",  # round 4: NB log-odds train + broadcast score
     "shard_manifest",    # round 4: packaging sink's manifest aggregation
+    "constraint_suite",  # round 4: declarative expectations, one scan
+    "snapshot_diff",     # round 4: table-version schema/stats drift
+    "reconcile_orders",  # round 4: hash-reduced row-level version diff
 ]
 
 
