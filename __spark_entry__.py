@@ -740,6 +740,24 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new).orderBy("column")
 
 
+def q_group_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition/group completeness (round 4, rules/constraints.py::
+    check_group_counts): per-status order volumes vs a declared group
+    set + bounds — an expected-but-absent group ('X') reports missing,
+    bound breaches report under/over, undeclared groups report
+    unexpected. One partial-aggregated groupBy + a broadcast-sized
+    skeleton join. FULL exact DuckDB twin."""
+    from open_data_linter_spark.rules.constraints import check_group_counts
+
+    return check_group_counts(
+        _t(spark, sf_dir, "orders"),
+        "o_orderstatus",
+        expected=["F", "O", "P", "X"],
+        min_rows=4950,
+        max_rows=5050,
+    )
+
+
 def q_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level snapshot reconciliation (round 4, rules/reconcile.py):
     an 'old' orders version (keys ≢0 mod 7) vs a 'new' one (keys ≢0
@@ -1761,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_suite": q_constraint_suite,
         "snapshot_diff": q_snapshot_diff,
         "reconcile_orders": q_reconcile_orders,
+        "group_completeness": q_group_completeness,
         "line_dedup": q_line_dedup,
         "normalize_text": q_normalize_text,
         "corpus_divergence": q_corpus_divergence,
@@ -3076,6 +3095,31 @@ def oracle_sql() -> dict[str, str]:
                      TRUE) AS passed
             FROM rows_
             ORDER BY constraint_id
+        """,
+        "group_completeness": r"""
+            -- FULL exact twin: per-group counts + the declared skeleton,
+            -- missing/under/over/unexpected statuses recomputed. GROUP is
+            -- a keyword — quoted.
+            WITH counted AS (
+              SELECT o_orderstatus AS "group",
+                     CAST(count(*) AS BIGINT) AS n_rows
+              FROM orders GROUP BY 1
+            ), sk AS (
+              SELECT * FROM (VALUES ('F'), ('O'), ('P'), ('X')) s("group")
+            ), full_ AS (
+              SELECT coalesce(sk."group", c."group") AS "group",
+                     coalesce(c.n_rows, 0) AS n_rows,
+                     sk."group" IS NOT NULL AS expected
+              FROM sk FULL JOIN counted c ON sk."group" = c."group"
+            )
+            SELECT "group", n_rows, expected,
+                   CASE WHEN NOT expected THEN 'unexpected'
+                        WHEN n_rows = 0 THEN 'missing'
+                        WHEN n_rows < 4950 THEN 'under'
+                        WHEN n_rows > 5050 THEN 'over'
+                        ELSE 'ok' END AS status
+            FROM full_
+            ORDER BY "group"
         """,
         "reconcile_orders": r"""
             -- FULL INDEPENDENT twin: re-classifies every key by comparing

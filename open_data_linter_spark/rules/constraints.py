@@ -145,6 +145,63 @@ def check_constraints(
     ).select("r.*")
 
 
+def check_group_counts(
+    df: DataFrame,
+    group_col: str,
+    expected: Sequence[Any] | None = None,
+    min_rows: int = 1,
+    max_rows: int | None = None,
+) -> DataFrame:
+    """Partition/group completeness: per-group row counts vs bounds.
+
+    The at-scale analog of "is the file complete?" — a re-ingested day
+    missing, an empty partition, a doubled backfill. One groupBy
+    (partial-aggregated counts, the shuffle carries one row per group)
+    left-joined from the ``expected`` skeleton so MISSING groups appear
+    as zero rows; unexpected groups (present but not declared) are
+    flagged too. With ``expected=None`` only the bounds are checked
+    over the observed groups.
+
+    Output, ordered by group: ``(group, n_rows, expected, status)`` with
+    status ∈ {ok, missing, under, over, unexpected} — ``missing`` is an
+    expected group with zero rows; ``under``/``over`` breach
+    [``min_rows``, ``max_rows``]; ``unexpected`` only arises with an
+    ``expected`` list. NULL group values count as a real group (a NULL
+    partition key is usually itself the bug worth surfacing).
+    """
+    counted = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    if expected is not None:
+        spark = df.sparkSession
+        gtype = df.schema[group_col].dataType
+        skeleton = spark.createDataFrame(
+            [(v,) for v in expected], f"group {gtype.simpleString()}"
+        ).withColumn("expected", F.lit(True))
+        counted = skeleton.join(counted, "group", "full").select(
+            "group",
+            F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce("expected", F.lit(False)).alias("expected"),
+        )
+    else:
+        counted = counted.select(
+            "group",
+            F.col("n_rows").cast("long"),
+            F.lit(True).alias("expected"),
+        )
+    n = F.col("n_rows")
+    status = (
+        F.when(~F.col("expected"), F.lit("unexpected"))
+        .when(n == 0, F.lit("missing"))
+        .when(n < F.lit(int(min_rows)), F.lit("under"))
+    )
+    if max_rows is not None:
+        status = status.when(n > F.lit(int(max_rows)), F.lit("over"))
+    return counted.select(
+        "group", "n_rows", "expected", status.otherwise(F.lit("ok")).alias("status")
+    ).orderBy("group")
+
+
 def constraint_violations(
     df: DataFrame,
     suite: Sequence[Mapping[str, Any]],

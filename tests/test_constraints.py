@@ -110,3 +110,36 @@ def test_violation_sampling(spark, frame):
 def test_unknown_kind_rejected(spark, frame):
     with pytest.raises(ValueError, match="unknown constraint kind"):
         check_constraints(frame, [{"kind": "frobnicate", "column": "id"}])
+
+
+def test_group_counts_completeness(spark):
+    from open_data_linter_spark.rules.constraints import check_group_counts
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("c",)] + [("d",)] * 10,
+        "g string",
+    )
+    got = {r["group"]: (r["n_rows"], r["status"])
+           for r in check_group_counts(
+               df, "g", expected=["a", "b", "e"], min_rows=2, max_rows=5
+           ).collect()}
+    assert got == {
+        "a": (3, "ok"),
+        "b": (1, "under"),
+        "c": (1, "unexpected"),
+        "d": (10, "unexpected"),   # unexpected wins over 'over'
+        "e": (0, "missing"),
+    }
+
+
+def test_group_counts_without_expected_and_null_group(spark):
+    from open_data_linter_spark.rules.constraints import check_group_counts
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)] * 2, "g string"
+    )
+    got = {r["group"]: (r["n_rows"], r["status"])
+           for r in check_group_counts(df, "g", min_rows=3).collect()}
+    assert got["a"] == (4, "ok")
+    assert got["b"] == (2, "under")
+    assert got[None] == (2, "under")  # NULL key is a real group
