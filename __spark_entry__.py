@@ -3090,8 +3090,8 @@ def oracle_sql() -> dict[str, str]:
                            / CAST(n_checked AS DOUBLE), 6) END
                      AS violation_rate,
                    coalesce(CASE WHEN n_checked > 0 THEN
-                     round(CAST(n_violations AS DOUBLE)
-                           / CAST(n_checked AS DOUBLE), 6) <= tol END,
+                     (CAST(n_violations AS DOUBLE)
+                      / CAST(n_checked AS DOUBLE)) <= tol END,
                      TRUE) AS passed
             FROM rows_
             ORDER BY constraint_id

@@ -121,22 +121,18 @@ def train_quality_classifier(
     return weights.unionByName(oov)
 
 
-def quality_model_scores(
+def _scored_ids(
     df: DataFrame,
     model: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    buckets: int | None = None,
-    seed: int = 42,
+    text_col: str,
+    id_col: str,
+    buckets: int | None,
+    seed: int,
 ) -> DataFrame:
-    """Row-preserving scores: ``(id_col, n_tokens, mean_logodds,
-    p_quality)``. ``mean_logodds`` is the per-occurrence weight sum over
-    ``n_tokens`` rounded to 6 decimals (partition-order independence
-    contract); ``p_quality = round(sigmoid(mean_logodds), 6)``. Docs that
-    tokenize to nothing carry NULLs. Pass the SAME ``buckets``/``seed``
-    the model was trained with — the params travel with the caller, not
-    the frame (persist them beside the parquet like the index sidecars).
-    """
+    """Internal: ``(__id, n_tokens, mean_logodds)`` for every doc that
+    tokenizes to something — WITHOUT the row-preserving join back onto
+    ``df`` (the sampler drops unscorable docs anyway, so it skips that
+    corpus-wide join)."""
     oov = F.broadcast(
         model.where(F.col("f").isNull()).agg(F.min("w").alias("w0"))
     )
@@ -150,7 +146,7 @@ def quality_model_scores(
     occ = toks.select("__id", F.explode("toks").alias("f")).select(
         "__id", _feat(buckets, seed).alias("f")
     )
-    scored = (
+    return (
         occ.join(weights, "f", "left")
         .crossJoin(oov)
         .select(
@@ -170,6 +166,25 @@ def quality_model_scores(
             F.round(F.sum("w") / F.count("*"), 6).alias("mean_logodds"),
         )
     )
+
+
+def quality_model_scores(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Row-preserving scores: ``(id_col, n_tokens, mean_logodds,
+    p_quality)``. ``mean_logodds`` is the per-occurrence weight sum over
+    ``n_tokens`` rounded to 6 decimals (partition-order independence
+    contract); ``p_quality = round(sigmoid(mean_logodds), 6)``. Docs that
+    tokenize to nothing carry NULLs. Pass the SAME ``buckets``/``seed``
+    the model was trained with — the params travel with the caller, not
+    the frame (persist them beside the parquet like the index sidecars).
+    """
+    scored = _scored_ids(df, model, text_col, id_col, buckets, seed)
     return (
         df.select(F.col(id_col))
         .join(scored, F.col(id_col) == F.col("__id"), "left")
@@ -209,9 +224,15 @@ def pareto_quality_sample(
     shape) — tightening the gate never resurrects a dropped doc."""
     if shape <= 0.0:
         raise ValueError(f"shape must be > 0, got {shape}")
-    p = quality_model_scores(
-        df, model, text_col, id_col, buckets=buckets, seed=seed
-    ).select(F.col(id_col).alias("__sid"), "p_quality")
+    # _scored_ids, not quality_model_scores: the row-preserving join back
+    # onto every df id would be pure overhead here — unscorable docs are
+    # dropped by the acceptance rule anyway
+    p = _scored_ids(df, model, text_col, id_col, buckets, seed).select(
+        F.col("__id").alias("__sid"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("mean_logodds"))), 6
+        ).alias("p_quality"),  # identical to the published score
+    )
     # 53-bit hash uniform in [0, 1): exact in a double, never reaches 1.0
     # so (1-u) is never 0 and the draw is always finite
     u = (

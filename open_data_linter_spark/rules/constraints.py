@@ -125,9 +125,11 @@ def check_constraints(
             else F.col("__rows")
         )
         bad = F.coalesce(F.col(f"bad_{i}"), F.lit(0))
-        rate = F.when(
-            checked > 0, F.round(bad.cast("double") / checked, 6)
-        )
+        # the REPORTED rate is rounded (display contract); the verdict
+        # compares the raw rate, so 1 violation in 10^9 rows still fails
+        # a zero-tolerance constraint instead of rounding to 0.000000
+        raw_rate = F.when(checked > 0, bad.cast("double") / checked)
+        rate = F.round(raw_rate, 6)
         tol = float(spec.get("max_violation_rate", 0.0))
         rows.append(
             F.struct(
@@ -137,7 +139,9 @@ def check_constraints(
                 checked.cast("long").alias("n_checked"),
                 bad.cast("long").alias("n_violations"),
                 rate.alias("violation_rate"),
-                F.coalesce(rate <= F.lit(tol), F.lit(True)).alias("passed"),
+                F.coalesce(raw_rate <= F.lit(tol), F.lit(True)).alias(
+                    "passed"
+                ),
             )
         )
     return totals.select(
@@ -178,10 +182,18 @@ def check_group_counts(
         skeleton = spark.createDataFrame(
             [(v,) for v in expected], f"group {gtype.simpleString()}"
         ).withColumn("expected", F.lit(True))
-        counted = skeleton.join(counted, "group", "full").select(
-            "group",
-            F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
-            F.coalesce("expected", F.lit(False)).alias("expected"),
+        # eqNullSafe: a DECLARED NULL group must match observed NULL keys,
+        # not double-report as missing + unexpected
+        counted = skeleton.alias("s").join(
+            counted.alias("c"),
+            F.col("s.group").eqNullSafe(F.col("c.group")),
+            "full",
+        ).select(
+            # a declared NULL group matched null-safely has NULL on both
+            # sides, so coalesce is correct in every branch
+            F.coalesce("s.group", "c.group").alias("group"),
+            F.coalesce("c.n_rows", F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce("s.expected", F.lit(False)).alias("expected"),
         )
     else:
         counted = counted.select(

@@ -8,10 +8,11 @@ content between two versions of the same table, and which ones.
 Design for 10^12 rows:
 
 - Each side is first REDUCED to ``(key, row_hash)``: the row hash is a
-  60-bit prefix of md5 over the concatenation of the compared columns
-  (name=value pairs, NULL marked distinctly from the empty string), so
-  the join that follows carries two longs per row instead of the full
-  payload — the shuffle is O(keys), not O(bytes).
+  60-bit prefix of md5 over the ``to_json`` canonicalization of the
+  compared columns (JSON escaping means no value can shift content
+  across column boundaries; NULL renders as JSON null, distinct from
+  every string), so the join that follows carries two longs per row
+  instead of the full payload — the shuffle is O(keys), not O(bytes).
 - ONE full outer join on the key (sort-merge on the shuffled hashes)
   classifies every key: ``inserted`` (new only), ``deleted`` (old
   only), ``updated`` (both, hash differs), ``unchanged``. Counts come
@@ -21,8 +22,9 @@ Design for 10^12 rows:
   the same pass (count vs distinct inside the join input would need a
   second agg, so the guard is a cheap groupBy-count filter whose
   violation raises at action time through ``F.assert_true``); with
-  ``True`` the per-key hash is the xor-fold of the side's row hashes
-  (order-independent multiset compare).
+  ``True`` the per-key hash digests the (xor, count, sum) fold of the
+  side's row hashes — order/partition independent AND multiplicity
+  sensitive (xor alone would cancel even multiplicities).
 
 The md5 construction is exactly replayable in DuckDB (same trick as
 sources/shards.py), so reconciliation reports carry FULL SQL twins.
@@ -39,27 +41,43 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_NULL_MARK = "\x00"  # distinct from any real string, incl. ""
-
-
 def _row_hash(cols: Sequence[str]) -> Column:
-    parts = []
-    for c in cols:
-        parts.append(F.lit(c))
-        parts.append(
-            F.coalesce(F.col(c).cast("string"), F.lit(_NULL_MARK))
-        )
-    return F.conv(
-        F.substring(F.md5(F.concat_ws("\x01", *parts)), 1, 15), 16, 10
-    ).cast("long")
+    # to_json canonicalizes the row: every value is properly escaped (a
+    # separator character INSIDE a value cannot shift content across
+    # column boundaries) and NULL renders as a JSON null, distinct from
+    # every string value incl. "" and "null"
+    canon = F.to_json(
+        F.struct(*[F.col(c) for c in cols]),
+        {"ignoreNullFields": "false"},
+    )
+    return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
 
 
 def _keyed(df: DataFrame, key: str, cols: Sequence[str],
            allow_dup_keys: bool) -> DataFrame:
     h = df.select(F.col(key).alias("__k"), _row_hash(cols).alias("__h"))
     if allow_dup_keys:
-        # xor-fold: multiset content compare, order/partition independent
-        return h.groupBy("__k").agg(F.bit_xor("__h").alias("__h"))
+        # order/partition-independent MULTISET fold: xor alone cancels
+        # even multiplicities ({r1,r1} vs {r2,r2} would both fold to 0),
+        # so the per-key digest re-hashes (xor, count, sum) — sum runs in
+        # decimal(38) because ANSI long addition throws on overflow
+        folded = h.groupBy("__k").agg(
+            F.bit_xor("__h").alias("__x"),
+            F.count(F.lit(1)).alias("__c"),
+            F.sum(F.col("__h").cast("decimal(38,0)")).alias("__s"),
+        )
+        return folded.select(
+            "__k",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", "__x", "__c", "__s")), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("__h"),
+        )
     return h.groupBy("__k").agg(
         F.count(F.lit(1)).alias("__c"), F.min("__h").alias("__h")
     ).select(

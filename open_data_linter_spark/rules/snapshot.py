@@ -18,11 +18,15 @@ Per column of the UNION of both schemas:
   default (SQL-replayable); ``approx=True`` switches to HyperLogLog
   ``approx_count_distinct`` for the 10^12-row path (one pass, no expand)
 
-Plan shape: each side contributes ONE aggregate over its own scan (all
-per-column counters fused, map-side partial); the two single-row results
-cross-join (broadcast, trivial) and explode into the per-column report.
-Nothing is collected; the report is a DataFrame you can sink, diff
-against thresholds, or feed to the constraint layer.
+Plan shape: each side contributes ONE aggregate over its own scan; the
+two single-row results cross-join (broadcast, trivial) and explode into
+the per-column report. Nothing is collected. CAVEAT on the exact path:
+multiple ``count(DISTINCT)`` in one agg makes Catalyst plan an Expand —
+the scan is still single but its rows multiply by ~(#columns + 1) into
+the shuffle and the distinct counters cannot partially aggregate
+map-side. Exact is therefore the small-scale / oracle-replay mode; at
+10^12 rows use ``approx=True``, whose HLL sketches fuse into one
+genuinely map-side-partial aggregate.
 
 Schema facts (presence, types) come from the DataFrame schemas — plan
 metadata, no job. Row counts land in every row (``n_old``/``n_new``)

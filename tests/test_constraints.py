@@ -143,3 +143,28 @@ def test_group_counts_without_expected_and_null_group(spark):
     assert got["a"] == (4, "ok")
     assert got["b"] == (2, "under")
     assert got[None] == (2, "under")  # NULL key is a real group
+
+
+def test_zero_tolerance_catches_sub_rounding_rates(spark):
+    # 1 violation in 10^7 rows rounds to 0.000000 but must still FAIL a
+    # zero-tolerance constraint (the verdict compares the raw rate)
+    n = 10_000_000
+    df = spark.range(n).select(
+        F.when(F.col("id") == 0, None).otherwise(F.col("id")).alias("v")
+    )
+    r = check_constraints(df, [{"kind": "not_null", "column": "v"}]).collect()[0]
+    assert r["n_violations"] == 1
+    assert r["violation_rate"] == 0.0  # the displayed, rounded rate
+    assert r["passed"] is False        # but the verdict sees 1e-7 > 0
+
+
+def test_null_group_declared_in_expected(spark):
+    from open_data_linter_spark.rules.constraints import check_group_counts
+
+    df = spark.createDataFrame([(None,), (None,), ("a",)], "g string")
+    got = {r["group"]: (r["n_rows"], r["expected"], r["status"])
+           for r in check_group_counts(df, "g",
+                                       expected=[None, "a"]).collect()}
+    assert got[None] == (2, True, "ok")   # one row, not missing+unexpected
+    assert got["a"] == (1, True, "ok")
+    assert len(got) == 2

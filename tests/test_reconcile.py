@@ -107,3 +107,34 @@ def test_join_carries_hashes_not_payload(spark, frames):
         and l.index("+- ") == lines[ji + 1].index(":- ")
     )
     assert "Aggregate [__k" in second, plan
+
+
+def test_xor_cancellation_and_separator_injection_resist(spark):
+    # even multiplicities must NOT cancel: {r1,r1} vs {r2,r2} differ
+    a = spark.createDataFrame([(1, "r1", 0.0), (1, "r1", 0.0)], SCHEMA)
+    b = spark.createDataFrame([(1, "r2", 0.0), (1, "r2", 0.0)], SCHEMA)
+    got = {r["change"]: r["n_keys"]
+           for r in reconcile_counts(a, b, "id",
+                                     allow_dup_keys=True).collect()}
+    assert got["updated"] == 1
+    # multiplicity changes of the SAME row must be visible: [r] vs [r,r,r]
+    c = spark.createDataFrame([(1, "r1", 0.0)], SCHEMA)
+    d = spark.createDataFrame([(1, "r1", 0.0)] * 3, SCHEMA)
+    got2 = {r["change"]: r["n_keys"]
+            for r in reconcile_counts(c, d, "id",
+                                      allow_dup_keys=True).collect()}
+    assert got2["updated"] == 1
+    # separator injection: content shifted across column boundaries
+    e = spark.createDataFrame([(1, "x\x01b", "b\x01y")],
+                              "id long, a string, b string")
+    f = spark.createDataFrame([(1, "x", "b\x01b\x01y")],
+                              "id long, a string, b string")
+    got3 = {r["change"]: r["n_keys"]
+            for r in reconcile_counts(e, f, "id").collect()}
+    assert got3["updated"] == 1
+    # NULL vs the literal NUL-byte string must differ
+    g = spark.createDataFrame([(1, None, "z")], "id long, a string, b string")
+    h = spark.createDataFrame([(1, "\x00", "z")], "id long, a string, b string")
+    got4 = {r["change"]: r["n_keys"]
+            for r in reconcile_counts(g, h, "id").collect()}
+    assert got4["updated"] == 1
