@@ -1536,6 +1536,36 @@ def q_audio_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraints on the clip table (round 4, axis B):
+    clip_id uniqueness + format regex, codec domain, sr_hz/dur_ms
+    ranges, transcript presence — one aggregation pass over the
+    seeded-duplicate batch (the uniqueness constraint catches exactly
+    the two planted duplicates). FULL twin: the engine re-derives the
+    batch through distributed synthesis; the SQL recomputes every
+    counter from the committed metadata twin."""
+    _ensure_pkg(spark)
+    from open_data_linter_spark.audio.synth import synthesize_clips
+    from open_data_linter_spark.rules.constraints import check_constraints
+
+    clips = synthesize_clips(
+        spark, 512, 16, corrupt={10: "uniq", 77: "uniq"}
+    )
+    suite = [
+        {"kind": "unique", "column": "clip_id", "id": "a1_clip_unique"},
+        {"kind": "matches", "column": "clip_id",
+         "regex": "clip_[0-9]{8}", "id": "a2_clip_format"},
+        {"kind": "in_set", "column": "codec",
+         "values": ["pcm_s16le", "ulaw", "alaw"], "id": "a3_codec_domain"},
+        {"kind": "range", "column": "sr_hz", "min": 8000, "max": 48000,
+         "id": "a4_sr_range"},
+        {"kind": "range", "column": "dur_ms", "min": 1, "max": 2000,
+         "id": "a5_dur_range"},
+        {"kind": "not_null", "column": "transcript", "id": "a6_tr_nn"},
+    ]
+    return check_constraints(clips, suite).orderBy("constraint_id")
+
+
 def q_audio_drift_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-checkable half of the drift rule: the sr_hz histograms of the
     clean baseline and the distribution-shifted batch (both re-derived via
@@ -1818,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_drift_stats": q_audio_drift_stats,
         "audio_drift_hist": q_audio_drift_hist,
         "audio_shard_manifest": q_audio_shard_manifest,
+        "audio_constraint_suite": q_audio_constraint_suite,
         "tabular_lint_matrix": q_tabular_lint_matrix,
         "column_profile_hll": q_column_profile_hll,
         "column_profile_exact": q_column_profile_exact,
@@ -3820,6 +3851,59 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_FIX}/audio_meta_512_dup.parquet')
             GROUP BY clip_id HAVING count(*) > 1
             ORDER BY clip_id
+        """,
+        "audio_constraint_suite": f"""
+            -- FULL twin from the committed metadata twin of the same
+            -- deterministic batch: every counter, rate, and verdict
+            -- recomputed. The verdict compares the RAW rate (engine
+            -- contract); rates here never hit the rounding boundary.
+            WITH t AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(clip_id) AS BIGINT) AS chk1,
+                     CAST(count(clip_id) - count(DISTINCT clip_id)
+                          AS BIGINT) AS bad1,
+                     CAST(sum(CASE WHEN clip_id IS NOT NULL
+                          AND NOT regexp_full_match(clip_id,
+                                                    'clip_[0-9]{{8}}')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS bad2,
+                     CAST(sum(CASE WHEN codec IS NOT NULL
+                          AND codec NOT IN ('pcm_s16le','ulaw','alaw')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS bad3,
+                     CAST(sum(CASE WHEN sr_hz IS NOT NULL
+                          AND (sr_hz < 8000 OR sr_hz > 48000)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS bad4,
+                     CAST(sum(CASE WHEN dur_ms IS NOT NULL
+                          AND (dur_ms < 1 OR dur_ms > 2000)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS bad5,
+                     CAST(sum(CASE WHEN transcript IS NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS bad6
+              FROM read_parquet('{_FIX}/audio_meta_512_dup.parquet')
+            ), rows_ AS (
+              SELECT 'a1_clip_unique' AS constraint_id, 'unique' AS kind,
+                     'clip_id' AS "column", chk1 AS n_checked,
+                     bad1 AS n_violations FROM t
+              UNION ALL SELECT 'a2_clip_format', 'matches', 'clip_id',
+                     n, bad2 FROM t
+              UNION ALL SELECT 'a3_codec_domain', 'in_set', 'codec',
+                     n, bad3 FROM t
+              UNION ALL SELECT 'a4_sr_range', 'range', 'sr_hz',
+                     n, bad4 FROM t
+              UNION ALL SELECT 'a5_dur_range', 'range', 'dur_ms',
+                     n, bad5 FROM t
+              UNION ALL SELECT 'a6_tr_nn', 'not_null', 'transcript',
+                     n, bad6 FROM t
+            )
+            SELECT constraint_id, kind, "column", n_checked, n_violations,
+                   CASE WHEN n_checked > 0 THEN
+                     round(CAST(n_violations AS DOUBLE)
+                           / CAST(n_checked AS DOUBLE), 6) END
+                     AS violation_rate,
+                   coalesce(CASE WHEN n_checked > 0 THEN
+                     (CAST(n_violations AS DOUBLE)
+                      / CAST(n_checked AS DOUBLE)) <= 0.0 END,
+                     TRUE) AS passed
+            FROM rows_
+            ORDER BY constraint_id
         """,
         "audio_shard_manifest": f"""
             -- FULL INDEPENDENT twin of the audio packaging manifest: the
