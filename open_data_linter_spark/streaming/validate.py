@@ -108,6 +108,42 @@ def validate_stream(
     return writer.start()
 
 
+def constraint_stream(
+    stream_df: DataFrame,
+    suite: list,
+    report_path: str,
+    checkpoint_path: str,
+    available_now: bool = False,
+):
+    """Declarative constraint monitoring over a stream: every micro-batch
+    runs ``rules/constraints.check_constraints`` (ONE aggregation pass —
+    the cheapest per-batch gate the engine has) and appends the
+    per-constraint report partitioned by batch_id with dynamic partition
+    overwrite, so a replayed batch replaces exactly its own rows (the
+    same effectively-exactly-once shape as ``validate_stream``). The
+    report stream IS the alerting surface: a monitor tails
+    ``report_path`` for ``passed = false`` rows per batch."""
+    from open_data_linter_spark.rules.constraints import check_constraints
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            check_constraints(batch_df, suite)
+            .withColumn("batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(report_path)
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def wait_for(query, timeout_s: float = 120.0) -> None:
     """Await an availableNow query's completion (test helper)."""
     query.awaitTermination(timeout_s)

@@ -86,3 +86,53 @@ def test_stream_validation(spark, tmp_path):
         for r in audit3.groupBy("batch_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     assert per_batch == orig
+
+
+def test_constraint_stream(spark, tmp_path):
+    """Per-micro-batch declarative constraint reports, partitioned by
+    batch_id; the seeded duplicate trips uniqueness only in its batch."""
+    import numpy as np
+    import shutil
+
+    from open_data_linter_spark.audio.synth import gen_clips_pdf
+    from open_data_linter_spark.streaming.validate import (
+        constraint_stream,
+        read_clip_stream,
+        wait_for,
+    )
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    clean = gen_clips_pdf(np.arange(0, 30))
+    dup = gen_clips_pdf(np.arange(30, 60), corrupt={32: "uniq", 40: "uniq"})
+    for i, pdf in enumerate([clean, dup]):
+        d = tmp_path / f"w{i}"
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(d))
+        import glob as g
+
+        shutil.copy(g.glob(str(d / "*.parquet"))[0],
+                    str(flat / f"batch{i}.parquet"))
+
+    suite = [
+        {"kind": "unique", "column": "clip_id", "id": "uq"},
+        {"kind": "in_set", "column": "codec",
+         "values": ["pcm_s16le", "ulaw", "alaw"], "id": "codec"},
+    ]
+    q = constraint_stream(
+        read_clip_stream(spark, str(flat), max_files_per_trigger=1),
+        suite,
+        report_path=str(tmp_path / "report"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    wait_for(q)
+    rep = spark.read.parquet(str(tmp_path / "report"))
+    got = {
+        (r["batch_id"], r["constraint_id"]): (r["n_violations"], r["passed"])
+        for r in rep.collect()
+    }
+    assert len(got) == 4  # 2 batches x 2 constraints
+    by_uq = {b: got[(b, "uq")] for b, c in got if c == "uq"}
+    # exactly one batch carries the two seeded duplicates
+    assert sorted(v for v, _ in by_uq.values()) == [0, 2]
+    assert all(got[(b, "codec")] == (0, True) for b, c in got if c == "codec")
