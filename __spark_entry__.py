@@ -758,6 +758,36 @@ def q_group_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_suggest_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation bootstrapping (round 4, rules/constraints.py::
+    suggest_constraints): infer the draft suite a healthy orders
+    snapshot already satisfies — not-null where no NULL was observed,
+    observed [min, max] ranges for numerics, observed domains for
+    low-cardinality strings — the profiler loop that turns yesterday's
+    shape into today's regression gate. FULL exact DuckDB twin
+    re-deriving every suggested constraint (ids, kinds, bounds as
+    doubles, sorted domains) from the raw table; the domain is emitted
+    comma-joined so the compare stays scalar."""
+    from open_data_linter_spark.rules.constraints import (
+        suggest_constraints,
+        suite_as_df,
+    )
+
+    suite = suggest_constraints(_t(spark, sf_dir, "orders"), max_domain=8)
+    return (
+        suite_as_df(spark, suite)
+        .select(
+            "constraint_id",
+            "kind",
+            "column",
+            "lo",
+            "hi",
+            F.array_join("domain", ",").alias("domain_csv"),
+        )
+        .orderBy("constraint_id")
+    )
+
+
 def q_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level snapshot reconciliation (round 4, rules/reconcile.py):
     an 'old' orders version (keys ≢0 mod 7) vs a 'new' one (keys ≢0
@@ -1810,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "reconcile_orders": q_reconcile_orders,
         "group_completeness": q_group_completeness,
+        "suggest_constraints": q_suggest_constraints,
         "line_dedup": q_line_dedup,
         "normalize_text": q_normalize_text,
         "corpus_divergence": q_corpus_divergence,
@@ -3126,6 +3157,72 @@ def oracle_sql() -> dict[str, str]:
                      TRUE) AS passed
             FROM rows_
             ORDER BY constraint_id
+        """,
+        "suggest_constraints": r"""
+            -- FULL exact twin of the suggestion logic: every inferred
+            -- constraint re-derived from raw orders. Arms are CONDITIONAL
+            -- (WHERE guards mirror the engine's inference rules), so a
+            -- suggestion wrongly emitted or dropped breaks the row set.
+            WITH t AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(o_orderkey) AS BIGINT) AS nn_ok,
+                     CAST(min(o_orderkey) AS DOUBLE) AS lo_ok,
+                     CAST(max(o_orderkey) AS DOUBLE) AS hi_ok,
+                     CAST(count(o_custkey) AS BIGINT) AS nn_ck,
+                     CAST(min(o_custkey) AS DOUBLE) AS lo_ck,
+                     CAST(max(o_custkey) AS DOUBLE) AS hi_ck,
+                     CAST(count(o_orderstatus) AS BIGINT) AS nn_st,
+                     CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS d_st,
+                     CAST(count(o_totalprice) AS BIGINT) AS nn_tp,
+                     CAST(min(o_totalprice) AS DOUBLE) AS lo_tp,
+                     CAST(max(o_totalprice) AS DOUBLE) AS hi_tp,
+                     CAST(count(o_orderdate) AS BIGINT) AS nn_od,
+                     CAST(count(o_orderpriority) AS BIGINT) AS nn_op,
+                     CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS d_op,
+                     array_to_string(list_sort(list(DISTINCT o_orderstatus
+                       ) FILTER (o_orderstatus IS NOT NULL)), ',') AS dom_st,
+                     array_to_string(list_sort(list(DISTINCT o_orderpriority
+                       ) FILTER (o_orderpriority IS NOT NULL)), ',') AS dom_op
+              FROM orders
+            ), rows_ AS (
+              SELECT 'o_orderkey_not_null' AS constraint_id,
+                     'not_null' AS kind, 'o_orderkey' AS "column",
+                     CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+                     CAST(NULL AS VARCHAR) AS domain_csv
+              FROM t WHERE n > 0 AND nn_ok = n
+              UNION ALL
+              SELECT 'o_orderkey_range', 'range', 'o_orderkey',
+                     lo_ok, hi_ok, NULL FROM t WHERE nn_ok > 0
+              UNION ALL
+              SELECT 'o_custkey_not_null', 'not_null', 'o_custkey',
+                     NULL, NULL, NULL FROM t WHERE n > 0 AND nn_ck = n
+              UNION ALL
+              SELECT 'o_custkey_range', 'range', 'o_custkey',
+                     lo_ck, hi_ck, NULL FROM t WHERE nn_ck > 0
+              UNION ALL
+              SELECT 'o_orderstatus_not_null', 'not_null', 'o_orderstatus',
+                     NULL, NULL, NULL FROM t WHERE n > 0 AND nn_st = n
+              UNION ALL
+              SELECT 'o_orderstatus_domain', 'in_set', 'o_orderstatus',
+                     NULL, NULL, dom_st FROM t WHERE d_st <= 8
+              UNION ALL
+              SELECT 'o_totalprice_not_null', 'not_null', 'o_totalprice',
+                     NULL, NULL, NULL FROM t WHERE n > 0 AND nn_tp = n
+              UNION ALL
+              SELECT 'o_totalprice_range', 'range', 'o_totalprice',
+                     lo_tp, hi_tp, NULL FROM t WHERE nn_tp > 0
+              UNION ALL
+              SELECT 'o_orderdate_not_null', 'not_null', 'o_orderdate',
+                     NULL, NULL, NULL FROM t WHERE n > 0 AND nn_od = n
+              UNION ALL
+              SELECT 'o_orderpriority_not_null', 'not_null',
+                     'o_orderpriority', NULL, NULL, NULL
+              FROM t WHERE n > 0 AND nn_op = n
+              UNION ALL
+              SELECT 'o_orderpriority_domain', 'in_set', 'o_orderpriority',
+                     NULL, NULL, dom_op FROM t WHERE d_op <= 8
+            )
+            SELECT * FROM rows_ ORDER BY constraint_id
         """,
         "group_completeness": r"""
             -- FULL exact twin: per-group counts + the declared skeleton,

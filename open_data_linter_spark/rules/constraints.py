@@ -149,6 +149,99 @@ def check_constraints(
     ).select("r.*")
 
 
+_NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def suggest_constraints(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    max_domain: int = 8,
+) -> list[dict]:
+    """Bootstrap a draft suite FROM a healthy snapshot's profile — the
+    expectation-profiler loop: infer the constraints this data already
+    satisfies, then ``check_constraints(next_snapshot, suite)`` turns
+    yesterday's shape into today's regression gate.
+
+    Inference per column (in column order):
+    - observed null rate 0 → a ``not_null`` constraint
+    - numeric type → ``range`` over the observed [min, max]
+    - string with exact distinct ≤ ``max_domain`` → ``in_set`` over the
+      observed domain (sorted)
+
+    Two jobs: one fused profiling agg (count/non-null/min/max + exact
+    ``count_distinct`` for strings — exact, not HLL, so the suggestion
+    is independently recomputable; this is a one-off bootstrap, the
+    Expand cost is acceptable), then one ``collect_set`` agg over only
+    the low-cardinality string columns. Returns plain spec dicts —
+    persist them as JSON beside the data like the index sidecars.
+    """
+    cols = list(columns if columns is not None else df.columns)
+    types = {f.name: f.dataType.simpleString() for f in df.schema}
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).alias(f"nn_{i}"))
+        if types[c] in _NUMERIC:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"lo_{i}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"hi_{i}"))
+        elif types[c] == "string":
+            aggs.append(F.count_distinct(F.col(c)).alias(f"d_{i}"))
+    prof = df.agg(*aggs).collect()[0]
+
+    domain_cols = [
+        c
+        for i, c in enumerate(cols)
+        if types[c] == "string" and prof[f"d_{i}"] <= max_domain
+    ]
+    domains = {}
+    if domain_cols:
+        row = df.agg(
+            *[
+                F.array_sort(F.collect_set(F.col(c))).alias(c)
+                for c in domain_cols
+            ]
+        ).collect()[0]
+        domains = {c: list(row[c]) for c in domain_cols}
+
+    suite: list[dict] = []
+    n = prof["__n"]
+    for i, c in enumerate(cols):
+        if n > 0 and prof[f"nn_{i}"] == n:
+            suite.append({"kind": "not_null", "column": c,
+                          "id": f"{c}_not_null"})
+        if types[c] in _NUMERIC and prof[f"nn_{i}"] > 0:
+            suite.append({
+                "kind": "range", "column": c,
+                "min": prof[f"lo_{i}"], "max": prof[f"hi_{i}"],
+                "id": f"{c}_range",
+            })
+        if c in domains:
+            suite.append({"kind": "in_set", "column": c,
+                          "values": domains[c], "id": f"{c}_domain"})
+    return suite
+
+
+def suite_as_df(spark, suite: Sequence[Mapping[str, Any]]) -> DataFrame:
+    """A suite rendered as a typed DataFrame (one row per constraint) —
+    sinkable beside the data, and the driver-oracle surface for the
+    suggestion logic."""
+    rows = [
+        (
+            spec.get("id"),
+            spec["kind"],
+            spec.get("column"),
+            float(spec["min"]) if spec.get("min") is not None else None,
+            float(spec["max"]) if spec.get("max") is not None else None,
+            [str(v) for v in spec["values"]] if "values" in spec else None,
+        )
+        for spec in suite
+    ]
+    return spark.createDataFrame(
+        rows,
+        "constraint_id string, kind string, column string,"
+        " lo double, hi double, domain array<string>",
+    )
+
+
 def check_group_counts(
     df: DataFrame,
     group_col: str,

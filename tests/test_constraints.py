@@ -168,3 +168,42 @@ def test_null_group_declared_in_expected(spark):
     assert got[None] == (2, True, "ok")   # one row, not missing+unexpected
     assert got["a"] == (1, True, "ok")
     assert len(got) == 2
+
+
+def test_suggest_constraints_bootstrap_loop(spark):
+    from open_data_linter_spark.rules.constraints import suggest_constraints
+
+    df = spark.createDataFrame(
+        [(1, "F", 10.0, "freeform text one"),
+         (2, "O", -3.5, "two"),
+         (3, "F", 99.0, None),
+         (4, "P", 50.0, "four")],
+        "id long, status string, price double, note string",
+    )
+    suite = suggest_constraints(df, max_domain=3)
+    by_id = {s["id"]: s for s in suite}
+    # id: not_null + full observed range
+    assert by_id["id_range"] == {"kind": "range", "column": "id",
+                                 "min": 1.0, "max": 4.0, "id": "id_range"}
+    assert "id_not_null" in by_id
+    # status: 3 distinct <= max_domain -> in_set over the sorted domain
+    assert by_id["status_domain"]["values"] == ["F", "O", "P"]
+    # price: range over observed bounds incl. the negative
+    assert (by_id["price_range"]["min"], by_id["price_range"]["max"]) == (
+        -3.5, 99.0)
+    # note: nullable (no not_null), 3 distinct non-null values but it has
+    # a NULL — distinct counts non-null only, so it still gets a domain
+    assert "note_not_null" not in by_id
+    # the bootstrap loop: the source snapshot passes its own suite
+    rep = check_constraints(df, suite).collect()
+    assert all(r["passed"] for r in rep)
+    # and a drifted snapshot fails exactly the breached expectations
+    drifted = spark.createDataFrame(
+        [(9, "X", 1000.0, "x")],
+        "id long, status string, price double, note string",
+    )
+    got = {r["constraint_id"]: r["passed"]
+           for r in check_constraints(drifted, suite).collect()}
+    assert got["id_range"] is False          # 9 > observed max 4
+    assert got["status_domain"] is False     # X outside {F,O,P}
+    assert got["price_range"] is False       # 1000 > 99
