@@ -77,6 +77,8 @@ HEADLINE = [
     "constraint_suite",  # round 4: declarative expectations, one scan
     "snapshot_diff",     # round 4: table-version schema/stats drift
     "reconcile_orders",  # round 4: hash-reduced row-level version diff
+    "suggest_constraints",  # round 4: expectation-profiler bootstrap
+    "audio_constraint_suite",  # round 4: axis-B declarative suite
 ]
 
 
