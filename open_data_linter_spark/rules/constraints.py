@@ -12,9 +12,13 @@ Spark-first design: every row-level constraint becomes a
 reads only the referenced columns (column pruning), the aggregation is
 partial (map-side combine), and adding a constraint adds an expression,
 not a job. ``unique`` folds in as ``count(col) - count(DISTINCT col)``
-in the same pass. At 10^12 rows the suite costs one scan regardless of
-how many constraints it carries — the property the reference's
-per-check passes over a pandas frame cannot have.
+in the same pass (CAVEAT: each exact count-distinct makes Catalyst plan
+an Expand, multiplying the shuffle's rows by ~(#uniques + 1) — still one
+scan, but at 10^12 rows keep unique constraints few per suite, or check
+uniqueness through rules/uniqueness.py's salted path). At 10^12 rows
+the suite costs one scan regardless of how many row-level constraints
+it carries — the property the reference's per-check passes over a
+pandas frame cannot have.
 
 Constraint kinds (``kind`` key of each spec dict):
 
