@@ -6,10 +6,14 @@ compiled regex (regex.py:3-11). No UDFs: everything stays inside Catalyst so
 the expressions fuse into the single validation scan.
 
 Semantics notes (parity with the reference, verified by tests):
-- is_number == "float() accepts it": Spark's try_cast to double returns NULL
-  on failure (ANSI-safe), which matches float()'s ValueError;
-  whitespace-padded numbers are accepted by both. NaN literal: float("nan") succeeds in Python but
-  pd.isnull guards it upstream — we treat the *string* "nan"/"NaN" as a
+- is_number == "float() accepts it". Spark's bare try_cast to double follows
+  Java's Double.parseDouble grammar, which diverges from Python float() in
+  BOTH directions ('0d'/'1.5F' suffixes and '0x1p3' hex floats accepted,
+  PEP-515 '1_0' underscores rejected) — found live by the round-4 Hypothesis
+  property gate. The cast is therefore gated behind an explicit
+  Python-float()-grammar regex (_PY_FLOAT_GATE below) and legal underscores
+  are stripped before casting. NaN literal: float("nan") succeeds in Python
+  but pd.isnull guards it upstream — we treat the *string* "nan"/"NaN" as a
   number, same as the reference does for string cells.
 - all predicates take a string-typed column; numeric columns should be cast
   to string first if the original dynamic-typed semantics are needed.
@@ -32,24 +36,48 @@ def is_empty(c: Column) -> Column:
     return c.isNull() | c.rlike(rx.EMPTY_PATTERN)
 
 
-def _as_double(c: Column) -> Column:
-    """Python-float()-compatible numeric cast.
+# Python float() grammar (CPython floatobject.c / PEP 515), applied AFTER
+# _norm_numeric: optional ASCII-whitespace padding (Java's default \s class
+# [ \t\n\x0B\f\r] — probe-verified identical to what float() strips; \x1c-\x1f
+# raise in Python and are excluded by both), optional sign, then a decimal
+# literal with single underscores allowed only BETWEEN digits in each digit
+# run, or case-insensitive inf/infinity/nan. Deliberately rejects what
+# Double.parseDouble would take: [dDfF] suffixes and 0x..p.. hex floats.
+_PY_FLOAT_GATE = (
+    r"^\s*[+-]?(([0-9](_?[0-9])*(\.([0-9](_?[0-9])*)?)?|\.[0-9](_?[0-9])*)"
+    r"([eE][+-]?[0-9](_?[0-9])*)?|(?i:inf(inity)?|nan))\s*$"
+)
 
-    Python float() accepts full-width digits (０-９) and strips Unicode
-    whitespace; SQL try_cast accepts neither — translate first, then
-    try_cast (NULL on malformed; ANSI-safe). Exotic digit families (e.g.
-    Arabic-Indic) are out of the reference's domain and not translated.
-    """
-    return F.translate(c, "０１２３４５６７８９　", "0123456789 ").try_cast("double")
+
+def _norm_numeric(c: Column) -> Column:
+    """Full-width digits → ASCII; ideographic space + NBSP → ' ' (Python
+    float() maps any Unicode Nd digit and Zs space to ASCII before parsing).
+    Exotic digit families (e.g. Arabic-Indic) are out of the reference's
+    domain and not translated — documented divergence."""
+    return F.translate(c, "０１２３４５６７８９　\u00a0", "0123456789  ")
+
+
+def _as_double(c: Column) -> Column:
+    """Python-float()-compatible numeric value (NULL when float() raises).
+
+    Gate first (Python grammar), strip the gate-validated PEP-515
+    underscores, then try_cast — ANSI-safe NULL on the residual impossible
+    failures. Known residual: Spark casts signed 'nan' ('-nan'/'+nan') to
+    NULL while float() returns nan — harmless, because every consumer
+    (is_integer, is_prefecture_code) rejects nan anyway; is_number uses the
+    gate, not this value."""
+    n = _norm_numeric(c)
+    return F.when(n.rlike(_PY_FLOAT_GATE), F.regexp_replace(n, "_", "")).try_cast(
+        "double"
+    )
 
 
 def is_number(c: Column) -> Column:
-    """float()-accepts test (funcs.py:15-25): normalized try_cast succeeds.
+    """float()-accepts test (funcs.py:15-25): Python-grammar gate matches.
 
-    try_cast (NULL on malformed), not cast: Spark 4 runs ANSI mode by
-    default, where a plain cast THROWS on 'abc' — try_cast restores the
-    reference's float()-raises->False semantics."""
-    return c.isNotNull() & _as_double(c).isNotNull()
+    Gate-based (not cast-based) so signed-nan strings — float()-accepted,
+    cast-NULLed — still count as numbers."""
+    return c.isNotNull() & _norm_numeric(c).rlike(_PY_FLOAT_GATE)
 
 
 def is_include_number(c: Column) -> Column:
@@ -66,10 +94,12 @@ def is_integer(c: Column) -> Column:
     """Number with no fractional part (funcs.py:41-48).
 
     Infinity guard: float('inf').is_integer() is False in Python, but
-    floor(inf)==inf in SQL — excluded explicitly for parity."""
+    floor(inf)==inf in SQL — excluded explicitly for parity. Anchored on
+    d.isNotNull() (not is_number) so the signed-nan cast-NULL residual
+    yields False, not NULL, through the three-valued logic."""
     d = _as_double(c)
     finite = ~F.isnan(d) & (d != F.lit(float("inf"))) & (d != F.lit(float("-inf")))
-    return is_number(c) & finite & (d == F.floor(d))
+    return d.isNotNull() & finite & (d == F.floor(d))
 
 
 def is_prefecture_code(c: Column) -> Column:

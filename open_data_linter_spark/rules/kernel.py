@@ -107,46 +107,43 @@ def _is_empty(v: Optional[str]) -> bool:
     return v is None or _EMPTY_RE.search(v) is not None
 
 
-# Engine-equivalent numeric acceptance. The engine's is_number is
-# translate(full-width) + try_cast("double") (functions/predicates.py:35-52)
-# whose empirical grammar (probed against Spark 4) is Java-style: ASCII
-# decimals with optional d/D/f/F suffix, hex floats 0x..p.., sign-able
-# inf/infinity and UNsigned nan (any case), ASCII-control/space trim. That
-# differs from bare Python float() on: '1_0' (PEP 515 — engine rejects),
-# '1d'/'0x1p3' (engine accepts), '-nan' (engine rejects), non-fullwidth
-# Unicode digits like '١٢' (engine rejects). The kernel must match the
-# ENGINE (the parity wall's contract), not bare float().
-_CTRL_WS = "".join(chr(i) for i in range(0x21))
-_DEC_NUM_RE = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?[dDfF]?", re.ASCII)
-_HEX_NUM_RE = re.compile(
-    r"[+-]?0[xX]([0-9a-fA-F]+\.?[0-9a-fA-F]*|\.[0-9a-fA-F]+)[pP][+-]?\d+[dDfF]?",
+# Numeric acceptance = the Python float() grammar, identical to the engine's
+# _PY_FLOAT_GATE (functions/predicates.py). Round 4's Hypothesis property
+# gate found the old translate+bare-try_cast grammar was Java's — it accepted
+# '1d'/'0x1p3' float() rejects and rejected PEP-515 '1_0' float() accepts —
+# so BOTH sides now gate behind the float() grammar before casting. Remaining
+# documented divergences from bare float(): exotic Unicode digit families
+# (e.g. Arabic-Indic) are not translated, and Spark casts signed 'nan'
+# strings to NULL — _as_double mirrors that residual (None) while the
+# gate-based _is_number still counts them, exactly like the engine.
+_FW_NUM_TRANS = str.maketrans("０１２３４５６７８９　\u00a0", "0123456789  ")
+# Java's default \s class, which is also exactly what float() strips
+_JWS = "[ \t\n\x0b\f\r]*"
+_PY_FLOAT_GATE_RE = re.compile(
+    _JWS + r"[+-]?(([0-9](_?[0-9])*(\.([0-9](_?[0-9])*)?)?|\.[0-9](_?[0-9])*)"
+    r"([eE][+-]?[0-9](_?[0-9])*)?|(?i:inf(inity)?|nan))" + _JWS,
     re.ASCII,
 )
-_INF_NUM_RE = re.compile(r"[+-]?inf(inity)?", re.IGNORECASE)
-_NAN_NUM_RE = re.compile(r"nan", re.IGNORECASE)
-_FW_NUM_TRANS = str.maketrans("０１２３４５６７８９　", "0123456789 ")
 
 
 def _as_double(v: Optional[str]):
     """functions/predicates.py::_as_double twin: parsed value or None."""
     if v is None:
         return None
-    s = v.translate(_FW_NUM_TRANS).strip(_CTRL_WS)
-    if not s:
+    s = v.translate(_FW_NUM_TRANS)
+    if _PY_FLOAT_GATE_RE.fullmatch(s) is None:
         return None
-    if _INF_NUM_RE.fullmatch(s):
-        return float("-inf") if s[0] == "-" else float("inf")
-    if _NAN_NUM_RE.fullmatch(s):
-        return float("nan")
-    if _DEC_NUM_RE.fullmatch(s):
-        return float(s.rstrip("dDfF"))
-    if _HEX_NUM_RE.fullmatch(s):
-        return float.fromhex(s.rstrip("dDfF"))
-    return None
+    t = s.replace("_", "").strip(" \t\n\x0b\f\r")
+    if t.lower() in ("-nan", "+nan"):
+        return None  # Spark try_cast NULLs signed nan; gate still accepts
+    return float(t)
 
 
 def _is_number(v: Optional[str]) -> bool:
-    return v is not None and _as_double(v) is not None
+    """Gate-based like the engine's is_number (signed nan counts)."""
+    if v is None:
+        return False
+    return _PY_FLOAT_GATE_RE.fullmatch(v.translate(_FW_NUM_TRANS)) is not None
 
 
 def _is_include_number(v: Optional[str]) -> bool:

@@ -131,6 +131,13 @@ def _gen_csv(rng) -> bytes:
                     v = f"{v}円"          # 1-3 unit in cell
                 elif r < 0.16:
                     v = "１２３"          # full-width
+                elif r < 0.22:            # float()-grammar edges (round 4:
+                    # Java d/f suffixes vs PEP-515 underscores — engine must
+                    # match the reference's float() on every one of these)
+                    v = str(rng.choice([
+                        "120d", "3f", "1.5F", "0x1p3", "1_0", "1_2_3",
+                        "1__0", "1_", "-nan", "inf", "1.", ".5",
+                    ]))
             elif kind == "str":
                 v = str(rng.choice(["備考", "テスト", "abc", "na"]))
                 if r < 0.1:

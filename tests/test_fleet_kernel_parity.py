@@ -91,10 +91,12 @@ def test_kernel_parity_differential_corpus(spark):
 
 
 def test_kernel_parity_numeric_grammar_edges(spark):
-    """Cells where bare Python float() and the engine's translate+try_cast
-    diverge (round-3 code review): PEP-515 underscores, Java d/f suffixes,
+    """Cells on the numeric-grammar boundary (round-3 code review; round-4
+    Hypothesis counterexample '0d'): PEP-515 underscores, Java d/f suffixes,
     hex floats, signed nan, non-fullwidth Unicode digits, int64 overflow.
-    The kernel must match the ENGINE on all of them."""
+    Since round 5 both kernel and engine gate the cast behind the Python
+    float() grammar, so these are accept/reject flips on BOTH sides at once
+    — the kernel must still match the ENGINE cell-for-cell."""
     csvs = [
         "a,b\n1_0,2\n1_0,3\n1_0,4\n",            # float()-only acceptance
         "a,b\n1d,2\n3f,4\n0x1p3,6\n",            # cast-only acceptance
