@@ -102,14 +102,20 @@ def _classified(old: DataFrame, new: DataFrame, key_col: str,
     )
     if not cols:
         raise ValueError("no shared non-key columns to compare")
-    o = _keyed(old, key_col, cols, allow_dup_keys)
-    n = _keyed(new, key_col, cols, allow_dup_keys)
-    j = o.alias("o").join(n.alias("n"), F.col("o.__k") == F.col("n.__k"),
-                          "full")
+    # eqNullSafe + explicit presence flags: a NULL key is a legal key value
+    # (groupBy already folds NULLs into one group per side). With a plain ==
+    # join NULL never matches, and inferring side-presence from key nullness
+    # then misreads a NULL-keyed row present in BOTH snapshots as 'inserted'
+    # (and one deleted from old as 'inserted' too) — round-4 advice finding;
+    # consistent with check_group_counts' null-safe group keys.
+    o = _keyed(old, key_col, cols, allow_dup_keys).withColumn("__p", F.lit(True))
+    n = _keyed(new, key_col, cols, allow_dup_keys).withColumn("__p", F.lit(True))
+    j = o.alias("o").join(n.alias("n"),
+                          F.col("o.__k").eqNullSafe(F.col("n.__k")), "full")
     return j.select(
         F.coalesce(F.col("o.__k"), F.col("n.__k")).alias("key"),
-        F.when(F.col("o.__k").isNull(), F.lit("inserted"))
-        .when(F.col("n.__k").isNull(), F.lit("deleted"))
+        F.when(F.col("o.__p").isNull(), F.lit("inserted"))
+        .when(F.col("n.__p").isNull(), F.lit("deleted"))
         .when(F.col("o.__h") != F.col("n.__h"), F.lit("updated"))
         .otherwise(F.lit("unchanged"))
         .alias("change"),

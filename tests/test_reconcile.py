@@ -109,6 +109,31 @@ def test_join_carries_hashes_not_payload(spark, frames):
     assert "Aggregate [__k" in second, plan
 
 
+def test_null_keys_classified_null_safely(spark):
+    """A NULL key is a legal key value (round-4 advice finding): present in
+    both snapshots it must compare as unchanged/updated — not 'inserted' —
+    and one that vanishes from old must report 'deleted'."""
+    a = spark.createDataFrame([(None, "x", 1.0), (1, "a", 2.0)], SCHEMA)
+    b = spark.createDataFrame([(None, "x", 1.0), (1, "a", 2.0)], SCHEMA)
+    got = {r["change"]: r["n_keys"]
+           for r in reconcile_counts(a, b, "id").collect()}
+    assert got == {"inserted": 0, "deleted": 0, "updated": 0, "unchanged": 2}
+    # content change under the NULL key is an update, not insert+delete
+    c = spark.createDataFrame([(None, "y", 1.0), (1, "a", 2.0)], SCHEMA)
+    got2 = {(r["key"], r["change"])
+            for r in reconcile_rows(a, c, "id").collect()}
+    assert got2 == {(None, "updated")}
+    # NULL key removed from old is a deletion
+    d = spark.createDataFrame([(1, "a", 2.0)], SCHEMA)
+    got3 = {(r["key"], r["change"])
+            for r in reconcile_rows(a, d, "id").collect()}
+    assert got3 == {(None, "deleted")}
+    # and dup-NULL-keys still trip the uniqueness guard
+    e = spark.createDataFrame([(None, "x", 1.0), (None, "y", 2.0)], SCHEMA)
+    with pytest.raises(Exception, match="duplicate keys"):
+        reconcile_counts(e, d, "id").collect()
+
+
 def test_xor_cancellation_and_separator_injection_resist(spark):
     # even multiplicities must NOT cancel: {r1,r1} vs {r2,r2} differ
     a = spark.createDataFrame([(1, "r1", 0.0), (1, "r1", 0.0)], SCHEMA)
