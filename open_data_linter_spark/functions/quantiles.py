@@ -20,9 +20,13 @@ layout-independent).
 Exactness/scale trade (same shape as rules/rate.py): the exact path
 buffers each group's values in one aggregation buffer
 (``array_sort(collect_list(v))``) — fine for per-batch validation and
-oracle parity; at 10^12 rows pass ``approx=True`` for mergeable
-``percentile_approx`` sketches (bounded memory, map-side partial agg;
-the oracle then becomes a contract check, not an exact twin).
+oracle parity, an executor OOM when one group holds a 100 TB language.
+The DEFAULT (``approx=None``) therefore probes the total row count with a
+short-circuiting ``limit(MAX+1).count()`` and auto-switches to mergeable
+``percentile_approx`` sketches (bounded memory, map-side partial agg)
+above ``EXACT_QUANTILE_MAX_ROWS`` — total rows bound any group's size, so
+the probe needs no per-group shuffle. The oracle then becomes a contract
+check, not an exact twin; pass ``approx=False`` to force exactness.
 
 The reference (volare-all/open-data-linter) has no quantile ops; this
 extends the engine per the training-data-pipeline mandate.
@@ -35,6 +39,10 @@ from pyspark.sql import functions as F
 
 DEFAULT_CUTS = (1.0 / 3.0, 2.0 / 3.0)
 DEFAULT_LABELS = ("head", "middle", "tail")
+
+# auto mode (approx=None) stays exact up to this many non-null rows in
+# TOTAL (an upper bound on every group's collect_list buffer)
+EXACT_QUANTILE_MAX_ROWS = 1_000_000
 
 
 def _k(q: float, n: Column) -> Column:
@@ -51,7 +59,7 @@ def group_lower_quantiles(
     value_col: str,
     group_col: str,
     qs: tuple[float, ...] = DEFAULT_CUTS,
-    approx: bool = False,
+    approx: bool | None = None,
     approx_accuracy: int = 10000,
 ) -> DataFrame:
     """Per-group lower-quantile thresholds: (group_col, n_values, t_1..t_m).
@@ -61,6 +69,11 @@ def group_lower_quantiles(
     bit-for-bit with an independent recomputation. NULL values carry no
     signal and are excluded (a group with only NULLs emits no row).
     Groups key NULL like groupBy does (one NULL group, kept).
+
+    ``approx=None`` (default) = auto: exact up to
+    ``EXACT_QUANTILE_MAX_ROWS`` total non-null rows, sketches above. The
+    size probe runs ONE short job at call time — this function is
+    otherwise lazy; pass an explicit bool to keep it fully lazy.
     """
     if not qs:
         raise ValueError("need at least one quantile")
@@ -72,6 +85,11 @@ def group_lower_quantiles(
     vals = df.select(
         F.col(group_col).alias("g"), F.col(value_col).alias("v")
     ).where(F.col("v").isNotNull())
+    if approx is None:
+        approx = (
+            vals.limit(EXACT_QUANTILE_MAX_ROWS + 1).count()
+            > EXACT_QUANTILE_MAX_ROWS
+        )
     if approx:
         agg = vals.groupBy("g").agg(
             F.count("v").alias("n_values"),
@@ -96,7 +114,7 @@ def quantile_buckets(
     group_col: str,
     cuts: tuple[float, ...] = DEFAULT_CUTS,
     labels: tuple[str, ...] = DEFAULT_LABELS,
-    approx: bool = False,
+    approx: bool | None = None,
 ) -> DataFrame:
     """Row-preserving transform: every input row + a ``bucket`` column.
 

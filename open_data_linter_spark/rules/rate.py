@@ -13,11 +13,14 @@ drag the threshold.
 Exactness contract: the median is the LOWER median (the element at
 position ceil(n/2) of the sorted values — an actual data element, no
 interpolation), so Spark and an independent SQL engine agree bit-for-bit
-on doubles. Scale note: the exact path materializes the k smallest values
-to pick the order statistic (TakeOrdered, k = n/2), which is fine for
-per-batch validation fixtures; at 10^12 rows pass ``approx=True`` to use
-``percentile_approx`` (then the oracle becomes a contract check, not an
-exact twin).
+on doubles. Scale guard: the exact path materializes the k smallest
+values into one task to pick the order statistic (TakeOrdered, k = n/2) —
+fine for per-batch validation fixtures, a scale-killer at 10^12 rows. The
+DEFAULT (``approx=None``) therefore probes the row count with a
+short-circuiting ``limit(MAX+1).count()`` and auto-switches to mergeable
+``percentile_approx`` sketches above ``EXACT_MEDIAN_MAX_ROWS`` (the
+oracle then becomes a contract check, not an exact twin); pass
+``approx=False`` to force exactness regardless of size.
 """
 
 from __future__ import annotations
@@ -28,6 +31,11 @@ from pyspark.sql import functions as F
 from open_data_linter_spark.functions.text import WS_CLASS
 
 MODIFIED_Z = 0.6745  # Φ^-1(0.75): scales MAD to σ for the modified z-score
+
+# auto mode (approx=None) stays exact up to this many non-null rows; the
+# exact path gathers n/2 values into one task, so the bound is what one
+# task comfortably holds (500k doubles ≈ 4 MB), not executor memory
+EXACT_MEDIAN_MAX_ROWS = 1_000_000
 
 
 def _lower_median(df: DataFrame, col: str, n: int | None = None) -> float:
@@ -65,13 +73,19 @@ def robust_z_outliers(
     value_col: str,
     id_col: str,
     z_threshold: float = 3.5,
-    approx: bool = False,
+    approx: bool | None = None,
 ) -> DataFrame:
     """(id, value, z) rows whose modified z-score exceeds the threshold.
 
     ``z`` = 0.6745·(value − median)/MAD, rounded to 6 decimals. Raises on
     MAD = 0 (more than half the values identical — a rate rule on such a
     column is the wrong tool, and silent division would emit ±inf).
+
+    ``approx=None`` (default) = auto: exact lower medians up to
+    ``EXACT_MEDIAN_MAX_ROWS`` non-null rows, ``percentile_approx`` above
+    (the size probe is a ``limit(MAX+1).count()`` — it stops scanning at
+    MAX+1 rows, so it is cheap even at 10^12). ``False`` forces exact,
+    ``True`` forces sketches.
 
     NULL values are excluded from both the statistics and the output: a
     NULL carries no rate signal, its absence is a completeness rule's job
@@ -81,6 +95,10 @@ def robust_z_outliers(
     vals = df.select(
         F.col(id_col).alias("id"), F.col(value_col).alias("v")
     ).where(F.col("v").isNotNull())
+    n = None
+    if approx is None:
+        n = vals.limit(EXACT_MEDIAN_MAX_ROWS + 1).count()
+        approx = n > EXACT_MEDIAN_MAX_ROWS
     if approx:
         m = vals.agg(F.percentile_approx("v", 0.5, 10000)).first()[0]
         if m is None:
@@ -98,7 +116,8 @@ def robust_z_outliers(
         from open_data_linter_spark.dedup._cache import persist_scoped
 
         vals = persist_scoped("rate.vals", vals)
-        n = vals.count()
+        if n is None:  # forced-exact: no auto probe ran
+            n = vals.count()
         med = _lower_median(vals, "v", n=n)
         # |v - med| is non-null exactly where v is: same n
         mad = _lower_median(
@@ -124,7 +143,7 @@ def transcript_rate_outliers(
     id_col: str = "clip_id",
     transcript_col: str = "transcript",
     dur_ms_col: str = "dur_ms",
-    approx: bool = False,
+    approx: bool | None = None,
 ) -> DataFrame:
     """Clips whose words-per-second is a corpus outlier.
 

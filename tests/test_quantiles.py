@@ -116,3 +116,31 @@ def test_broadcast_no_corpus_shuffle_for_assignment(spark):
     out = quantile_buckets(_df(spark, rows), "v", "g")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_auto_guard_plan_has_no_whole_group_collect(spark, monkeypatch):
+    """Default args above the auto threshold must plan percentile_approx
+    sketches, never a whole-group collect_list buffer."""
+    from open_data_linter_spark.functions import quantiles
+
+    monkeypatch.setattr(quantiles, "EXACT_QUANTILE_MAX_ROWS", 100)
+    rows = [(i, "a", float(i)) for i in range(999)]
+    thr = group_lower_quantiles(_df(spark, rows), "v", "g")
+    plan = thr._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan and "percentile" in plan
+    # below the threshold auto stays exact (collect_list + sorted pick)
+    small = group_lower_quantiles(_df(spark, rows[:50]), "v", "g")
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" in plan_small
+
+
+def test_auto_guard_exact_below_threshold_bitwise(spark):
+    rows = [(i, "ab"[i % 2], float((i * 37) % 101)) for i in range(200)]
+    auto = sorted(
+        tuple(r) for r in quantile_buckets(_df(spark, rows), "v", "g").collect()
+    )
+    exact = sorted(
+        tuple(r)
+        for r in quantile_buckets(_df(spark, rows), "v", "g", approx=False).collect()
+    )
+    assert auto == exact

@@ -139,3 +139,35 @@ def test_approx_path_close_to_exact(spark):
     # percentile_approx at accuracy 10k on 256 rows is exact in practice;
     # allow a 1-element fringe either way
     assert len(exact ^ approx) <= 1
+
+
+def test_auto_guard_switches_to_sketches_above_threshold(spark, monkeypatch):
+    """Default args must never TakeOrdered half a large frame: above the
+    auto threshold the exact lower-median path (which gathers n/2 values
+    into one task) must not run at all."""
+    from open_data_linter_spark.rules import rate
+
+    pdf = gen_clips_pdf(np.arange(256))[META]
+    sdf = spark.createDataFrame(pdf)
+
+    def _boom(*a, **k):
+        raise AssertionError("exact TakeOrdered median ran on a large frame")
+
+    monkeypatch.setattr(rate, "EXACT_MEDIAN_MAX_ROWS", 100)
+    monkeypatch.setattr(rate, "_lower_median", _boom)
+    # 256 eligible rows > 100: auto must take the sketch path
+    out = transcript_rate_outliers(sdf).collect()
+    assert len(out) > 0
+    # below the threshold auto stays exact (the patched median trips)
+    with pytest.raises(AssertionError, match="TakeOrdered"):
+        transcript_rate_outliers(spark.createDataFrame(pdf.head(64))).collect()
+
+
+def test_auto_guard_exact_below_threshold_bitwise(spark):
+    """Auto (default) == forced-exact on small frames: same rows, same
+    doubles (the oracle fixtures rely on this)."""
+    pdf = gen_clips_pdf(np.arange(512))[META]
+    sdf = spark.createDataFrame(pdf)
+    auto = [tuple(r) for r in transcript_rate_outliers(sdf).collect()]
+    exact = [tuple(r) for r in transcript_rate_outliers(sdf, approx=False).collect()]
+    assert auto == exact and len(auto) > 0
