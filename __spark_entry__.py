@@ -1503,6 +1503,39 @@ def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_prep_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused single-decode prep pipeline (multimodal/media.py::prep_audio):
+    silence segmentation + 16 kHz resample in ONE Arrow pass — the chained
+    ``transform_audio(segment_on_silence(...))`` form decodes every clip
+    twice (sample-exact equivalence pinned by
+    test_prep_audio_matches_chained). FULL twin: spans replay from the
+    committed planted-layout truth (same table as ``audio_segments``) and
+    the emitted payload length must match the exact integer
+    resample-length formula ``max(1, (seg_samples*16000 + sr//2) // sr)``
+    recomputed by DuckDB from the planted spans alone (emitted pcm_s16le
+    is a canonical 44-byte-header mono WAV, so out_samples =
+    (n_bytes-44)/2)."""
+    _ensure_pkg(spark)
+    from open_data_linter_spark.audio.synth import synthesize_gapped_clips
+    from open_data_linter_spark.multimodal.media import prep_audio
+
+    clips = synthesize_gapped_clips(spark, 256, 8)
+    return (
+        prep_audio(clips, target_sr=16000)
+        .select(
+            "clip_id",
+            "seg_idx",
+            "sr_hz",
+            "start_sample",
+            "seg_samples",
+            ((F.length("bytes") - F.lit(44)) / 2)
+            .cast("long")
+            .alias("out_samples"),
+        )
+        .orderBy("clip_id", "seg_idx")
+    )
+
+
 def q_transcript_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript character error rate vs the reference transcript
     (functions/text.py::transcript_cer): every 31st clip carries the
@@ -1874,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_transforms": q_audio_transforms,
         "audio_resample": q_audio_resample,
         "audio_segments": q_audio_segments,
+        "audio_prep_fused": q_audio_prep_fused,
         "transcript_cer": q_transcript_cer,
         "audio_rate_outliers": q_audio_rate_outliers,
         "audio_drift_stats": q_audio_drift_stats,
@@ -4274,6 +4308,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sr_hz AS INTEGER) AS sr_hz,
                    CAST(start_sample AS INTEGER) AS start_sample,
                    CAST(seg_samples AS INTEGER) AS seg_samples
+            FROM read_parquet('{_FIX}/audio_gapped_truth_256.parquet')
+            ORDER BY clip_id, seg_idx
+        """,
+        "audio_prep_fused": f"""
+            -- FULL twin: planted spans (as audio_segments) + the exact
+            -- integer resample-length formula — the engine's emitted
+            -- byte count must land on max(1, (n*16000 + sr//2) // sr)
+            -- for every segment, recomputed here from the layout alone.
+            SELECT clip_id,
+                   CAST(seg_idx AS INTEGER) AS seg_idx,
+                   CAST(16000 AS INTEGER) AS sr_hz,
+                   CAST(start_sample AS INTEGER) AS start_sample,
+                   CAST(seg_samples AS INTEGER) AS seg_samples,
+                   CAST(GREATEST(1,
+                        (CAST(seg_samples AS BIGINT) * 16000
+                         + CAST(sr_hz AS BIGINT) // 2)
+                        // CAST(sr_hz AS BIGINT)) AS BIGINT) AS out_samples
             FROM read_parquet('{_FIX}/audio_gapped_truth_256.parquet')
             ORDER BY clip_id, seg_idx
         """,

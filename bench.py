@@ -128,8 +128,7 @@ def main() -> None:
     from open_data_linter_spark.dedup.audio_fp import audio_near_duplicates
     from open_data_linter_spark.multimodal.media import (
         chunk_audio,
-        segment_on_silence,
-        transform_audio,
+        prep_audio,
     )
 
     tone = synthesize_tone_clips(spark, 4096, sc_parts)
@@ -205,13 +204,14 @@ def main() -> None:
             ),
         )
         _note(
-            # the prep pipeline: VAD segmentation then 16 kHz resample —
-            # two chained Arrow decode+re-encode passes over 4096 clips
+            # the prep pipeline: VAD segmentation + 16 kHz resample in ONE
+            # fused Arrow decode pass over 4096 clips (round 5; the former
+            # chained transform_audio(segment_on_silence(...)) decoded
+            # every clip twice — sample-exactness of the fusion is pinned
+            # by test_prep_audio_matches_chained)
             "audio_prep_4k",
             time_action(
-                lambda: transform_audio(
-                    segment_on_silence(gapped), target_sr=16000
-                ).count()
+                lambda: prep_audio(gapped, target_sr=16000).count()
             ),
         )
         def _audio_knn_pass() -> None:

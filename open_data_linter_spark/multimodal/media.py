@@ -544,6 +544,46 @@ def resample_pcm(pcm: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
     return np.clip(np.round(y), -32768, 32767).astype(np.int16)
 
 
+def _transform_pcm(
+    pcm: np.ndarray,
+    sr: int,
+    trim_level: float | None,
+    target_sr: int | None,
+    target_rms: float | None,
+) -> tuple[np.ndarray, int]:
+    """One clip's trim → resample → normalize on decoded int16 PCM — the
+    shared kernel of ``transform_audio`` and the fused ``prep_audio``
+    (sample-exactness between the chained and fused pipelines is by
+    construction: both run THIS function)."""
+    from open_data_linter_spark.audio.codecs import pcm_to_float32
+
+    x = pcm_to_float32(pcm)
+    if trim_level is not None and len(x):
+        loud = np.nonzero(np.abs(x) >= trim_level)[0]
+        if len(loud):
+            pcm = pcm[loud[0]:loud[-1] + 1]
+        else:  # all-silent: keep the single loudest sample
+            k = int(np.argmax(np.abs(x)))
+            pcm = pcm[k:k + 1]
+        x = pcm_to_float32(pcm)
+    if target_sr is not None and sr != target_sr:
+        pcm = resample_pcm(pcm, sr, target_sr)
+        sr = target_sr
+        x = pcm_to_float32(pcm)
+    if target_rms is not None and len(x):
+        rms = float(np.sqrt(np.mean(x ** 2)))
+        peak = float(np.max(np.abs(x)))
+        if rms > 0.0:
+            gain = target_rms / rms
+            if peak * gain > 1.0:  # peak-safe cap
+                gain = 1.0 / peak
+            pcm = np.clip(
+                np.round(pcm.astype(np.float64) * gain),
+                -32768, 32767,
+            ).astype(np.int16)
+    return pcm, sr
+
+
 def transform_audio(
     df: DataFrame,
     trim_silence_db: float | None = None,
@@ -589,12 +629,14 @@ def transform_audio(
         raise ValueError("target_sr must be >= 1")
     cols = df.columns
     out_schema = df.schema
+    trim_level = (
+        None if trim_silence_db is None else 10.0 ** (trim_silence_db / 20.0)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from open_data_linter_spark.audio.codecs import (
             decode_clip,
             encode_clip,
-            pcm_to_float32,
         )
 
         for b in batches:
@@ -610,31 +652,9 @@ def transform_audio(
                     new_dur.append(b["dur_ms"].iloc[i] if "dur_ms" in b else None)
                     new_codec.append(b["codec"].iloc[i] if "codec" in b else None)
                     continue
-                x = pcm_to_float32(pcm)
-                if trim_silence_db is not None and len(x):
-                    lvl = 10.0 ** (trim_silence_db / 20.0)
-                    loud = np.nonzero(np.abs(x) >= lvl)[0]
-                    if len(loud):
-                        pcm = pcm[loud[0]:loud[-1] + 1]
-                    else:  # all-silent: keep the single loudest sample
-                        k = int(np.argmax(np.abs(x)))
-                        pcm = pcm[k:k + 1]
-                    x = pcm_to_float32(pcm)
-                if target_sr is not None and sr != target_sr:
-                    pcm = resample_pcm(pcm, sr, target_sr)
-                    sr = target_sr
-                    x = pcm_to_float32(pcm)
-                if target_rms is not None and len(x):
-                    rms = float(np.sqrt(np.mean(x ** 2)))
-                    peak = float(np.max(np.abs(x)))
-                    if rms > 0.0:
-                        gain = target_rms / rms
-                        if peak * gain > 1.0:  # peak-safe cap
-                            gain = 1.0 / peak
-                        pcm = np.clip(
-                            np.round(pcm.astype(np.float64) * gain),
-                            -32768, 32767,
-                        ).astype(np.int16)
+                pcm, sr = _transform_pcm(
+                    pcm, sr, trim_level, target_sr, target_rms
+                )
                 new_bytes.append(encode_clip(pcm, sr, out_codec))
                 new_sr.append(sr)
                 new_dur.append(int(round(len(pcm) / sr * 1000.0)))
@@ -649,3 +669,94 @@ def transform_audio(
             yield out[list(cols)]
 
     return df.mapInPandas(gen, schema=out_schema)
+
+
+def prep_audio(
+    df: DataFrame,
+    threshold_db: float = -40.0,
+    min_gap_ms: int = 150,
+    min_segment_ms: int = 100,
+    trim_silence_db: float | None = None,
+    target_sr: int | None = None,
+    target_rms: float | None = None,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    out_codec: str = "pcm_s16le",
+) -> DataFrame:
+    """Fused single-decode prep pipeline: silence segmentation
+    (``segment_on_silence`` semantics) then per-segment trim / resample /
+    normalize (``transform_audio`` semantics), with ONE decode per source
+    clip and ONE encode per emitted segment.
+
+    The chained composition ``transform_audio(segment_on_silence(df),
+    ...)`` decodes every clip twice — segment re-encodes, transform
+    re-decodes — doubling the dominant cost of the prep stage at scale.
+    This operator runs both stages on the PCM already in hand. It is
+    sample-exact vs the chained form (both stages run the same kernels,
+    ``segment_pcm`` + ``_transform_pcm``, and the intermediate pcm_s16le
+    round-trip the chain inserts is lossless for int16 PCM) — pinned by
+    tests/test_media_features.py::test_prep_audio_matches_chained.
+
+    Output is ``AUDIO_SEGMENTS_SCHEMA``; like the chained form, ``sr_hz``
+    reflects the emitted (post-resample) bytes while ``start_sample`` /
+    ``seg_samples`` stay in SOURCE-clip sample coordinates (provenance:
+    where the segment came from, before any transform). All transform
+    params optional — with none given this is ``segment_on_silence`` at
+    the same cost. Undecodable clips emit no rows (decode failure is the
+    1-1 error channel's business).
+
+    Scale shape: one Arrow decode pass, zero shuffle — identical plan
+    shape to segment_on_silence; nothing new to skew or spill.
+    """
+    if min_gap_ms < 1 or min_segment_ms < 1:
+        raise ValueError("min_gap_ms and min_segment_ms must be >= 1")
+    if target_rms is not None and not (0.0 < target_rms <= 1.0):
+        raise ValueError("target_rms must be in (0, 1]")
+    if target_sr is not None and target_sr < 1:
+        raise ValueError("target_sr must be >= 1")
+    seg_level = 10.0 ** (threshold_db / 20.0)
+    trim_level = (
+        None if trim_silence_db is None else 10.0 ** (trim_silence_db / 20.0)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from open_data_linter_spark.audio.codecs import (
+            decode_clip,
+            encode_clip,
+            pcm_to_float32,
+        )
+
+        for b in batches:
+            rows = []
+            for cid, data in zip(b[id_col], b[payload_col]):
+                try:
+                    _, sr, pcm = decode_clip(bytes(data))
+                except (ValueError, TypeError):
+                    continue
+                min_gap = max(1, int(round(sr * min_gap_ms / 1000.0)))
+                min_seg = max(1, int(round(sr * min_segment_ms / 1000.0)))
+                x = pcm_to_float32(pcm)
+                for k, (start, take) in enumerate(
+                    segment_pcm(x, sr, seg_level, min_gap, min_seg)
+                ):
+                    seg, seg_sr = _transform_pcm(
+                        pcm[start:start + take], sr,
+                        trim_level, target_sr, target_rms,
+                    )
+                    rows.append(
+                        {
+                            "clip_id": cid,
+                            "seg_idx": k,
+                            "sr_hz": seg_sr,
+                            "start_sample": start,
+                            "seg_samples": take,
+                            "bytes": encode_clip(seg, seg_sr, out_codec),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SEGMENTS_SCHEMA.fields]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, schema=AUDIO_SEGMENTS_SCHEMA
+    )

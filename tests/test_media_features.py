@@ -391,3 +391,56 @@ def test_segment_on_silence_gap_merge_and_min_segment(spark):
     assert "broken" not in rows
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_prep_audio_matches_chained(spark):
+    """The fused single-decode prep pipeline must be sample-exact vs the
+    chained composition transform_audio(segment_on_silence(df)) on the
+    gapped fixture — every column, bytes included."""
+    from open_data_linter_spark.audio.synth import synthesize_gapped_clips
+    from open_data_linter_spark.multimodal.media import (
+        prep_audio,
+        segment_on_silence,
+        transform_audio,
+    )
+
+    gapped = synthesize_gapped_clips(spark, 48, 4)
+
+    def rows(df):
+        return sorted(
+            (r.clip_id, r.seg_idx, r.sr_hz, r.start_sample, r.seg_samples,
+             bytes(r.bytes))
+            for r in df.collect()
+        )
+
+    # resample-only (the bench composition)
+    chained = rows(transform_audio(segment_on_silence(gapped), target_sr=16000))
+    fused = rows(prep_audio(gapped, target_sr=16000))
+    assert len(fused) > 0 and fused == chained
+    # trim + normalize + resample, all three stages
+    chained3 = rows(
+        transform_audio(
+            segment_on_silence(gapped),
+            trim_silence_db=-35.0, target_sr=8000, target_rms=0.125,
+        )
+    )
+    fused3 = rows(
+        prep_audio(
+            gapped, trim_silence_db=-35.0, target_sr=8000, target_rms=0.125
+        )
+    )
+    assert fused3 == chained3
+    # no transform params: prep == segment_on_silence
+    assert rows(prep_audio(gapped)) == rows(segment_on_silence(gapped))
+
+
+def test_prep_audio_validation(spark):
+    import pytest as _pytest
+
+    from open_data_linter_spark.multimodal.media import prep_audio
+
+    df = spark.createDataFrame([("a", b"")], "clip_id string, bytes binary")
+    with _pytest.raises(ValueError, match="target_rms"):
+        prep_audio(df, target_rms=1.5)
+    with _pytest.raises(ValueError, match="min_gap_ms"):
+        prep_audio(df, min_gap_ms=0)
