@@ -1824,6 +1824,86 @@ def q_windowed_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency conformance (round 5, rules/fd.py): the
+    generalization of the reference's hard-coded cross-field consistency
+    rule (csv_linter.py:187-214) — per-dependent violation counts for
+    l_partkey → {l_suppkey, l_returnflag} (both massively violated: a
+    part ships from many suppliers) and the holding key FD
+    (l_orderkey, l_linenumber) → l_quantity. Null-safe ndv
+    (count(DISTINCT x) + max(x IS NULL)) on both engines; one
+    partial-aggregated shuffle per determinant. FULL exact DuckDB twin."""
+    from open_data_linter_spark.rules.fd import check_functional_dependency
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = check_functional_dependency(li, ["l_partkey"], ["l_suppkey", "l_returnflag"])
+    b = check_functional_dependency(li, ["l_orderkey", "l_linenumber"], ["l_quantity"])
+    return a.unionByName(b).orderBy("determinant", "dependent")
+
+
+def q_fd_violating_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FD drill-down (round 5, rules/fd.py::fd_violating_groups): the
+    violating l_partkey groups for l_partkey → l_suppkey with bounded
+    evidence (distinct-supplier count + the conflicting min/max supplier
+    keys — no unbounded collect_set). FULL exact DuckDB twin."""
+    from open_data_linter_spark.rules.fd import fd_violating_groups
+
+    return fd_violating_groups(
+        _t(spark, sf_dir, "lineitem"), ["l_partkey"], "l_suppkey"
+    )
+
+
+def q_audio_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axis-B FD conformance (round 5, rules/fd.py) over the deterministic
+    clip batch: codec → sr_hz (violated — every codec arrives at several
+    sample rates, the 'assumed single-valued but is not' shape) and the
+    surrogate-key FD clip_id → codec (holds). FULL exact DuckDB twin over
+    the committed metadata twin of the same batch."""
+    _ensure_pkg(spark)
+    from open_data_linter_spark.audio.synth import synthesize_clips
+    from open_data_linter_spark.rules.fd import check_functional_dependency
+
+    clips = synthesize_clips(spark, 512, 16)
+    a = check_functional_dependency(clips, ["codec"], ["sr_hz"])
+    b = check_functional_dependency(clips, ["clip_id"], ["codec"])
+    return a.unionByName(b).orderBy("determinant", "dependent")
+
+
+def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group freshness (round 5, rules/freshness.py): per-event_type
+    staleness against the snapshot's own frontier, with a simulated
+    producer outage ('error' events stop arriving 2024-01-25) so the
+    check demonstrably fires — the stale group lags ~6 days while the
+    healthy ones sit within minutes of the global max(ts). Lag is floored
+    whole seconds on exact epoch microseconds (engine-portable, unlike
+    timestampdiff). FULL exact DuckDB twin."""
+    from open_data_linter_spark.rules.freshness import check_freshness
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.expr("TIMESTAMP_NTZ '2024-01-25 00:00:00'")
+    sim = ev.where(
+        ~((F.col("event_type") == "error") & (F.col("ts") >= cutoff))
+    )
+    return check_freshness(sim, "ts", ["event_type"], max_lag_s=86400)
+
+
+def q_volume_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-volume anomalies (round 5, rules/volume.py): daily row
+    counts scored with the modified z (exact lower-median/MAD via
+    rules/rate.robust_z_outliers), with a simulated half-ingested day
+    (2024-01-15 keeps only event_id ≡ 0 mod 10) so the outage day is
+    flagged (z ≈ −25) while the organic day-to-day wobble stays well
+    under the 3.5 bar. FULL exact DuckDB twin replaying the same order
+    statistics."""
+    from open_data_linter_spark.rules.volume import volume_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    outage = (F.col("ts").cast("date") == F.lit("2024-01-15").cast("date")) & (
+        F.col("event_id") % 10 != 0
+    )
+    return volume_anomalies(ev.where(~outage), "ts")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1917,6 +1997,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tabular_lint_matrix": q_tabular_lint_matrix,
         "column_profile_hll": q_column_profile_hll,
         "column_profile_exact": q_column_profile_exact,
+        "fd_check": q_fd_check,
+        "fd_violating_parts": q_fd_violating_parts,
+        "audio_fd_check": q_audio_fd_check,
+        "freshness_events": q_freshness_events,
+        "volume_anomaly_events": q_volume_anomaly_events,
     }
 
 
@@ -4469,5 +4554,162 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cos_sim, rank
             FROM ranked WHERE rank <= 5
             ORDER BY query_id, rank
+        """,
+        "fd_check": """
+            -- FULL exact twin: null-safe ndv = count(DISTINCT x) +
+            -- max(x IS NULL), identical to rules/fd.py; conformance is
+            -- the same double expression rounded to 6.
+            WITH g1 AS (
+              SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(DISTINCT l_suppkey)
+                          + max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ndv_s,
+                     CAST(count(DISTINCT l_returnflag)
+                          + max(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ndv_r
+              FROM lineitem GROUP BY l_partkey
+            ), s1 AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                     CAST(sum(n) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN ndv_s > 1 THEN 1 ELSE 0 END) AS BIGINT) AS vg_s,
+                     CAST(sum(CASE WHEN ndv_s > 1 THEN n ELSE 0 END) AS BIGINT) AS vr_s,
+                     CAST(sum(CASE WHEN ndv_r > 1 THEN 1 ELSE 0 END) AS BIGINT) AS vg_r,
+                     CAST(sum(CASE WHEN ndv_r > 1 THEN n ELSE 0 END) AS BIGINT) AS vr_r
+              FROM g1
+            ), g2 AS (
+              SELECT l_orderkey, l_linenumber, CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(DISTINCT l_quantity)
+                          + max(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ndv_q
+              FROM lineitem GROUP BY l_orderkey, l_linenumber
+            ), s2 AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                     CAST(sum(n) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN ndv_q > 1 THEN 1 ELSE 0 END) AS BIGINT) AS vg,
+                     CAST(sum(CASE WHEN ndv_q > 1 THEN n ELSE 0 END) AS BIGINT) AS vr
+              FROM g2
+            )
+            SELECT * FROM (
+              SELECT 'l_partkey' AS determinant, 'l_suppkey' AS dependent,
+                     n_groups, n_rows, vg_s AS violating_groups,
+                     vr_s AS violating_rows,
+                     round(1.0 - CAST(vr_s AS DOUBLE)/CAST(n_rows AS DOUBLE), 6)
+                       AS conformance
+              FROM s1
+              UNION ALL
+              SELECT 'l_partkey', 'l_returnflag', n_groups, n_rows, vg_r, vr_r,
+                     round(1.0 - CAST(vr_r AS DOUBLE)/CAST(n_rows AS DOUBLE), 6)
+              FROM s1
+              UNION ALL
+              SELECT 'l_orderkey,l_linenumber', 'l_quantity', n_groups, n_rows,
+                     vg, vr,
+                     round(1.0 - CAST(vr AS DOUBLE)/CAST(n_rows AS DOUBLE), 6)
+              FROM s2
+            ) ORDER BY determinant, dependent
+        """,
+        "fd_violating_parts": """
+            -- FULL exact twin of the FD drill-down: same null-safe ndv,
+            -- min/max evidence bounds, determinant total order.
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT l_suppkey)
+                        + max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ndv,
+                   min(l_suppkey) AS min_l_suppkey,
+                   max(l_suppkey) AS max_l_suppkey
+            FROM lineitem GROUP BY l_partkey
+            HAVING count(DISTINCT l_suppkey)
+                   + max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) > 1
+            ORDER BY l_partkey
+        """,
+        "audio_fd_check": f"""
+            -- FULL exact twin over the committed metadata twin of the
+            -- same deterministic 512-clip batch (axis B).
+            WITH clips AS (
+              SELECT * FROM read_parquet('{_FIX}/audio_meta_512_base.parquet')
+            ), g1 AS (
+              SELECT codec, CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(DISTINCT sr_hz)
+                          + max(CASE WHEN sr_hz IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ndv
+              FROM clips GROUP BY codec
+            ), s1 AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                     CAST(sum(n) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS vg,
+                     CAST(sum(CASE WHEN ndv > 1 THEN n ELSE 0 END) AS BIGINT) AS vr
+              FROM g1
+            ), g2 AS (
+              SELECT clip_id, CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(DISTINCT codec)
+                          + max(CASE WHEN codec IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ndv
+              FROM clips GROUP BY clip_id
+            ), s2 AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                     CAST(sum(n) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS vg,
+                     CAST(sum(CASE WHEN ndv > 1 THEN n ELSE 0 END) AS BIGINT) AS vr
+              FROM g2
+            )
+            SELECT * FROM (
+              SELECT 'codec' AS determinant, 'sr_hz' AS dependent, n_groups,
+                     n_rows, vg AS violating_groups, vr AS violating_rows,
+                     round(1.0 - CAST(vr AS DOUBLE)/CAST(n_rows AS DOUBLE), 6)
+                       AS conformance
+              FROM s1
+              UNION ALL
+              SELECT 'clip_id', 'codec', n_groups, n_rows, vg, vr,
+                     round(1.0 - CAST(vr AS DOUBLE)/CAST(n_rows AS DOUBLE), 6)
+              FROM s2
+            ) ORDER BY determinant, dependent
+        """,
+        "freshness_events": """
+            -- FULL exact twin: floored whole-second lag on exact epoch
+            -- microseconds (engine-portable; NOT date_diff('second'),
+            -- whose boundary-crossing count diverges from truncation).
+            WITH sim AS (
+              SELECT * FROM events
+              WHERE NOT (event_type = 'error'
+                         AND ts >= TIMESTAMP '2024-01-25 00:00:00')
+            ), anchor AS (SELECT max(ts) AS a FROM sim)
+            SELECT event_type, max(ts) AS last_ts,
+                   CAST(floor((epoch_us((SELECT a FROM anchor))
+                               - epoch_us(max(ts))) / 1000000.0)
+                        AS BIGINT) AS lag_s,
+                   CAST(floor((epoch_us((SELECT a FROM anchor))
+                               - epoch_us(max(ts))) / 1000000.0)
+                        AS BIGINT) > 86400 AS stale
+            FROM sim GROUP BY event_type ORDER BY event_type
+        """,
+        "volume_anomaly_events": """
+            -- FULL exact twin: daily counts as doubles, LOWER median /
+            -- MAD order statistics, modified z rounded to 6 — the same
+            -- formula chain as rules/rate.py replayed over rules/volume.py's
+            -- bucket counts.
+            WITH sim AS (
+              SELECT ts FROM events
+              WHERE NOT (CAST(ts AS DATE) = DATE '2024-01-15'
+                         AND event_id % 10 <> 0)
+                AND ts IS NOT NULL
+            ), d AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket,
+                     CAST(count(*) AS DOUBLE) AS n_rows
+              FROM sim GROUP BY 1
+            ), n AS (SELECT count(*) AS n FROM d),
+            med AS (
+              SELECT n_rows AS m FROM d ORDER BY n_rows
+              LIMIT 1 OFFSET (SELECT (n+1)//2 - 1 FROM n)
+            ), mad AS (
+              SELECT dd AS m FROM (
+                SELECT abs(n_rows - (SELECT m FROM med)) AS dd FROM d
+              ) ORDER BY dd LIMIT 1 OFFSET (SELECT (n+1)//2 - 1 FROM n)
+            )
+            SELECT bucket, round(n_rows, 6) AS n_rows,
+                   round(0.6745*(n_rows-(SELECT m FROM med))
+                         /(SELECT m FROM mad), 6) AS z
+            FROM d
+            WHERE abs(round(0.6745*(n_rows-(SELECT m FROM med))
+                            /(SELECT m FROM mad), 6)) > 3.5
+            ORDER BY bucket
         """,
     }

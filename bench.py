@@ -79,6 +79,9 @@ HEADLINE = [
     "reconcile_orders",  # round 4: hash-reduced row-level version diff
     "suggest_constraints",  # round 4: expectation-profiler bootstrap
     "audio_constraint_suite",  # round 4: axis-B declarative suite
+    "fd_check",             # round 5: FD conformance, 1 shuffle per FD
+    "freshness_events",     # round 5: per-group staleness vs frontier
+    "volume_anomaly_events",  # round 5: daily-count modified-z outliers
 ]
 
 
