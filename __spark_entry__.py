@@ -1904,6 +1904,65 @@ def q_volume_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return volume_anomalies(ev.where(~outage), "ts")
 
 
+_LINEITEM_DECLARED = {
+    "l_orderkey": "bigint",
+    "l_partkey": "bigint",
+    "l_suppkey": "bigint",
+    "l_linenumber": "int",
+    "l_quantity": "int",  # deliberately wrong: actual is double
+    "l_extendedprice": "double",
+    "l_discount": "double",
+    # l_tax deliberately undeclared -> unexpected
+    "l_returnflag": "string",
+    "l_linestatus": "string",
+    "l_shipdate": "timestamp_ntz",
+    "l_comment": "string",  # deliberately declared but absent -> missing
+}
+
+
+def q_schema_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-schema conformance (round 5, rules/schema_check.py): the
+    lineitem table vs a contract with one retyped column (l_quantity
+    declared int, actually double), one dropped declaration (l_tax ->
+    unexpected) and one phantom declaration (l_comment -> missing). Runs
+    ZERO jobs over the input — schemas are plan metadata. FULL
+    INDEPENDENT DuckDB twin: the SQL re-derives the actual types from
+    DESCRIBE (its own catalog introspection, not the engine's strings)
+    through the fixed DuckDB->Catalyst type-name map."""
+    from open_data_linter_spark.rules.schema_check import check_schema
+
+    return check_schema(_t(spark, sf_dir, "lineitem"), _LINEITEM_DECLARED)
+
+
+def q_column_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column distribution metrics (round 5, rules/metrics.py):
+    distinctness / uniqueness (Deequ's singleton fraction) / Shannon
+    entropy for five orders columns in ONE melt shuffle — key columns
+    read 1.0/1.0/ln(n), the 3-value status column collapses to ~1 bit.
+    FULL exact DuckDB twin recomputing every metric from per-value
+    frequencies (grouping on the raw typed values — the metrics are
+    representation-independent)."""
+    from open_data_linter_spark.rules.metrics import column_metrics
+
+    return column_metrics(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+
+def q_audio_column_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axis-B column metrics (round 5, rules/metrics.py) over the
+    deterministic clip batch: clip_id is the key (distinctness 1),
+    codec/sr_hz are low-entropy categoricals, transcript sits between.
+    FULL exact DuckDB twin over the committed metadata twin."""
+    _ensure_pkg(spark)
+    from open_data_linter_spark.audio.synth import synthesize_clips
+    from open_data_linter_spark.rules.metrics import column_metrics
+
+    clips = synthesize_clips(spark, 512, 16)
+    return column_metrics(clips, ["clip_id", "codec", "sr_hz", "transcript"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2002,6 +2061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fd_check": q_audio_fd_check,
         "freshness_events": q_freshness_events,
         "volume_anomaly_events": q_volume_anomaly_events,
+        "schema_conformance": q_schema_conformance,
+        "column_metrics_orders": q_column_metrics_orders,
+        "audio_column_metrics": q_audio_column_metrics,
     }
 
 
@@ -2012,6 +2074,44 @@ _ES_SW_SQL = "[" + ",".join(f"'{w}'" for w in TX.ES_STOPWORDS) + "]"
 # (scripts/gen_fixture_parquet.py) — lets DuckDB oracle the audio half
 # without running the engine's distributed synthesis
 _FIX = os.path.join(_REPO, "tests", "data")
+
+
+def _metrics_sql(table: str, cols: list[str]) -> str:
+    """FULL exact DuckDB twin of rules/metrics.column_metrics: per-value
+    frequencies per column (grouping on the RAW typed values — the
+    metrics are representation-independent, so the engine's to-string
+    melt and this typed grouping count the same distribution), then the
+    identical distinctness/uniqueness/entropy formulas rounded to 6."""
+    branches = []
+    for c in cols:
+        branches.append(
+            f"""
+          SELECT '{c}' AS "column", n_rows, null_count, ndv,
+                 CASE WHEN nn > 0
+                      THEN round(CAST(ndv AS DOUBLE)/nn, 6) END AS distinctness,
+                 CASE WHEN nn > 0
+                      THEN round(CAST(singles AS DOUBLE)/nn, 6) END AS uniqueness,
+                 CASE WHEN nn > 0
+                      THEN round(ln(nn) - slnl/nn, 6) END AS entropy
+          FROM (
+            SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(cnt) FILTER (WHERE v IS NULL), 0)
+                        AS BIGINT) AS null_count,
+                   CAST(count(*) FILTER (WHERE v IS NOT NULL) AS BIGINT) AS ndv,
+                   CAST(count(*) FILTER (WHERE v IS NOT NULL AND cnt = 1)
+                        AS BIGINT) AS singles,
+                   CAST(coalesce(sum(cnt) FILTER (WHERE v IS NOT NULL), 0)
+                        AS DOUBLE) AS nn,
+                   coalesce(sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)))
+                            FILTER (WHERE v IS NOT NULL), 0.0) AS slnl
+            FROM (SELECT {c} AS v, count(*) AS cnt FROM {table} GROUP BY 1)
+          )"""
+        )
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(branches)
+        + ') ORDER BY "column"'
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4712,4 +4812,47 @@ def oracle_sql() -> dict[str, str]:
                             /(SELECT m FROM mad), 6)) > 3.5
             ORDER BY bucket
         """,
+        "schema_conformance": """
+            -- FULL INDEPENDENT twin: actual types come from DuckDB's own
+            -- DESCRIBE (catalog introspection), mapped through the fixed
+            -- DuckDB->Catalyst type-name table, NOT from the engine.
+            WITH actual AS (
+              SELECT column_name AS col,
+                     CASE column_type
+                       WHEN 'BIGINT' THEN 'bigint'
+                       WHEN 'INTEGER' THEN 'int'
+                       WHEN 'DOUBLE' THEN 'double'
+                       WHEN 'VARCHAR' THEN 'string'
+                       WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+                     END AS atype,
+                     ("null" = 'YES') AS nullable
+              FROM (DESCRIBE SELECT * FROM lineitem)
+            ), expected(col, etype) AS (
+              VALUES ('l_orderkey','bigint'), ('l_partkey','bigint'),
+                     ('l_suppkey','bigint'), ('l_linenumber','int'),
+                     ('l_quantity','int'), ('l_extendedprice','double'),
+                     ('l_discount','double'), ('l_returnflag','string'),
+                     ('l_linestatus','string'), ('l_shipdate','timestamp_ntz'),
+                     ('l_comment','string')
+            )
+            SELECT coalesce(a.col, e.col) AS "column",
+                   e.etype AS expected_type,
+                   a.atype AS actual_type,
+                   a.nullable AS nullable,
+                   CASE WHEN e.col IS NULL THEN 'unexpected'
+                        WHEN a.col IS NULL THEN 'missing'
+                        WHEN a.atype = e.etype THEN 'ok'
+                        ELSE 'type_mismatch' END AS status
+            FROM actual a FULL OUTER JOIN expected e ON a.col = e.col
+            ORDER BY "column"
+        """,
+        "column_metrics_orders": _metrics_sql(
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+             "o_totalprice"],
+        ),
+        "audio_column_metrics": _metrics_sql(
+            f"read_parquet('{_FIX}/audio_meta_512_base.parquet')",
+            ["clip_id", "codec", "sr_hz", "transcript"],
+        ),
     }

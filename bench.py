@@ -82,6 +82,7 @@ HEADLINE = [
     "fd_check",             # round 5: FD conformance, 1 shuffle per FD
     "freshness_events",     # round 5: per-group staleness vs frontier
     "volume_anomaly_events",  # round 5: daily-count modified-z outliers
+    "column_metrics_orders",  # round 5: 5-column melt, ONE shuffle
 ]
 
 
