@@ -1963,6 +1963,20 @@ def q_audio_column_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_metrics(clips, ["clip_id", "codec", "sr_hz", "transcript"])
 
 
+def q_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit conformance (round 5,
+    rules/benford.py): per-digit observed vs log10(1+1/d) expectation
+    with chi-square contributions over o_totalprice — the baseline-free
+    distribution screen (a uniform-ish synthetic price column reads as a
+    strong Benford breach, which is the point: the report quantifies it
+    instead of asserting). String-based digit extraction (first [1-9] of
+    the decimal rendering) sidesteps cross-engine log10/pow ulp hazards.
+    FULL exact DuckDB twin."""
+    from open_data_linter_spark.rules.benford import benford_check
+
+    return benford_check(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2064,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_conformance": q_schema_conformance,
         "column_metrics_orders": q_column_metrics_orders,
         "audio_column_metrics": q_audio_column_metrics,
+        "benford_totalprice": q_benford_totalprice,
     }
 
 
@@ -4851,6 +4866,36 @@ def oracle_sql() -> dict[str, str]:
             ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
              "o_totalprice"],
         ),
+        "benford_totalprice": """
+            -- FULL exact twin: same string-based first-[1-9]-digit
+            -- extraction (leading-significant-digit invariant of any
+            -- standard float rendering), log10 expectation recomputed,
+            -- chi2 contributions from the identical formula.
+            WITH digits AS (
+              SELECT CAST(range AS INT) AS digit FROM range(1, 10)
+            ), counts AS (
+              SELECT CAST(substr(regexp_replace(
+                       CAST(o_totalprice AS VARCHAR), '[^1-9]', '', 'g'
+                     ), 1, 1) AS INT) AS digit,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM orders
+              WHERE length(regexp_replace(
+                      CAST(o_totalprice AS VARCHAR), '[^1-9]', '', 'g')) > 0
+              GROUP BY 1
+            ), tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts)
+            SELECT d.digit,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+                   round(CAST(coalesce(c.n, 0) AS DOUBLE)
+                         / (SELECT t FROM tot), 6) AS obs_p,
+                   round(log10(1.0 + 1.0/d.digit), 6) AS exp_p,
+                   round((SELECT t FROM tot)
+                         * pow(CAST(coalesce(c.n, 0) AS DOUBLE)
+                               / (SELECT t FROM tot)
+                               - log10(1.0 + 1.0/d.digit), 2)
+                         / log10(1.0 + 1.0/d.digit), 6) AS chi2_contrib
+            FROM digits d LEFT JOIN counts c USING (digit)
+            ORDER BY d.digit
+        """,
         "audio_column_metrics": _metrics_sql(
             f"read_parquet('{_FIX}/audio_meta_512_base.parquet')",
             ["clip_id", "codec", "sr_hz", "transcript"],

@@ -83,6 +83,7 @@ HEADLINE = [
     "freshness_events",     # round 5: per-group staleness vs frontier
     "volume_anomaly_events",  # round 5: daily-count modified-z outliers
     "column_metrics_orders",  # round 5: 5-column melt, ONE shuffle
+    "benford_totalprice",   # round 5: baseline-free digit-law screen
 ]
 
 
