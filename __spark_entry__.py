@@ -1977,6 +1977,35 @@ def q_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_check(_t(spark, sf_dir, "orders"), "o_totalprice")
 
 
+def q_table_health_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed table-health report (round 5, rules/health.py): one call
+    over the events table running the schema contract (all ok → the gate
+    stays open), column metrics, a key FD, per-type freshness, volume
+    anomalies (none on the clean series — the family contributes zero
+    rows), and a Benford screen on user_id — unioned into the long-form
+    (family, subject, metric, value, ok, detail) findings frame. FULL
+    exact DuckDB twin re-deriving every family independently."""
+    from open_data_linter_spark.rules.health import table_health_report
+
+    spec = {
+        "schema": {
+            "event_id": "bigint",
+            "ts": "timestamp_ntz",
+            "user_id": "bigint",
+            "event_type": "string",
+            "value": "double",
+            "props": "string",
+        },
+        "metrics": ["event_type", "user_id"],
+        "fds": [{"determinant": ["event_id"], "dependents": ["event_type"]}],
+        "freshness": {"ts_col": "ts", "group_cols": ["event_type"],
+                      "max_lag_s": 86400},
+        "volume": {"ts_col": "ts"},
+        "benford": {"user_id": None},
+    }
+    return table_health_report(_t(spark, sf_dir, "events"), spec)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2079,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_metrics_orders": q_column_metrics_orders,
         "audio_column_metrics": q_audio_column_metrics,
         "benford_totalprice": q_benford_totalprice,
+        "table_health_events": q_table_health_events,
     }
 
 
@@ -2089,6 +2119,39 @@ _ES_SW_SQL = "[" + ",".join(f"'{w}'" for w in TX.ES_STOPWORDS) + "]"
 # (scripts/gen_fixture_parquet.py) — lets DuckDB oracle the audio half
 # without running the engine's distributed synthesis
 _FIX = os.path.join(_REPO, "tests", "data")
+
+
+def _benford_sql(table: str, col: str) -> str:
+    """FULL exact DuckDB twin of rules/benford.benford_check: same
+    string-based first-[1-9]-digit extraction (leading-significant-digit
+    invariant of any standard float rendering), log10 expectation
+    recomputed, chi2 contributions from the identical formula."""
+    return f"""
+            WITH digits AS (
+              SELECT CAST(range AS INT) AS digit FROM range(1, 10)
+            ), counts AS (
+              SELECT CAST(substr(regexp_replace(
+                       CAST({col} AS VARCHAR), '[^1-9]', '', 'g'
+                     ), 1, 1) AS INT) AS digit,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM {table}
+              WHERE length(regexp_replace(
+                      CAST({col} AS VARCHAR), '[^1-9]', '', 'g')) > 0
+              GROUP BY 1
+            ), tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts)
+            SELECT d.digit,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+                   round(CAST(coalesce(c.n, 0) AS DOUBLE)
+                         / (SELECT t FROM tot), 6) AS obs_p,
+                   round(log10(1.0 + 1.0/d.digit), 6) AS exp_p,
+                   round((SELECT t FROM tot)
+                         * pow(CAST(coalesce(c.n, 0) AS DOUBLE)
+                               / (SELECT t FROM tot)
+                               - log10(1.0 + 1.0/d.digit), 2)
+                         / log10(1.0 + 1.0/d.digit), 6) AS chi2_contrib
+            FROM digits d LEFT JOIN counts c USING (digit)
+            ORDER BY d.digit
+    """
 
 
 def _metrics_sql(table: str, cols: list[str]) -> str:
@@ -4866,35 +4929,92 @@ def oracle_sql() -> dict[str, str]:
             ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
              "o_totalprice"],
         ),
-        "benford_totalprice": """
-            -- FULL exact twin: same string-based first-[1-9]-digit
-            -- extraction (leading-significant-digit invariant of any
-            -- standard float rendering), log10 expectation recomputed,
-            -- chi2 contributions from the identical formula.
-            WITH digits AS (
-              SELECT CAST(range AS INT) AS digit FROM range(1, 10)
-            ), counts AS (
-              SELECT CAST(substr(regexp_replace(
-                       CAST(o_totalprice AS VARCHAR), '[^1-9]', '', 'g'
-                     ), 1, 1) AS INT) AS digit,
-                     CAST(count(*) AS BIGINT) AS n
-              FROM orders
-              WHERE length(regexp_replace(
-                      CAST(o_totalprice AS VARCHAR), '[^1-9]', '', 'g')) > 0
-              GROUP BY 1
-            ), tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts)
-            SELECT d.digit,
-                   CAST(coalesce(c.n, 0) AS BIGINT) AS n,
-                   round(CAST(coalesce(c.n, 0) AS DOUBLE)
-                         / (SELECT t FROM tot), 6) AS obs_p,
-                   round(log10(1.0 + 1.0/d.digit), 6) AS exp_p,
-                   round((SELECT t FROM tot)
-                         * pow(CAST(coalesce(c.n, 0) AS DOUBLE)
-                               / (SELECT t FROM tot)
-                               - log10(1.0 + 1.0/d.digit), 2)
-                         / log10(1.0 + 1.0/d.digit), 6) AS chi2_contrib
-            FROM digits d LEFT JOIN counts c USING (digit)
-            ORDER BY d.digit
+        "benford_totalprice": _benford_sql("orders", "o_totalprice"),
+        "table_health_events": f"""
+            -- FULL exact twin of the composed health report: every family
+            -- re-derived independently (schema via DESCRIBE, metrics via
+            -- the per-value-frequency twin, fd / freshness / benford via
+            -- their formula twins; the clean volume series contributes
+            -- zero rows by construction) and normalized to the same
+            -- long form.
+            WITH m AS ({_metrics_sql("events", ["event_type", "user_id"])}),
+            sch AS (
+              SELECT column_name AS col,
+                     CASE column_type
+                       WHEN 'BIGINT' THEN 'bigint'
+                       WHEN 'INTEGER' THEN 'int'
+                       WHEN 'DOUBLE' THEN 'double'
+                       WHEN 'VARCHAR' THEN 'string'
+                       WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+                     END AS atype
+              FROM (DESCRIBE SELECT * FROM events)
+            ), exp(col, etype) AS (
+              VALUES ('event_id','bigint'), ('ts','timestamp_ntz'),
+                     ('user_id','bigint'), ('event_type','string'),
+                     ('value','double'), ('props','string')
+            ), fdq AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                     CAST(sum(n) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS vg,
+                     CAST(sum(CASE WHEN ndv > 1 THEN n ELSE 0 END) AS BIGINT) AS vr
+              FROM (
+                SELECT event_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(DISTINCT event_type)
+                            + max(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS ndv
+                FROM events GROUP BY event_id
+              )
+            ), anchor AS (SELECT max(ts) AS a FROM events),
+            fresh AS (
+              SELECT event_type,
+                     max(ts) AS last_ts,
+                     CAST(floor((epoch_us((SELECT a FROM anchor))
+                                 - epoch_us(max(ts))) / 1000000.0)
+                          AS BIGINT) AS lag_s
+              FROM events GROUP BY event_type
+            ), ben AS (
+              SELECT sum(chi2_contrib) AS chi2
+              FROM ({_benford_sql("events", "user_id")})
+            )
+            SELECT * FROM (
+              SELECT 'schema' AS family, s.col AS subject,
+                     'status' AS metric, CAST(NULL AS DOUBLE) AS value,
+                     (s.atype = e.etype) AS ok,
+                     (CASE WHEN s.atype = e.etype THEN 'ok'
+                           ELSE 'type_mismatch' END)
+                       || ' (expected=' || e.etype
+                       || ', actual=' || s.atype || ')' AS detail
+              FROM sch s JOIN exp e ON s.col = e.col
+              UNION ALL
+              SELECT 'metrics', "column", 'null_count',
+                     CAST(null_count AS DOUBLE), NULL, NULL FROM m
+              UNION ALL
+              SELECT 'metrics', "column", 'distinctness', distinctness,
+                     NULL, NULL FROM m
+              UNION ALL
+              SELECT 'metrics', "column", 'uniqueness', uniqueness,
+                     NULL, NULL FROM m
+              UNION ALL
+              SELECT 'metrics', "column", 'entropy', entropy,
+                     NULL, NULL FROM m
+              UNION ALL
+              SELECT 'fd', 'event_id -> event_type', 'conformance',
+                     round(1.0 - CAST(vr AS DOUBLE)/CAST(n_rows AS DOUBLE), 6),
+                     round(1.0 - CAST(vr AS DOUBLE)/CAST(n_rows AS DOUBLE), 6)
+                       >= 1.0,
+                     'violating_groups=' || CAST(vg AS VARCHAR)
+                       || ' violating_rows=' || CAST(vr AS VARCHAR)
+              FROM fdq
+              UNION ALL
+              SELECT 'freshness', event_type, 'lag_s',
+                     CAST(lag_s AS DOUBLE), NOT (lag_s > 86400),
+                     'last_ts=' || CAST(last_ts AS VARCHAR)
+              FROM fresh
+              UNION ALL
+              SELECT 'benford', 'user_id', 'chi2', round(chi2, 6),
+                     chi2 <= 26.124, 'critical=26.124'
+              FROM ben
+            ) ORDER BY family, subject, metric
         """,
         "audio_column_metrics": _metrics_sql(
             f"read_parquet('{_FIX}/audio_meta_512_base.parquet')",

@@ -84,6 +84,7 @@ HEADLINE = [
     "volume_anomaly_events",  # round 5: daily-count modified-z outliers
     "column_metrics_orders",  # round 5: 5-column melt, ONE shuffle
     "benford_totalprice",   # round 5: baseline-free digit-law screen
+    "table_health_events",  # round 5: composed health facade, 6 families
 ]
 
 
