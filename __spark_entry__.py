@@ -2006,6 +2006,127 @@ def q_table_health_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_health_report(_t(spark, sf_dir, "events"), spec)
 
 
+def q_sequence_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sequence continuity (round 5, rules/sequence.py): event_id
+    is dense from 0, so dropped batches leave holes — planted here as a
+    periodic single-id drop (id % 500 == 3), a contiguous block
+    [100, 104], and two WHOLE 256-id buckets [512, 1023] so the
+    inter-bucket stitch path (missing buckets never appear in any window
+    partition) is exercised, not just the intra-bucket windows. FULL
+    exact DuckDB twin via a global lag — the oracle may afford the total
+    sort the engine's bucketed plan avoids."""
+    from open_data_linter_spark.rules.sequence import check_sequence
+
+    ev = _t(spark, sf_dir, "events")
+    drop = (
+        (F.col("event_id") % 500 == 3)
+        | F.col("event_id").between(100, 104)
+        | F.col("event_id").between(512, 1023)
+    )
+    return check_sequence(ev.where(~drop), "event_id", bucket_size=256)
+
+
+def q_sequence_gaps_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped sequence continuity (round 5, rules/sequence.py): line
+    numbers within each order should be dense 1..n; the synthetic
+    lineitem table has ~14k NATURAL per-order holes (and duplicate line
+    numbers, which are NOT gaps — adjacent equal values diff 0), so no
+    planting is needed. One group-key window shuffle. FULL exact DuckDB
+    twin (lag partitioned by l_orderkey; duplicates make the tie order
+    nondeterministic but the lag VALUES deterministic)."""
+    from open_data_linter_spark.rules.sequence import check_sequence
+
+    li = _t(spark, sf_dir, "lineitem")
+    return check_sequence(li, "l_linenumber", ["l_orderkey"])
+
+
+def q_calendar_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar completeness (round 5, rules/calendar.py): per-event_type
+    daily buckets against the global observed frontier, with a simulated
+    two-day producer outage ('error' events missing 2024-01-10/11) —
+    buckets rules/volume.py cannot flag because there is nothing to
+    count. FULL exact DuckDB twin (static-range calendar + anti-exists)."""
+    from open_data_linter_spark.rules.calendar import check_calendar_completeness
+
+    ev = _t(spark, sf_dir, "events")
+    outage = (F.col("event_type") == "error") & F.col("ts").cast("date").isin(
+        "2024-01-10", "2024-01-11"
+    )
+    return check_calendar_completeness(ev.where(~outage), "ts", ["event_type"])
+
+
+def q_pattern_masks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-mask profile (round 5, rules/mask.py) of the events
+    table's string columns: event_type collapses to a single lowercase
+    run, props reads back its de-facto JSON contract ('{"a": 9}') — the
+    format-discovery inverse of the reference's fixed-regex checks
+    (regex.py:5-16). FULL exact DuckDB twin (regexp_replace with the 'g'
+    flag — DuckDB replaces only the first match without it)."""
+    from open_data_linter_spark.rules.mask import mask_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return mask_profile(ev, ["event_type", "props"], top_k=5)
+
+
+def q_monotone_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order conformance (round 5, rules/monotone.py): per-user event
+    time must not regress along the dense event_id ingest order — the
+    late-data detector. The synthetic stream is naturally time-ordered,
+    so violations are planted by shifting every 101st event back 24
+    hours (mean per-user inter-event spacing is ~11h, so nearly every
+    planted row regresses below its predecessor). FULL exact DuckDB twin
+    (lag over value-non-null rows per user — exactly the engine's
+    last(ignorenulls) semantics)."""
+    from open_data_linter_spark.rules.monotone import check_monotonic
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts",
+        F.when(
+            F.col("event_id") % 101 == 0,
+            F.col("ts") - F.expr("INTERVAL 24 HOURS"),
+        ).otherwise(F.col("ts")),
+    )
+    return check_monotonic(ev, ["user_id"], "event_id", "ts")
+
+
+def q_audio_chunk_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axis-B grouped sequence continuity (round 5, rules/sequence.py):
+    chunk indices within each clip are dense by construction
+    (multimodal/media.py::chunk_audio), so dropping every chunk_idx == 1
+    leaves a [1,1] hole in exactly the clips long enough to have a
+    chunk 2 — the shape of a lost shard in a chunked training corpus.
+    FULL exact DuckDB twin replaying the chunk recurrence from the
+    committed metadata twin's true n_samples, applying the same drop,
+    and lagging per clip."""
+    _ensure_pkg(spark)
+    from open_data_linter_spark.audio.synth import synthesize_clips
+    from open_data_linter_spark.multimodal.media import chunk_audio
+    from open_data_linter_spark.rules.sequence import check_sequence
+
+    clips = synthesize_clips(spark, 512, 8)
+    chunks = chunk_audio(clips, window_ms=1000, hop_ms=500, min_tail_ms=240)
+    return check_sequence(
+        chunks.where(F.col("chunk_idx") != 1), "chunk_idx", ["clip_id"]
+    )
+
+
+def q_audio_pattern_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axis-B pattern-mask profile (round 5, rules/mask.py) over the
+    deterministic clip batch: clip_id reads back its id format, codec a
+    single lowercase run, and the transcript masks surface the PLANTED
+    anomalies (leading blank, doubled space, embedded newline, NULL) as
+    distinct low-rank shapes under the dominant 'a a …' word masks —
+    non-ASCII (Japanese vocab) kept verbatim, where Java and RE2 agree
+    because the classes are explicit ASCII ranges. FULL exact DuckDB
+    twin over the committed metadata twin."""
+    _ensure_pkg(spark)
+    from open_data_linter_spark.audio.synth import synthesize_clips
+    from open_data_linter_spark.rules.mask import mask_profile
+
+    clips = synthesize_clips(spark, 512, 16)
+    return mask_profile(clips, ["clip_id", "codec", "transcript"], top_k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2109,6 +2230,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_column_metrics": q_audio_column_metrics,
         "benford_totalprice": q_benford_totalprice,
         "table_health_events": q_table_health_events,
+        "sequence_gaps_events": q_sequence_gaps_events,
+        "sequence_gaps_lineitem": q_sequence_gaps_lineitem,
+        "calendar_gaps_events": q_calendar_gaps_events,
+        "pattern_masks_events": q_pattern_masks_events,
+        "monotone_events": q_monotone_events,
+        "audio_chunk_gaps": q_audio_chunk_gaps,
+        "audio_pattern_masks": q_audio_pattern_masks,
     }
 
 
@@ -2190,6 +2318,65 @@ def _metrics_sql(table: str, cols: list[str]) -> str:
         + " UNION ALL ".join(branches)
         + ') ORDER BY "column"'
     )
+
+
+def _mask_sql(table: str, cols: list[str], top_k: int = 5) -> str:
+    """FULL exact DuckDB twin of rules/mask.mask_profile: the same three
+    run-collapsing ASCII-class regexp_replace passes (with the 'g' flag —
+    DuckDB replaces only the FIRST match without it), one (column, mask)
+    count, and the same (n desc, mask asc nulls last) ranking. row_number
+    is cast to INTEGER (DuckDB's is BIGINT, Spark's int)."""
+    vals = " UNION ALL ".join(
+        f'SELECT \'{c}\' AS "column", CAST({c} AS VARCHAR) AS v FROM {table}'
+        for c in cols
+    )
+    return f"""
+        WITH vals AS ({vals}),
+        m AS (
+          SELECT "column",
+                 regexp_replace(regexp_replace(regexp_replace(v,
+                   '[A-Z]+', 'A', 'g'), '[a-z]+', 'a', 'g'),
+                   '[0-9]+', '9', 'g') AS mask
+          FROM vals
+        ),
+        c AS (
+          SELECT "column", mask, CAST(count(*) AS BIGINT) AS n
+          FROM m GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT "column", mask, n,
+                 round(CAST(n AS DOUBLE)
+                       / CAST(sum(n) OVER (PARTITION BY "column") AS DOUBLE),
+                       6) AS frac,
+                 CAST(row_number() OVER (PARTITION BY "column"
+                      ORDER BY n DESC, mask ASC NULLS LAST) AS INTEGER)
+                   AS "rank"
+          FROM c
+        )
+        SELECT * FROM r WHERE "rank" <= {top_k} ORDER BY "column", "rank"
+    """
+
+
+def _seq_gaps_sql(source: str, seq: str, group: str | None = None) -> str:
+    """FULL exact DuckDB twin of rules/sequence.check_sequence: the
+    oracle may afford the global sort the engine's bucketed plan avoids,
+    so both modes are one lag window over ``source`` (a FROM clause,
+    optionally a filtered subquery). Duplicate sequence values make the
+    tie ORDER nondeterministic but the lag VALUES deterministic."""
+    part = f"PARTITION BY {group} " if group else ""
+    gcol = f"{group}, " if group else ""
+    return f"""
+        WITH g AS (
+          SELECT {gcol}{seq} AS s,
+                 lag({seq}) OVER ({part}ORDER BY {seq}) AS p
+          FROM {source} WHERE {seq} IS NOT NULL
+        )
+        SELECT {gcol}CAST(p + 1 AS BIGINT) AS gap_start,
+               CAST(s - 1 AS BIGINT) AS gap_end,
+               CAST(s - p - 1 AS BIGINT) AS n_missing
+        FROM g WHERE p IS NOT NULL AND s - p > 1
+        ORDER BY {gcol}gap_start
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5019,5 +5206,100 @@ def oracle_sql() -> dict[str, str]:
         "audio_column_metrics": _metrics_sql(
             f"read_parquet('{_FIX}/audio_meta_512_base.parquet')",
             ["clip_id", "codec", "sr_hz", "transcript"],
+        ),
+        "sequence_gaps_events": _seq_gaps_sql(
+            """(SELECT event_id FROM events
+                WHERE NOT (event_id % 500 = 3
+                           OR event_id BETWEEN 100 AND 104
+                           OR event_id BETWEEN 512 AND 1023))""",
+            "event_id",
+        ),
+        "sequence_gaps_lineitem": _seq_gaps_sql(
+            "lineitem", "l_linenumber", group="l_orderkey"
+        ),
+        "calendar_gaps_events": """
+            -- FULL exact twin: per-type day buckets vs the observed
+            -- global frontier; the calendar is a static range bounded by
+            -- the frontier re-derived in the WHERE (4096 days >> any
+            -- fixture span, and not a silent cap because of the bound),
+            -- since DuckDB's generate_series takes no lateral column
+            -- params. Anti-exists is null-safe on the group key. The
+            -- outage filter is spelled as ORs, not IN: DuckDB 1.0.0
+            -- evaluates CAST(ts AS DATE) IN (DATE..., DATE...) over a
+            -- parquet scan to FALSE for rows the equivalent ORs match.
+            WITH sim AS (
+              SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS b
+              FROM events
+              WHERE ts IS NOT NULL
+                AND NOT (event_type = 'error'
+                         AND (CAST(ts AS DATE) = DATE '2024-01-10'
+                              OR CAST(ts AS DATE) = DATE '2024-01-11'))
+            ), obs AS (SELECT DISTINCT event_type, b FROM sim),
+            fr AS (SELECT min(b) AS lo, max(b) AS hi FROM obs),
+            cal AS (
+              SELECT CAST((SELECT lo FROM fr) + r * INTERVAL 1 DAY AS DATE)
+                       AS b
+              FROM range(0, 4096) t(r)
+              WHERE (SELECT lo FROM fr) + r * INTERVAL 1 DAY
+                    <= (SELECT hi FROM fr)
+            ),
+            types AS (SELECT DISTINCT event_type FROM obs)
+            SELECT t.event_type, c.b AS missing_bucket
+            FROM types t CROSS JOIN cal c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM obs o
+              WHERE o.event_type IS NOT DISTINCT FROM t.event_type
+                AND o.b = c.b
+            )
+            ORDER BY event_type, missing_bucket
+        """,
+        "pattern_masks_events": _mask_sql("events", ["event_type", "props"]),
+        "monotone_events": """
+            -- FULL exact twin: lag over value-non-null rows per user is
+            -- exactly the engine's last(ignorenulls)-over-preceding-frame
+            -- semantics (NULL rows transparent, never baselines); the
+            -- planted 24h shift replays with exact interval arithmetic.
+            WITH sim AS (
+              SELECT user_id, event_id,
+                     CASE WHEN event_id % 101 = 0
+                          THEN ts - INTERVAL 24 HOUR ELSE ts END AS ts
+              FROM events
+            ), nn AS (SELECT * FROM sim WHERE ts IS NOT NULL),
+            g AS (
+              SELECT user_id, event_id, ts,
+                     lag(event_id) OVER (PARTITION BY user_id
+                                         ORDER BY event_id) AS p_id,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY event_id) AS p_ts
+              FROM nn
+            )
+            SELECT user_id, p_id AS prev_event_id, event_id,
+                   p_ts AS prev_ts, ts
+            FROM g WHERE p_ts IS NOT NULL AND ts < p_ts
+            ORDER BY user_id, event_id
+        """,
+        "audio_chunk_gaps": _seq_gaps_sql(
+            f"""(
+              WITH twin AS (
+                SELECT clip_id, sr_hz, n_samples,
+                       CAST(sr_hz AS BIGINT)              AS w,
+                       CAST(sr_hz AS BIGINT) / 2          AS hop,
+                       CAST(sr_hz AS BIGINT) * 240 / 1000 AS min_tail
+                FROM read_parquet('{_FIX}/audio_meta_512_base.parquet')
+                WHERE n_samples IS NOT NULL
+              )
+              SELECT t.clip_id, CAST(s.k AS INTEGER) AS chunk_idx
+              FROM twin t
+              CROSS JOIN (SELECT range AS k FROM range(0, 64)) s
+              WHERE s.k * t.hop < t.n_samples
+                AND t.n_samples - s.k * t.hop >= t.min_tail
+                AND s.k <> 1
+            )""",
+            "chunk_idx",
+            group="clip_id",
+        ),
+        "audio_pattern_masks": _mask_sql(
+            f"read_parquet('{_FIX}/audio_meta_512_base.parquet')",
+            ["clip_id", "codec", "transcript"],
         ),
     }
