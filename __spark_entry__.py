@@ -2089,6 +2089,36 @@ def q_monotone_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_monotonic(ev, ["user_id"], "event_id", "ts")
 
 
+def q_correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-column correlation profile (round 5, rules/correlation.py):
+    all pairwise Pearson r over lineitem measures in ONE aggregation pass
+    — a derived discounted price is the redundant-column signal
+    (r≈0.998 with price), a planted constant column exercises the
+    degenerate path (ANSI-safe try_divide co-moments report NULL, never
+    DIVIDE_BY_ZERO/NaN), and disc is NULL-laced (masked above qty 45) so
+    the pairwise-complete counts genuinely differ per pair. FULL exact
+    DuckDB twin (identical covar_samp/stddev_samp co-moment formula per
+    pair; reported at 6 dp)."""
+    from open_data_linter_spark.rules.correlation import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("qty"),
+        F.when(F.col("l_quantity") <= 45, F.col("l_discount")).alias("disc"),
+        F.col("l_extendedprice").alias("price"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "disc_price"
+        ),
+        F.lit(1.0).alias("const_one"),
+    )
+    out = correlation_matrix(
+        li, ["qty", "disc", "price", "disc_price", "const_one"], threshold=0.5
+    )
+    return out.select(
+        "col_x", "col_y", "n_pairs", F.round("corr", 6).alias("corr"),
+        "high_corr",
+    )
+
+
 def q_audio_chunk_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Axis-B grouped sequence continuity (round 5, rules/sequence.py):
     chunk indices within each clip are dense by construction
@@ -2235,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_gaps_events": q_calendar_gaps_events,
         "pattern_masks_events": q_pattern_masks_events,
         "monotone_events": q_monotone_events,
+        "correlation_lineitem": q_correlation_lineitem,
         "audio_chunk_gaps": q_audio_chunk_gaps,
         "audio_pattern_masks": q_audio_pattern_masks,
     }
@@ -2377,6 +2408,34 @@ def _seq_gaps_sql(source: str, seq: str, group: str | None = None) -> str:
         FROM g WHERE p IS NOT NULL AND s - p > 1
         ORDER BY {gcol}gap_start
     """
+
+
+def _corr_sql(src_sql: str, cols: list[str], threshold: float) -> str:
+    """FULL exact DuckDB twin of rules/correlation.correlation_matrix:
+    the same per-pair co-moment formula — covar_samp over the BOTH-
+    non-null-masked sides divided by the two masked stddev_samp's —
+    with NULLIF standing in for Spark's try_divide on the degenerate
+    zero-variance / n<2 pairs. high_corr compares the UNROUNDED r, as
+    the engine does; only the reported corr is rounded to 6 dp."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs, rows = [], []
+    for i, (a, b) in enumerate(pairs):
+        m = f"CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL THEN"
+        aggs.append(f"covar_samp({m} {a} END, {m} {b} END) AS c{i}")
+        aggs.append(f"stddev_samp({m} {a} END) AS sx{i}")
+        aggs.append(f"stddev_samp({m} {b} END) AS sy{i}")
+        aggs.append(f"count({m} 1 END) AS n{i}")
+        r = f"(c{i} / NULLIF(sx{i} * sy{i}, 0))"
+        rows.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, n{i} AS n_pairs, "
+            f"round({r}, 6) AS corr, "
+            f"coalesce(abs({r}) >= {threshold}, FALSE) AS high_corr FROM m"
+        )
+    return (
+        f"WITH sim AS ({src_sql}), m AS (SELECT {', '.join(aggs)} FROM sim) "
+        + " UNION ALL ".join(rows)
+        + " ORDER BY col_x, col_y"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5278,6 +5337,16 @@ def oracle_sql() -> dict[str, str]:
             FROM g WHERE p_ts IS NOT NULL AND ts < p_ts
             ORDER BY user_id, event_id
         """,
+        "correlation_lineitem": _corr_sql(
+            """SELECT l_quantity AS qty,
+                      CASE WHEN l_quantity <= 45 THEN l_discount END AS disc,
+                      l_extendedprice AS price,
+                      l_extendedprice * (1 - l_discount) AS disc_price,
+                      CAST(1.0 AS DOUBLE) AS const_one
+               FROM lineitem""",
+            ["qty", "disc", "price", "disc_price", "const_one"],
+            threshold=0.5,
+        ),
         "audio_chunk_gaps": _seq_gaps_sql(
             f"""(
               WITH twin AS (

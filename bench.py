@@ -85,6 +85,11 @@ HEADLINE = [
     "column_metrics_orders",  # round 5: 5-column melt, ONE shuffle
     "benford_totalprice",   # round 5: baseline-free digit-law screen
     "table_health_events",  # round 5: composed health facade, 6 families
+    "sequence_gaps_lineitem",  # round 5: ~14k natural per-order holes
+    "calendar_gaps_events",  # round 5: absent-bucket broadcast anti-join
+    "pattern_masks_events",  # round 5: run-collapsed mask profile
+    "monotone_events",       # round 5: per-group order conformance
+    "correlation_lineitem",  # round 5: all-pairs Pearson in one pass
 ]
 
 

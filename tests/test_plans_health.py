@@ -147,3 +147,18 @@ def test_monotone_is_one_group_window_shuffle(events_parquet):
     plan = explain_str(check_monotonic(events_parquet, ["g"], "s", "v"))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_correlation_all_pairs_one_scan_one_row_exchange(events_parquet):
+    """All k(k-1)/2 Pearson pairs fold in ONE pass over ONE scan: the
+    co-moment aggregates (covar_samp + the two masked stddevs) partially
+    aggregate map-side, the only Exchange is the SinglePartition merge
+    of one partial row per task, and the pair table is exploded from
+    that row — no Expand, no per-pair scans, no row-data shuffle."""
+    from open_data_linter_spark.rules.correlation import correlation_matrix
+
+    plan = explain_str(correlation_matrix(events_parquet, ["s", "v"]))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" not in plan, plan
+    assert plan.count("Exchange") == 1 and "SinglePartition" in plan, plan
+    assert "partial_covar_samp" in plan and "partial_stddev_samp" in plan, plan
