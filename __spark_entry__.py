@@ -2119,6 +2119,61 @@ def q_correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_clicks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (round 5, functions/asof.py): each purchase event is
+    enriched with the user's latest click at-or-before it, within a 12h
+    tolerance (stale matches nulled, rows kept — left-outer). The union
+    trick: ONE hash Exchange, no range join, no per-key blowup. FULL
+    exact DuckDB twin via its native ASOF LEFT JOIN + the same
+    inclusive tolerance CASE."""
+    from open_data_linter_spark.functions.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        left, right, ["user_id"], "ts", "click_ts", tolerance_s=43200
+    ).orderBy("event_id")
+
+
+def q_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (round 5, functions/sessions.py): the
+    event stream split per user at >12h inactivity (mean per-user
+    spacing is ~11h, so the fixture yields a real mix of multi-event
+    sessions and singletons). Exact epoch-micros gap math; ONE input
+    Exchange. FULL exact DuckDB twin (lag + cumsum windows)."""
+    from open_data_linter_spark.functions.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, ["user_id"], "ts", 43200)
+
+
+def q_interval_integrity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2/interval integrity (round 5, rules/intervals.py): validity
+    ranges derived per user from events — start=ts, end=ts+⌊value·60⌋s
+    (integer-second arithmetic for cross-engine exactness) — naturally
+    yield ~733 overlaps and ~9.1k gaps at sf0.01. Running-max frontier
+    catches containment lag(end) would miss; ONE key Exchange, both
+    frames fused into one Window. FULL exact DuckDB twin (NULLS FIRST
+    pinned to Spark's default window order)."""
+    from open_data_linter_spark.rules.intervals import check_interval_integrity
+
+    iv = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.expr(
+            "timestampadd(SECOND, CAST(floor(value * 60) AS INT), ts)"
+        ).alias("e"),
+    )
+    return check_interval_integrity(iv, ["user_id"], "s", "e")
+
+
 def q_audio_chunk_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Axis-B grouped sequence continuity (round 5, rules/sequence.py):
     chunk indices within each clip are dense by construction
@@ -2266,6 +2321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_masks_events": q_pattern_masks_events,
         "monotone_events": q_monotone_events,
         "correlation_lineitem": q_correlation_lineitem,
+        "asof_clicks_events": q_asof_clicks_events,
+        "sessions_events": q_sessions_events,
+        "interval_integrity_events": q_interval_integrity_events,
         "audio_chunk_gaps": q_audio_chunk_gaps,
         "audio_pattern_masks": q_audio_pattern_masks,
     }
@@ -5347,6 +5405,86 @@ def oracle_sql() -> dict[str, str]:
             ["qty", "disc", "price", "disc_price", "const_one"],
             threshold=0.5,
         ),
+        "asof_clicks_events": """
+            -- FULL exact twin: DuckDB's native ASOF LEFT JOIN is the
+            -- same latest-at-or-before semantics as the engine's
+            -- union+window trick; the 12h tolerance nulls the payload
+            -- (inclusive boundary) but keeps the left row, exactly as
+            -- the engine's left-outer contract does.
+            WITH l AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase'
+            ), r AS (
+              SELECT user_id, ts AS click_ts, value AS click_value
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   CASE WHEN r.click_ts >= l.ts - INTERVAL 12 HOUR
+                        THEN r.click_ts END AS click_ts,
+                   CASE WHEN r.click_ts >= l.ts - INTERVAL 12 HOUR
+                        THEN r.click_value END AS click_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.click_ts
+            ORDER BY event_id
+        """,
+        "sessions_events": """
+            -- FULL exact twin: identical lag/cumsum formulation on
+            -- exact epoch microseconds; the >12h boundary is strict in
+            -- both engines, so a gap of exactly 12h stays in-session.
+            WITH nn AS (
+              SELECT user_id, ts FROM events WHERE ts IS NOT NULL
+            ), g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 43200000000
+                          THEN 1 ELSE 0 END AS nw
+              FROM nn WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS si
+              FROM g
+            )
+            SELECT user_id, CAST(si AS BIGINT) AS session_idx,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE)
+                     / 1000000.0 AS duration_s,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, si
+            ORDER BY user_id, session_idx
+        """,
+        "interval_integrity_events": """
+            -- FULL exact twin: same running-max frontier over the
+            -- +inf-coalesced ends; window ORDER BY pins NULLS FIRST
+            -- because DuckDB defaults NULLS LAST where Spark defaults
+            -- NULLS FIRST; "end" quoted (reserved word).
+            WITH iv AS (
+              SELECT user_id, ts AS s,
+                     ts + to_seconds(CAST(floor(value * 60) AS BIGINT))
+                       AS e
+              FROM events WHERE ts IS NOT NULL
+            ), w AS (
+              SELECT user_id, s, e,
+                     max(coalesce(e, TIMESTAMP '9999-12-31 23:59:59.999999'))
+                       OVER (PARTITION BY user_id
+                             ORDER BY s NULLS FIRST, e NULLS FIRST
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS frontier
+              FROM iv
+            ), kk AS (
+              SELECT user_id, s, e, frontier,
+                     CASE WHEN e IS NOT NULL AND e < s THEN 'inverted'
+                          WHEN frontier IS NOT NULL AND s < frontier
+                            THEN 'overlap'
+                          WHEN frontier IS NOT NULL AND s > frontier
+                            THEN 'gap' END AS kind
+              FROM w
+            )
+            SELECT user_id, s AS "start", e AS "end", frontier, kind
+            FROM kk WHERE kind IS NOT NULL
+            ORDER BY user_id, "start", "end"
+        """,
         "audio_chunk_gaps": _seq_gaps_sql(
             f"""(
               WITH twin AS (

@@ -90,6 +90,9 @@ HEADLINE = [
     "pattern_masks_events",  # round 5: run-collapsed mask profile
     "monotone_events",       # round 5: per-group order conformance
     "correlation_lineitem",  # round 5: all-pairs Pearson in one pass
+    "asof_clicks_events",    # round 5: union-trick as-of join
+    "sessions_events",       # round 5: lag/cumsum sessionization
+    "interval_integrity_events",  # round 5: SCD2 range integrity
 ]
 
 
