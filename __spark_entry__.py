@@ -2174,6 +2174,47 @@ def q_interval_integrity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_interval_integrity(iv, ["user_id"], "s", "e")
 
 
+_PRIORITY_DOMAIN = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
+def q_fuzzy_domain_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy domain conformance (round 5, rules/fuzzy_domain.py):
+    o_orderpriority with a planted first-character truncation on every
+    97th order — each typo lands exactly distance 1 from its source
+    priority, so the report names the fix. Distinct-count reduction
+    first, broadcast domain scan second — one input scan, one count
+    Exchange. FULL exact DuckDB twin (levenshtein agrees on ASCII;
+    DuckDB's is byte-based so non-ASCII domains are out of twin scope,
+    documented in the rule)."""
+    from open_data_linter_spark.rules.fuzzy_domain import check_fuzzy_domain
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            F.expr("substring(o_orderpriority, 2)"),
+        ).otherwise(F.col("o_orderpriority")),
+    )
+    return check_fuzzy_domain(o, "o_orderpriority", _PRIORITY_DOMAIN)
+
+
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (round 5, functions/funnel.py): signup → click →
+    purchase reach over the event stream — greedy earliest-chain with
+    strictly increasing timestamps, computed by a JVM aggregate fold
+    over each user's type-filtered sorted events (one shuffle, no
+    per-step self-joins). FULL exact DuckDB twin: the chained min-CTE
+    formulation IS the greedy chain, so equality is by construction."""
+    from open_data_linter_spark.functions.funnel import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type", ["signup", "click", "purchase"]
+    )
+
+
 def q_audio_chunk_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Axis-B grouped sequence continuity (round 5, rules/sequence.py):
     chunk indices within each clip are dense by construction
@@ -2324,6 +2365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks_events": q_asof_clicks_events,
         "sessions_events": q_sessions_events,
         "interval_integrity_events": q_interval_integrity_events,
+        "fuzzy_domain_orders": q_fuzzy_domain_orders,
+        "funnel_events": q_funnel_events,
         "audio_chunk_gaps": q_audio_chunk_gaps,
         "audio_pattern_masks": q_audio_pattern_masks,
     }
@@ -5484,6 +5527,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, s AS "start", e AS "end", frontier, kind
             FROM kk WHERE kind IS NOT NULL
             ORDER BY user_id, "start", "end"
+        """,
+        "fuzzy_domain_orders": """
+            -- FULL exact twin: replayed truncation, same distinct-count
+            -- reduction, same min-(distance, candidate) tie-break via
+            -- row_number; levenshtein agrees with Spark's on ASCII
+            -- (DuckDB counts bytes, Spark counts code points).
+            WITH sim AS (
+              SELECT CASE WHEN o_orderkey % 97 = 0
+                          THEN substr(o_orderpriority, 2)
+                          ELSE o_orderpriority END AS v
+              FROM orders
+            ), oov AS (
+              SELECT v AS value, CAST(count(*) AS BIGINT) AS n_rows
+              FROM sim WHERE v IS NOT NULL GROUP BY v
+              HAVING v NOT IN ('1-URGENT','2-HIGH','3-MEDIUM',
+                               '4-NOT SPECIFIED','5-LOW')
+            ), dom(candidate) AS (
+              VALUES ('1-URGENT'),('2-HIGH'),('3-MEDIUM'),
+                     ('4-NOT SPECIFIED'),('5-LOW')
+            ), best AS (
+              SELECT value, candidate,
+                     CAST(levenshtein(value, candidate) AS INTEGER) AS d,
+                     row_number() OVER (
+                       PARTITION BY value
+                       ORDER BY levenshtein(value, candidate), candidate
+                     ) AS rn
+              FROM oov CROSS JOIN dom
+              WHERE levenshtein(value, candidate) <= 1
+            )
+            SELECT o.value, o.n_rows, b.candidate AS suggestion,
+                   b.d AS distance
+            FROM oov o LEFT JOIN best b ON b.value = o.value AND b.rn = 1
+            ORDER BY o.n_rows DESC, o.value
+        """,
+        "funnel_events": """
+            -- FULL exact twin: the chained min-CTE formulation IS the
+            -- greedy earliest-chain (strict > at every hop, so
+            -- equal-timestamp events never chain in either engine).
+            WITH ev AS (
+              SELECT user_id, ts, event_type FROM events
+              WHERE ts IS NOT NULL
+                AND event_type IN ('signup','click','purchase')
+            ), t1 AS (
+              SELECT user_id, min(ts) AS ts FROM ev
+              WHERE event_type = 'signup' GROUP BY user_id
+            ), t2 AS (
+              SELECT e.user_id, min(e.ts) AS ts
+              FROM ev e JOIN t1 ON e.user_id = t1.user_id
+              WHERE e.event_type = 'click' AND e.ts > t1.ts
+              GROUP BY e.user_id
+            ), t3 AS (
+              SELECT e.user_id, min(e.ts) AS ts
+              FROM ev e JOIN t2 ON e.user_id = t2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > t2.ts
+              GROUP BY e.user_id
+            ), steps(step_idx, step) AS (
+              VALUES (1, 'signup'), (2, 'click'), (3, 'purchase')
+            ), counts AS (
+              SELECT 1 AS step_idx, CAST(count(*) AS BIGINT) AS n FROM t1
+              UNION ALL
+              SELECT 2, CAST(count(*) AS BIGINT) FROM t2
+              UNION ALL
+              SELECT 3, CAST(count(*) AS BIGINT) FROM t3
+            )
+            SELECT s.step_idx, s.step,
+                   coalesce(c.n, 0) AS n_users,
+                   round(CAST(coalesce(c.n, 0) AS DOUBLE)
+                         / NULLIF((SELECT CAST(n AS DOUBLE) FROM counts
+                                   WHERE step_idx = 1), 0), 6)
+                     AS frac_of_first
+            FROM steps s LEFT JOIN counts c ON s.step_idx = c.step_idx
+            ORDER BY s.step_idx
         """,
         "audio_chunk_gaps": _seq_gaps_sql(
             f"""(

@@ -93,6 +93,8 @@ HEADLINE = [
     "asof_clicks_events",    # round 5: union-trick as-of join
     "sessions_events",       # round 5: lag/cumsum sessionization
     "interval_integrity_events",  # round 5: SCD2 range integrity
+    "fuzzy_domain_orders",   # round 5: broadcast levenshtein suggest
+    "funnel_events",         # round 5: aggregate-fold funnel reach
 ]
 
 
