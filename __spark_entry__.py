@@ -2215,6 +2215,36 @@ def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum_shift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection (round 5, rules/changepoint.py):
+    per-type daily event counts with a planted instrumentation
+    regression — half of all 'click' events dropped from Jan 21 on.
+    No single day is a z-outlier (the volume rule stays silent on it),
+    but the sustained ~50% level shift accumulates past h=4σ within a
+    week; other event types stay quiet. CUSUM computed in CLOSED FORM
+    (running sum + running min windows — no recursion), so the DuckDB
+    twin replays it exactly."""
+    from open_data_linter_spark.rules.changepoint import cusum_shifts
+
+    ev = _t(spark, sf_dir, "events").where(
+        ~(
+            (F.col("event_type") == "click")
+            & (F.col("ts") >= F.lit("2024-01-21").cast("timestamp_ntz"))
+            & (F.col("event_id") % 2 == 0)
+        )
+    )
+    out = cusum_shifts(ev, "ts", ["event_type"], k=0.5, h=4.0)
+    return out.select(
+        "event_type",
+        F.col("bucket").cast("date").alias("bucket"),
+        "value",
+        F.round("z", 6).alias("z"),
+        F.round("s_pos", 6).alias("s_pos"),
+        F.round("s_neg", 6).alias("s_neg"),
+        "direction",
+    )
+
+
 def q_audio_chunk_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Axis-B grouped sequence continuity (round 5, rules/sequence.py):
     chunk indices within each clip are dense by construction
@@ -2367,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_integrity_events": q_interval_integrity_events,
         "fuzzy_domain_orders": q_fuzzy_domain_orders,
         "funnel_events": q_funnel_events,
+        "cusum_shift_events": q_cusum_shift_events,
         "audio_chunk_gaps": q_audio_chunk_gaps,
         "audio_pattern_masks": q_audio_pattern_masks,
     }
@@ -5599,6 +5630,45 @@ def oracle_sql() -> dict[str, str]:
                      AS frac_of_first
             FROM steps s LEFT JOIN counts c ON s.step_idx = c.step_idx
             ORDER BY s.step_idx
+        """,
+        "cusum_shift_events": """
+            -- FULL exact twin: the closed form S+_t = cum_t -
+            -- min(0, min_{j<=t} cum_j) is two window aggregates in any
+            -- SQL engine; same self-standardization, same planted drop.
+            WITH sim AS (
+              SELECT event_type, ts FROM events
+              WHERE ts IS NOT NULL
+                AND NOT (event_type = 'click'
+                         AND ts >= TIMESTAMP '2024-01-21'
+                         AND event_id % 2 = 0)
+            ), series AS (
+              SELECT event_type, date_trunc('day', ts) AS bucket,
+                     CAST(count(*) AS DOUBLE) AS value
+              FROM sim GROUP BY 1, 2
+            ), zz AS (
+              SELECT *, (value - avg(value) OVER wg)
+                        / NULLIF(stddev_samp(value) OVER wg, 0) AS z
+              FROM series WINDOW wg AS (PARTITION BY event_type)
+            ), cc AS (
+              SELECT *, sum(z - 0.5) OVER wr AS cp,
+                        sum(-z - 0.5) OVER wr AS cn
+              FROM zz WINDOW wr AS (PARTITION BY event_type
+                                    ORDER BY bucket
+                                    ROWS UNBOUNDED PRECEDING)
+            ), ss AS (
+              SELECT *, cp - least(0.0, min(cp) OVER wr) AS s_pos,
+                        cn - least(0.0, min(cn) OVER wr) AS s_neg
+              FROM cc WINDOW wr AS (PARTITION BY event_type
+                                    ORDER BY bucket
+                                    ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT event_type, CAST(bucket AS DATE) AS bucket, value,
+                   round(z, 6) AS z,
+                   round(s_pos, 6) AS s_pos, round(s_neg, 6) AS s_neg,
+                   CASE WHEN s_pos > 4.0 THEN 'up' ELSE 'down' END
+                     AS direction
+            FROM ss WHERE s_pos > 4.0 OR s_neg > 4.0
+            ORDER BY event_type, bucket
         """,
         "audio_chunk_gaps": _seq_gaps_sql(
             f"""(

@@ -95,6 +95,7 @@ HEADLINE = [
     "interval_integrity_events",  # round 5: SCD2 range integrity
     "fuzzy_domain_orders",   # round 5: broadcast levenshtein suggest
     "funnel_events",         # round 5: aggregate-fold funnel reach
+    "cusum_shift_events",    # round 5: closed-form CUSUM level shifts
 ]
 
 
