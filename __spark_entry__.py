@@ -2245,6 +2245,36 @@ def q_cusum_shift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axis-B correlation profile (round 5, rules/correlation.py):
+    DECODED clip duration against the metadata columns. duration_s
+    comes from a real Arrow decode pass (audio_features), and the
+    fixture's integral sr·ms/1000 makes it EXACTLY dur_ms/1000 — so
+    the (dur_ms, duration_s) pair flags at r=1.0: the redundant/
+    derived-column screen firing on a payload-vs-metadata pair.
+    n_bytes↔duration sits at ~0.62 (codec mix), sr↔duration ~0.02.
+    FULL exact DuckDB twin replaying duration_s as n_samples/sr_hz
+    from the committed metadata twin (exact float64 division)."""
+    _ensure_pkg(spark)
+    from open_data_linter_spark.audio.synth import synthesize_clips
+    from open_data_linter_spark.multimodal.media import audio_features
+    from open_data_linter_spark.rules.correlation import correlation_matrix
+
+    clips = synthesize_clips(spark, 512, 8)
+    joined = clips.select(
+        "clip_id", "dur_ms", "sr_hz", F.length("bytes").alias("n_bytes")
+    ).join(
+        audio_features(clips).select("clip_id", "duration_s"), "clip_id"
+    )
+    out = correlation_matrix(
+        joined, ["dur_ms", "sr_hz", "n_bytes", "duration_s"], threshold=0.9
+    )
+    return out.select(
+        "col_x", "col_y", "n_pairs", F.round("corr", 6).alias("corr"),
+        "high_corr",
+    )
+
+
 def q_audio_chunk_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Axis-B grouped sequence continuity (round 5, rules/sequence.py):
     chunk indices within each clip are dense by construction
@@ -2398,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_domain_orders": q_fuzzy_domain_orders,
         "funnel_events": q_funnel_events,
         "cusum_shift_events": q_cusum_shift_events,
+        "audio_correlation": q_audio_correlation,
         "audio_chunk_gaps": q_audio_chunk_gaps,
         "audio_pattern_masks": q_audio_pattern_masks,
     }
@@ -5670,6 +5701,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ss WHERE s_pos > 4.0 OR s_neg > 4.0
             ORDER BY event_type, bucket
         """,
+        "audio_correlation": _corr_sql(
+            f"""SELECT dur_ms, sr_hz, n_bytes,
+                       CAST(n_samples AS DOUBLE) / sr_hz AS duration_s
+                FROM read_parquet('{_FIX}/audio_meta_512_base.parquet')""",
+            ["dur_ms", "sr_hz", "n_bytes", "duration_s"],
+            threshold=0.9,
+        ),
         "audio_chunk_gaps": _seq_gaps_sql(
             f"""(
               WITH twin AS (
