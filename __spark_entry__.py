@@ -2275,6 +2275,36 @@ def q_audio_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_link_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance record linkage (round 5, functions/fuzzy_join.py):
+    every 13th part name with its 3rd character deleted is linked back
+    to the catalog via PassJoin segment blocking + early-exit
+    levenshtein verify — no quadratic scan. The DuckDB twin is the
+    INDEPENDENT brute-force cross product (length-banded), so a
+    mismatch would catch blocking recall loss, not just replay drift:
+    the oracle doubles as a losslessness proof on real data."""
+    from open_data_linter_spark.functions.fuzzy_join import fuzzy_join
+
+    part = _t(spark, sf_dir, "part")
+    dirty = part.where(F.col("p_partkey") % 13 == 0).select(
+        F.col("p_partkey").alias("dirty_key"),
+        F.concat(
+            F.expr("substring(p_name, 1, 2)"), F.expr("substring(p_name, 4)")
+        ).alias("dirty_name"),
+    )
+    catalog = part.select(
+        F.col("p_partkey").alias("match_key"),
+        F.col("p_name").alias("match_name"),
+    )
+    return (
+        fuzzy_join(dirty, catalog, "dirty_name", "match_name", 1)
+        .select(
+            "dirty_key", "dirty_name", "match_key", "match_name", "distance"
+        )
+        .orderBy("dirty_key", "match_key")
+    )
+
+
 def q_audio_chunk_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Axis-B grouped sequence continuity (round 5, rules/sequence.py):
     chunk indices within each clip are dense by construction
@@ -2429,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": q_funnel_events,
         "cusum_shift_events": q_cusum_shift_events,
         "audio_correlation": q_audio_correlation,
+        "fuzzy_link_parts": q_fuzzy_link_parts,
         "audio_chunk_gaps": q_audio_chunk_gaps,
         "audio_pattern_masks": q_audio_pattern_masks,
     }
@@ -5708,6 +5739,29 @@ def oracle_sql() -> dict[str, str]:
             ["dur_ms", "sr_hz", "n_bytes", "duration_s"],
             threshold=0.9,
         ),
+        "fuzzy_link_parts": """
+            -- INDEPENDENT brute-force twin: the length-banded cross
+            -- product with a direct levenshtein filter is the ground
+            -- truth the engine's PassJoin blocking must exactly
+            -- reproduce — recall loss in the segment blocking would
+            -- fail this compare, not just replay drift.
+            WITH dirty AS (
+              SELECT p_partkey AS dirty_key,
+                     substr(p_name, 1, 2) || substr(p_name, 4)
+                       AS dirty_name
+              FROM part WHERE p_partkey % 13 = 0
+            ), cat AS (
+              SELECT p_partkey AS match_key, p_name AS match_name
+              FROM part
+            )
+            SELECT dirty_key, dirty_name, match_key, match_name,
+                   CAST(levenshtein(dirty_name, match_name) AS INTEGER)
+                     AS distance
+            FROM dirty CROSS JOIN cat
+            WHERE abs(length(dirty_name) - length(match_name)) <= 1
+              AND levenshtein(dirty_name, match_name) <= 1
+            ORDER BY dirty_key, match_key
+        """,
         "audio_chunk_gaps": _seq_gaps_sql(
             f"""(
               WITH twin AS (

@@ -96,6 +96,7 @@ HEADLINE = [
     "fuzzy_domain_orders",   # round 5: broadcast levenshtein suggest
     "funnel_events",         # round 5: aggregate-fold funnel reach
     "cusum_shift_events",    # round 5: closed-form CUSUM level shifts
+    "fuzzy_link_parts",      # round 5: PassJoin edit-distance linkage
 ]
 
 
