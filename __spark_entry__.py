@@ -2305,6 +2305,56 @@ def q_fuzzy_link_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_null_patterns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-pattern mining (round 5, rules/nullpattern.py): structured
+    missingness planted on events — a failed enrichment nulls (value,
+    props) TOGETHER on every 3rd error event, and a separate rare
+    producer bug nulls user_id alone — per-column null rates see two
+    unremarkable numbers, the pattern profile sees exactly two
+    structures. FULL exact DuckDB twin (concat_ws skips NULLs in both
+    engines)."""
+    from open_data_linter_spark.rules.nullpattern import null_patterns
+
+    enrich_fail = (F.col("event_type") == "error") & (F.col("event_id") % 3 == 0)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("value", F.when(~enrich_fail, F.col("value")))
+        .withColumn("props", F.when(~enrich_fail, F.col("props")))
+        .withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 1000 != 1, F.col("user_id")),
+        )
+    )
+    return null_patterns(ev, ["user_id", "value", "props"])
+
+
+def q_trend_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group trend detection (round 5, rules/trend.py): 'view'
+    values drift +4/day across January (a gradually miscalibrating
+    sensor) — no level shift, CUSUM-invisible early, but the OLS slope
+    t-statistic flags it decisively while the other types stay flat.
+    Closed-form co-moments only (two shrinking shuffles, no windows).
+    FULL exact DuckDB twin."""
+    from open_data_linter_spark.rules.trend import group_trends
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value",
+        F.col("value")
+        + F.when(
+            F.col("event_type") == "view", 4.0 * F.dayofmonth("ts")
+        ).otherwise(F.lit(0.0)),
+    )
+    out = group_trends(ev, "ts", ["event_type"], value_col="value", t_crit=4.0)
+    return out.select(
+        "event_type",
+        "n_buckets",
+        F.round("slope_per_day", 6).alias("slope_per_day"),
+        F.round("r2", 6).alias("r2"),
+        F.round("t_stat", 6).alias("t_stat"),
+        "trending",
+    )
+
+
 def q_audio_chunk_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Axis-B grouped sequence continuity (round 5, rules/sequence.py):
     chunk indices within each clip are dense by construction
@@ -2460,6 +2510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_shift_events": q_cusum_shift_events,
         "audio_correlation": q_audio_correlation,
         "fuzzy_link_parts": q_fuzzy_link_parts,
+        "null_patterns_events": q_null_patterns_events,
+        "trend_drift_events": q_trend_drift_events,
         "audio_chunk_gaps": q_audio_chunk_gaps,
         "audio_pattern_masks": q_audio_pattern_masks,
     }
@@ -5761,6 +5813,77 @@ def oracle_sql() -> dict[str, str]:
             WHERE abs(length(dirty_name) - length(match_name)) <= 1
               AND levenshtein(dirty_name, match_name) <= 1
             ORDER BY dirty_key, match_key
+        """,
+        "null_patterns_events": """
+            -- FULL exact twin: concat_ws skips NULL args in DuckDB and
+            -- Spark alike, so the pattern keys are byte-identical.
+            WITH sim AS (
+              SELECT CASE WHEN event_id % 1000 = 1 THEN NULL
+                          ELSE user_id END AS user_id,
+                     CASE WHEN event_type = 'error' AND event_id % 3 = 0
+                          THEN NULL ELSE value END AS value,
+                     CASE WHEN event_type = 'error' AND event_id % 3 = 0
+                          THEN NULL ELSE props END AS props
+              FROM events
+            ), pat AS (
+              SELECT concat_ws(',',
+                       CASE WHEN user_id IS NULL THEN 'user_id' END,
+                       CASE WHEN value IS NULL THEN 'value' END,
+                       CASE WHEN props IS NULL THEN 'props' END)
+                       AS pattern,
+                     CAST(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END
+                        + CASE WHEN value IS NULL THEN 1 ELSE 0 END
+                        + CASE WHEN props IS NULL THEN 1 ELSE 0 END
+                        AS INTEGER) AS n_nulls
+              FROM sim
+            ), agg AS (
+              SELECT pattern, n_nulls, CAST(count(*) AS BIGINT) AS n_rows
+              FROM pat GROUP BY pattern, n_nulls
+            )
+            SELECT pattern, n_nulls, n_rows,
+                   round(CAST(n_rows AS DOUBLE)
+                         / sum(CAST(n_rows AS DOUBLE)) OVER (), 6) AS frac
+            FROM agg ORDER BY n_rows DESC, pattern
+        """,
+        "trend_drift_events": """
+            -- FULL exact twin: same closed-form OLS co-moments over the
+            -- same per-(type, day) mean series; r2 clamped at 1, the
+            -- t denominator floored at 0 exactly as the engine does.
+            WITH sim AS (
+              SELECT event_type, ts,
+                     value + CASE WHEN event_type = 'view'
+                                  THEN 4.0 * date_part('day', ts)
+                                  ELSE 0.0 END AS value
+              FROM events WHERE ts IS NOT NULL
+            ), series AS (
+              SELECT event_type,
+                     CAST(epoch_us(date_trunc('day', ts)) AS DOUBLE)
+                       / 86400000000.0 AS t,
+                     avg(value) AS y
+              FROM sim GROUP BY event_type, date_trunc('day', ts)
+            ), agg AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n_buckets,
+                     covar_samp(t, y) / NULLIF(var_samp(t), 0) AS slope,
+                     covar_samp(t, y)
+                       / NULLIF(stddev_samp(t) * stddev_samp(y), 0) AS r
+              FROM series GROUP BY event_type
+            ), st AS (
+              SELECT event_type, n_buckets, slope,
+                     least(r * r, 1.0) AS r2,
+                     r * sqrt(n_buckets - 2)
+                       / NULLIF(sqrt(greatest(1.0 - r * r, 0.0)), 0)
+                       AS t_stat
+              FROM agg
+            )
+            SELECT event_type, n_buckets,
+                   round(slope, 6) AS slope_per_day,
+                   round(r2, 6) AS r2, round(t_stat, 6) AS t_stat,
+                   (n_buckets >= 3) AND
+                   (coalesce(abs(t_stat) >= 4.0, FALSE)
+                    OR coalesce(r2 >= 1.0 AND slope IS NOT NULL
+                                AND slope <> 0, FALSE)) AS trending
+            FROM st ORDER BY event_type
         """,
         "audio_chunk_gaps": _seq_gaps_sql(
             f"""(

@@ -97,6 +97,8 @@ HEADLINE = [
     "funnel_events",         # round 5: aggregate-fold funnel reach
     "cusum_shift_events",    # round 5: closed-form CUSUM level shifts
     "fuzzy_link_parts",      # round 5: PassJoin edit-distance linkage
+    "null_patterns_events",  # round 5: missingness-combination profile
+    "trend_drift_events",    # round 5: closed-form OLS drift screen
 ]
 
 
