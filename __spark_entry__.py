@@ -2355,6 +2355,28 @@ def q_trend_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_fuzzy_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axis-B fuzzy domain conformance (round 5, rules/fuzzy_domain.py):
+    every 7th clip's codec label loses its last character — 'pcm_s16l'
+    and 'ula'/'ala' are out-of-domain but land distance 1 from their
+    sources, so the report names the repair ('ula' also demonstrates
+    that a truncated label can sit distance 1 from only ONE domain
+    entry while 'alaw'↔'ulaw' are themselves distance 1 apart). FULL
+    exact DuckDB twin over the committed metadata twin."""
+    _ensure_pkg(spark)
+    from open_data_linter_spark.audio.synth import synthesize_clips
+    from open_data_linter_spark.rules.fuzzy_domain import check_fuzzy_domain
+
+    clips = synthesize_clips(spark, 512, 8).withColumn(
+        "codec",
+        F.when(
+            F.substring("clip_id", 6, 8).cast("int") % 7 == 0,
+            F.expr("substring(codec, 1, length(codec) - 1)"),
+        ).otherwise(F.col("codec")),
+    )
+    return check_fuzzy_domain(clips, "codec", ["pcm_s16le", "ulaw", "alaw"])
+
+
 def q_audio_chunk_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Axis-B grouped sequence continuity (round 5, rules/sequence.py):
     chunk indices within each clip are dense by construction
@@ -2512,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_link_parts": q_fuzzy_link_parts,
         "null_patterns_events": q_null_patterns_events,
         "trend_drift_events": q_trend_drift_events,
+        "audio_fuzzy_codec": q_audio_fuzzy_codec,
         "audio_chunk_gaps": q_audio_chunk_gaps,
         "audio_pattern_masks": q_audio_pattern_masks,
     }
@@ -5884,6 +5907,38 @@ def oracle_sql() -> dict[str, str]:
                     OR coalesce(r2 >= 1.0 AND slope IS NOT NULL
                                 AND slope <> 0, FALSE)) AS trending
             FROM st ORDER BY event_type
+        """,
+        "audio_fuzzy_codec": f"""
+            -- FULL exact twin over the committed clip metadata: same
+            -- truncation, same distinct-count reduction, same
+            -- (distance, candidate) tie-break; all-ASCII domain so
+            -- DuckDB's byte levenshtein == Spark's code points.
+            WITH sim AS (
+              SELECT CASE WHEN CAST(substr(clip_id, 6, 8) AS INTEGER)
+                               % 7 = 0
+                          THEN substr(codec, 1, length(codec) - 1)
+                          ELSE codec END AS v
+              FROM read_parquet('{_FIX}/audio_meta_512_base.parquet')
+            ), oov AS (
+              SELECT v AS value, CAST(count(*) AS BIGINT) AS n_rows
+              FROM sim WHERE v IS NOT NULL GROUP BY v
+              HAVING v NOT IN ('pcm_s16le', 'ulaw', 'alaw')
+            ), dom(candidate) AS (
+              VALUES ('pcm_s16le'), ('ulaw'), ('alaw')
+            ), best AS (
+              SELECT value, candidate,
+                     CAST(levenshtein(value, candidate) AS INTEGER) AS d,
+                     row_number() OVER (
+                       PARTITION BY value
+                       ORDER BY levenshtein(value, candidate), candidate
+                     ) AS rn
+              FROM oov CROSS JOIN dom
+              WHERE levenshtein(value, candidate) <= 1
+            )
+            SELECT o.value, o.n_rows, b.candidate AS suggestion,
+                   b.d AS distance
+            FROM oov o LEFT JOIN best b ON b.value = o.value AND b.rn = 1
+            ORDER BY o.n_rows DESC, o.value
         """,
         "audio_chunk_gaps": _seq_gaps_sql(
             f"""(
