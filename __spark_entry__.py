@@ -2377,6 +2377,23 @@ def q_audio_fuzzy_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_fuzzy_domain(clips, "codec", ["pcm_s16le", "ulaw", "alaw"])
 
 
+def q_distinct_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup (round 5,
+    rules/distinct_rollup.py): per-type daily distinct users as HLL
+    sketches, the per-type total estimated from the sketch UNION —
+    never from raw rows (the scan-once/rollup-up pattern a 100 TB
+    monitoring table needs). At fixture cardinalities (≤150 distinct)
+    the DataSketches HLL stays in exact sparse mode, so the estimates
+    EQUAL exact counts and the DuckDB twin is a FULL exact
+    count(DISTINCT) recomputation (verified worst rel-err 0.0; the
+    union-merge ≡ direct-sketch invariant is pinned in
+    tests/test_distinct_rollup.py)."""
+    from open_data_linter_spark.rules.distinct_rollup import distinct_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return distinct_rollup(ev, "user_id", "ts", ["event_type"])
+
+
 def q_audio_chunk_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Axis-B grouped sequence continuity (round 5, rules/sequence.py):
     chunk indices within each clip are dense by construction
@@ -2535,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_patterns_events": q_null_patterns_events,
         "trend_drift_events": q_trend_drift_events,
         "audio_fuzzy_codec": q_audio_fuzzy_codec,
+        "distinct_rollup_events": q_distinct_rollup_events,
         "audio_chunk_gaps": q_audio_chunk_gaps,
         "audio_pattern_masks": q_audio_pattern_masks,
     }
@@ -5939,6 +5957,29 @@ def oracle_sql() -> dict[str, str]:
                    b.d AS distance
             FROM oov o LEFT JOIN best b ON b.value = o.value AND b.rn = 1
             ORDER BY o.n_rows DESC, o.value
+        """,
+        "distinct_rollup_events": """
+            -- FULL exact twin: at fixture cardinality the HLL sketch
+            -- is in exact sparse mode (measured worst rel-err 0.0), so
+            -- count(DISTINCT) IS the expected output; the sketch
+            -- union-merge invariant is separately pinned in tests.
+            WITH nn AS (
+              SELECT event_type, ts, user_id FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ), per AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS bucket,
+                     CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS est_distinct
+              FROM nn GROUP BY 1, 2
+            ), roll AS (
+              SELECT event_type, CAST(NULL AS DATE) AS bucket,
+                     CAST(count(DISTINCT user_id) AS BIGINT)
+              FROM nn GROUP BY 1
+            )
+            SELECT * FROM (SELECT * FROM per UNION ALL
+                           SELECT * FROM roll)
+            ORDER BY event_type, bucket NULLS FIRST
         """,
         "audio_chunk_gaps": _seq_gaps_sql(
             f"""(

@@ -99,6 +99,7 @@ HEADLINE = [
     "fuzzy_link_parts",      # round 5: PassJoin edit-distance linkage
     "null_patterns_events",  # round 5: missingness-combination profile
     "trend_drift_events",    # round 5: closed-form OLS drift screen
+    "distinct_rollup_events",  # round 5: mergeable HLL sketch rollup
 ]
 
 
