@@ -2394,6 +2394,51 @@ def q_distinct_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_rollup(ev, "user_id", "ts", ["event_type"])
 
 
+_SEG_EDGES = list(range(-1000, 16000, 1000))
+
+
+def q_segment_drift_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment drift (round 5): the distributed KS/chi² scorer
+    (rules/drift.py::windowed_drift_scores) keyed by an arbitrary
+    SEGMENT instead of time — which nation's acctbal distribution
+    deviates from the global mix. Nation 7 is planted +5000 (a
+    mis-scaled currency feed): KS gap ≈ 0.45 vs crit ≈ 0.21, decisive;
+    the other 24 nations replay whatever sampling noise says, exactly.
+    Same one-scan checkpointed histogram shape as
+    windowed_drift_events. FULL exact DuckDB twin via the shared
+    templated scorer SQL."""
+    from open_data_linter_spark.rules.drift import _bin_expr, windowed_drift_scores
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal",
+        F.col("c_acctbal")
+        + F.when(F.col("c_nationkey") == 7, F.lit(5000.0)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    binned = cust.select(
+        F.col("c_nationkey").alias("seg"),
+        _bin_expr("bal", _SEG_EDGES).alias("bin"),
+    )
+    win_hist = (
+        binned.groupBy("seg", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    baseline = win_hist.groupBy("bin").agg(F.sum("cnt").alias("count"))
+    s = windowed_drift_scores(win_hist, baseline, alpha=0.01, win_cols=("seg",))
+    return s.select(
+        "seg",
+        "n",
+        F.round("ks_stat", 6).alias("ks_stat"),
+        F.round("ks_crit", 6).alias("ks_crit"),
+        "ks_drifted",
+        F.round("chi2_stat", 6).alias("chi2_stat"),
+        F.round("chi2_crit", 6).alias("chi2_crit"),
+        "chi2_drifted",
+    ).orderBy("seg")
+
+
 def q_audio_chunk_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Axis-B grouped sequence continuity (round 5, rules/sequence.py):
     chunk indices within each clip are dense by construction
@@ -2553,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_drift_events": q_trend_drift_events,
         "audio_fuzzy_codec": q_audio_fuzzy_codec,
         "distinct_rollup_events": q_distinct_rollup_events,
+        "segment_drift_customer": q_segment_drift_customer,
         "audio_chunk_gaps": q_audio_chunk_gaps,
         "audio_pattern_masks": q_audio_pattern_masks,
     }
@@ -2723,6 +2769,72 @@ def _corr_sql(src_sql: str, cols: list[str], threshold: float) -> str:
         + " UNION ALL ".join(rows)
         + " ORDER BY col_x, col_y"
     )
+
+
+def _bin_case_sql(col: str, edges: list[int]) -> str:
+    """SQL twin of rules/drift._bin_expr: descending >= CASE, ELSE 0."""
+    whens = " ".join(
+        f"WHEN {col} >= {edges[i]} THEN {i + 1}"
+        for i in range(len(edges) - 1, -1, -1)
+    )
+    return f"CAST(CASE {whens} ELSE 0 END AS DOUBLE)"
+
+
+def _drift_scores_sql(ev_sql: str, key: str) -> str:
+    """Templated FULL twin of windowed_drift_scores at alpha=0.01 over
+    ``ev_sql`` rows of (``key``, bin) — the same formulation as the
+    windowed_drift_events literal with the window key generalized."""
+    return f"""
+        WITH ev AS ({ev_sql}
+        ), o AS (
+          SELECT {key}, bin, CAST(COUNT(*) AS DOUBLE) AS o
+          FROM ev GROUP BY {key}, bin
+        ), e AS (
+          SELECT bin, CAST(COUNT(*) AS DOUBLE) AS e FROM ev GROUP BY bin
+        ), grid AS (
+          SELECT d.{key}, b.bin FROM (SELECT DISTINCT {key} FROM ev) d
+          CROSS JOIN (SELECT DISTINCT bin FROM ev) b
+        ), cells AS (
+          SELECT g.{key}, g.bin, COALESCE(o.o, 0) AS o,
+                 COALESCE(e.e, 0) AS e
+          FROM grid g LEFT JOIN o ON o.{key} = g.{key} AND o.bin = g.bin
+          LEFT JOIN e ON e.bin = g.bin
+        ), cum AS (
+          SELECT {key}, o, e,
+                 SUM(o) OVER (PARTITION BY {key}) AS n,
+                 SUM(e) OVER (PARTITION BY {key}) AS m,
+                 SUM(o) OVER (PARTITION BY {key} ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS co,
+                 SUM(e) OVER (PARTITION BY {key} ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce
+          FROM cells
+        ), terms AS (
+          SELECT {key}, n, m, ABS(co / n - ce / m) AS gap,
+                 CASE WHEN e * n / m > 0
+                      THEN (o - e * n / m) * (o - e * n / m) / (e * n / m)
+                      WHEN o > 0 THEN CAST('infinity' AS DOUBLE)
+                      ELSE 0 END AS chi2_term,
+                 CASE WHEN e > 0 THEN 1 ELSE 0 END AS pos
+          FROM cum
+        ), aggs AS (
+          SELECT {key}, MAX(gap) AS ks_stat, ANY_VALUE(n) AS n,
+                 ANY_VALUE(m) AS m, SUM(chi2_term) AS chi2_raw,
+                 CAST(GREATEST(1, SUM(pos) - 1) AS DOUBLE) AS k
+          FROM terms GROUP BY {key}
+        )
+        SELECT {key}, CAST(n AS BIGINT) AS n,
+               ROUND(ks_stat, 6) AS ks_stat,
+               ROUND(SQRT(-0.5 * LN(0.005)) * SQRT((n + m) / (n * m)), 6)
+                 AS ks_crit,
+               ks_stat > SQRT(-0.5 * LN(0.005)) * SQRT((n + m) / (n * m))
+                 AS ks_drifted,
+               ROUND(chi2_raw, 6) AS chi2_stat,
+               ROUND(k * POWER(1 - 2/(9*k) + 2.3263 * SQRT(2/(9*k)), 3), 6)
+                 AS chi2_crit,
+               chi2_raw > k * POWER(1 - 2/(9*k) + 2.3263 * SQRT(2/(9*k)), 3)
+                 AS chi2_drifted
+        FROM aggs ORDER BY {key}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5981,6 +6093,16 @@ def oracle_sql() -> dict[str, str]:
                            SELECT * FROM roll)
             ORDER BY event_type, bucket NULLS FIRST
         """,
+        "segment_drift_customer": _drift_scores_sql(
+            f"""SELECT c_nationkey AS seg,
+                       {_bin_case_sql(
+                           "(c_acctbal + CASE WHEN c_nationkey = 7 "
+                           "THEN 5000.0 ELSE 0.0 END)",
+                           _SEG_EDGES,
+                       )} AS bin
+                FROM customer""",
+            "seg",
+        ),
         "audio_chunk_gaps": _seq_gaps_sql(
             f"""(
               WITH twin AS (

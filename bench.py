@@ -100,6 +100,7 @@ HEADLINE = [
     "null_patterns_events",  # round 5: missingness-combination profile
     "trend_drift_events",    # round 5: closed-form OLS drift screen
     "distinct_rollup_events",  # round 5: mergeable HLL sketch rollup
+    "segment_drift_customer",  # round 5: KS/chi2 scorer by segment key
 ]
 
 
