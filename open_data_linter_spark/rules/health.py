@@ -31,6 +31,17 @@ Spec keys (all optional):
     freshness  {"ts_col", "group_cols", "max_lag_s", "as_of"?}
     volume     {"ts_col", "grain"?, "z_threshold"?}
     benford    {col: chi2_critical, ...}        — default χ²₈ @ α=0.001
+    correlation   {"cols": [...], "threshold"?}  — |r|≥threshold pairs
+                                                   fail (derived/redundant)
+    null_patterns {"cols": [...], "max_frac"?}   — missingness combos;
+                                                   non-complete pattern
+                                                   above max_frac fails
+    trend      {"ts_col", "group_cols"?, "value_col"?, "bucket"?,
+                "t_crit"?}                       — OLS drift screen
+    cusum      {"ts_col", "group_cols"?, "value_col"?, "bucket"?,
+                "k"?, "h"?}                      — level-shift alarms
+    intervals  {"key_cols", "start_col", "end_col", "report_gaps"?}
+                                                 — SCD2 range violations
 """
 
 from __future__ import annotations
@@ -211,6 +222,163 @@ def table_health_report(
                 F.lit(f"critical={crit}").alias("detail"),
             )
         )
+
+    if "correlation" in spec:
+        from open_data_linter_spark.rules.correlation import correlation_matrix
+
+        cs = spec["correlation"]
+        cols = list(cs["cols"])
+        if _touches_broken(cols):
+            parts.append(_skip("correlation", ",".join(cols)))
+        else:
+            out = correlation_matrix(df, cols, cs.get("threshold", 0.95))
+            parts.append(
+                out.select(
+                    F.lit("correlation").alias("family"),
+                    F.concat_ws("~", "col_x", "col_y").alias("subject"),
+                    F.lit("corr").alias("metric"),
+                    F.round("corr", 6).alias("value"),
+                    (~F.col("high_corr")).alias("ok"),
+                    F.concat(
+                        F.lit("n_pairs="), F.col("n_pairs").cast("string")
+                    ).alias("detail"),
+                )
+            )
+
+    if "null_patterns" in spec:
+        from open_data_linter_spark.rules.nullpattern import null_patterns
+
+        ns = spec["null_patterns"]
+        cols = list(ns["cols"])
+        if _touches_broken(cols):
+            parts.append(_skip("null_patterns", ",".join(cols)))
+        else:
+            out = null_patterns(df, cols)
+            max_frac = float(ns.get("max_frac", 1.0))
+            parts.append(
+                out.select(
+                    F.lit("null_patterns").alias("family"),
+                    F.coalesce(
+                        F.nullif(F.col("pattern"), F.lit("")),
+                        F.lit("<complete>"),
+                    ).alias("subject"),
+                    F.lit("frac").alias("metric"),
+                    F.col("frac").alias("value"),
+                    (
+                        (F.col("pattern") == "")
+                        | (F.col("frac") <= F.lit(max_frac))
+                    ).alias("ok"),
+                    F.concat(
+                        F.lit("n_rows="), F.col("n_rows").cast("string")
+                    ).alias("detail"),
+                )
+            )
+
+    if "trend" in spec:
+        from open_data_linter_spark.rules.trend import group_trends
+
+        tr = spec["trend"]
+        groups = list(tr.get("group_cols", []))
+        touched = [tr["ts_col"], *groups] + (
+            [tr["value_col"]] if tr.get("value_col") else []
+        )
+        if _touches_broken(touched):
+            parts.append(_skip("trend", tr["ts_col"]))
+        else:
+            out = group_trends(
+                df,
+                tr["ts_col"],
+                groups,
+                bucket=tr.get("bucket", "day"),
+                value_col=tr.get("value_col"),
+                t_crit=tr.get("t_crit", 4.0),
+            )
+            parts.append(
+                out.select(
+                    F.lit("trend").alias("family"),
+                    F.concat_ws(
+                        "/", *[F.col(g).cast("string") for g in groups]
+                    ).alias("subject"),
+                    F.lit("t_stat").alias("metric"),
+                    F.round("t_stat", 6).alias("value"),
+                    (~F.col("trending")).alias("ok"),
+                    F.concat(
+                        F.lit("slope_per_day="),
+                        F.round("slope_per_day", 6).cast("string"),
+                    ).alias("detail"),
+                )
+            )
+
+    if "cusum" in spec:
+        from open_data_linter_spark.rules.changepoint import cusum_shifts
+
+        cu = spec["cusum"]
+        groups = list(cu.get("group_cols", []))
+        touched = [cu["ts_col"], *groups] + (
+            [cu["value_col"]] if cu.get("value_col") else []
+        )
+        if _touches_broken(touched):
+            parts.append(_skip("cusum", cu["ts_col"]))
+        else:
+            out = cusum_shifts(
+                df,
+                cu["ts_col"],
+                groups,
+                bucket=cu.get("bucket", "day"),
+                value_col=cu.get("value_col"),
+                k=cu.get("k", 0.5),
+                h=cu.get("h", 5.0),
+            )
+            parts.append(
+                out.select(
+                    F.lit("cusum").alias("family"),
+                    F.concat_ws(
+                        "/",
+                        *[F.col(g).cast("string") for g in groups],
+                        F.col("bucket").cast("string"),
+                    ).alias("subject"),
+                    F.lit("s").alias("metric"),
+                    F.round(
+                        F.greatest("s_pos", "s_neg"), 6
+                    ).alias("value"),
+                    F.lit(False).alias("ok"),  # emitted rows ARE alarms
+                    F.concat(F.lit("direction="), F.col("direction")).alias(
+                        "detail"
+                    ),
+                )
+            )
+
+    if "intervals" in spec:
+        from open_data_linter_spark.rules.intervals import (
+            check_interval_integrity,
+        )
+
+        iv = spec["intervals"]
+        keys = list(iv["key_cols"])
+        if _touches_broken([*keys, iv["start_col"], iv["end_col"]]):
+            parts.append(_skip("intervals", ",".join(keys)))
+        else:
+            out = check_interval_integrity(
+                df,
+                keys,
+                iv["start_col"],
+                iv["end_col"],
+                report_gaps=iv.get("report_gaps", True),
+            )
+            parts.append(
+                out.select(
+                    F.lit("intervals").alias("family"),
+                    F.concat_ws(
+                        "/", *[F.col(k).cast("string") for k in keys]
+                    ).alias("subject"),
+                    F.col("kind").alias("metric"),
+                    F.lit(None).cast("double").alias("value"),
+                    F.lit(False).alias("ok"),  # emitted rows ARE violations
+                    F.concat(
+                        F.lit("start="), F.col("start").cast("string")
+                    ).alias("detail"),
+                )
+            )
 
     if not parts:
         raise ValueError("spec enabled no checks")

@@ -82,3 +82,54 @@ def test_health_schema_gate_skips_broken_columns(spark):
 def test_health_empty_spec_raises(spark):
     with pytest.raises(ValueError):
         table_health_report(_events(spark), {})
+
+
+def test_health_round5_families(spark):
+    """The round-5 analysis families compose into the same long form:
+    correlation (a planted derived column fails), null patterns (a
+    planted joint-missing pattern fails its max_frac), trend (value
+    drifts upward by construction: value=i within growing days),
+    cusum and intervals ride along."""
+    df = (
+        _events(spark)
+        .withColumn("value2", F.col("value") * 2 + 1)
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") % 17 != 0, F.col("value")),
+        )
+        .withColumn(
+            "props",
+            F.when(F.col("event_id") % 17 != 0, F.lit("p")),
+        )
+        .withColumn("end_ts", F.expr("ts + INTERVAL 10 MINUTES"))
+    )
+    spec = {
+        "correlation": {"cols": ["value", "value2"], "threshold": 0.95},
+        "null_patterns": {"cols": ["value", "props"], "max_frac": 0.01},
+        "trend": {"ts_col": "ts", "group_cols": ["event_type"],
+                  "value_col": "value"},
+        "cusum": {"ts_col": "ts", "group_cols": ["event_type"],
+                  "value_col": "value", "h": 50.0},
+        "intervals": {"key_cols": ["event_type"], "start_col": "ts",
+                      "end_col": "end_ts"},
+    }
+    rep = table_health_report(df, spec).collect()
+    fams = {r.family for r in rep}
+    assert {"correlation", "null_patterns", "trend", "intervals"} <= fams
+    corr = next(r for r in rep if r.family == "correlation")
+    assert corr.subject == "value~value2" and corr.ok is False
+    pats = {r.subject: r for r in rep if r.family == "null_patterns"}
+    assert pats["<complete>"].ok is True
+    assert pats["value,props"].ok is False  # joint pattern over max_frac
+    assert all(
+        r.ok is False for r in rep if r.family in ("cusum", "intervals")
+    )
+    # overlapping 10-min intervals within each type exist by construction
+    assert any(r.family == "intervals" and r.metric == "overlap" for r in rep)
+
+    # the gate skips the new families when their columns break
+    spec2 = {"schema": {"value": "string", "ts": "timestamp_ntz"}, **spec}
+    rep2 = table_health_report(df, spec2).collect()
+    skipped = {r.family for r in rep2 if r.metric == "skipped"}
+    assert {"correlation", "null_patterns", "trend", "cusum"} <= skipped
+    assert "intervals" not in skipped  # its columns are intact
