@@ -2439,6 +2439,25 @@ def q_segment_drift_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("seg")
 
 
+def q_group_null_rates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment null-rate anomalies (round 5, rules/group_nulls.py):
+    props nulled ~2% everywhere (the fleet baseline) plus ~50% for
+    every 10th user (the broken partner feed) — the global null rate
+    barely moves, the per-user robust z isolates the planted users.
+    Signed modified-z against the across-group median/MAD (rate.py
+    convention). FULL exact DuckDB twin (both engines' median
+    interpolates the even-n middle pair identically)."""
+    from open_data_linter_spark.rules.group_nulls import group_null_anomalies
+
+    broken = (F.col("event_id") % 50 == 0) | (
+        (F.col("user_id") % 10 == 0) & (F.col("event_id") % 2 == 0)
+    )
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "props", F.when(~broken, F.col("props"))
+    )
+    return group_null_anomalies(ev, "props", ["user_id"])
+
+
 def q_audio_chunk_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Axis-B grouped sequence continuity (round 5, rules/sequence.py):
     chunk indices within each clip are dense by construction
@@ -2599,6 +2618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fuzzy_codec": q_audio_fuzzy_codec,
         "distinct_rollup_events": q_distinct_rollup_events,
         "segment_drift_customer": q_segment_drift_customer,
+        "group_null_rates_events": q_group_null_rates_events,
         "audio_chunk_gaps": q_audio_chunk_gaps,
         "audio_pattern_masks": q_audio_pattern_masks,
     }
@@ -6103,6 +6123,41 @@ def oracle_sql() -> dict[str, str]:
                 FROM customer""",
             "seg",
         ),
+        "group_null_rates_events": """
+            -- FULL exact twin: same rounded rate, same median/MAD
+            -- windows (both engines interpolate the even-n middle
+            -- pair), flag computed from the ROUNDED z like the engine.
+            WITH sim AS (
+              SELECT user_id,
+                     CASE WHEN event_id % 50 = 0
+                            OR (user_id % 10 = 0 AND event_id % 2 = 0)
+                          THEN NULL ELSE props END AS props
+              FROM events
+            ), rates AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_nulls
+              FROM sim GROUP BY user_id
+            ), r2 AS (
+              SELECT *, round(CAST(n_nulls AS DOUBLE) / n_rows, 6)
+                          AS null_rate
+              FROM rates
+            ), m AS (
+              SELECT *, median(null_rate) OVER () AS med FROM r2
+            ), m2 AS (
+              SELECT *, median(abs(null_rate - med)) OVER () AS mad
+              FROM m
+            ), zz AS (
+              SELECT user_id, n_rows, n_nulls, null_rate,
+                     round(0.6745 * (null_rate - med) / NULLIF(mad, 0), 6)
+                       AS z
+              FROM m2
+            )
+            SELECT user_id, n_rows, n_nulls, null_rate, z,
+                   (null_rate > 1.0)
+                   OR coalesce(abs(z) > 3.5, FALSE) AS flagged
+            FROM zz ORDER BY user_id
+        """,
         "audio_chunk_gaps": _seq_gaps_sql(
             f"""(
               WITH twin AS (

@@ -101,6 +101,7 @@ HEADLINE = [
     "trend_drift_events",    # round 5: closed-form OLS drift screen
     "distinct_rollup_events",  # round 5: mergeable HLL sketch rollup
     "segment_drift_customer",  # round 5: KS/chi2 scorer by segment key
+    "group_null_rates_events",  # round 5: per-segment null-rate robust z
 ]
 
 
