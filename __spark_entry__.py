@@ -2458,6 +2458,39 @@ def q_group_null_rates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_null_anomalies(ev, "props", ["user_id"])
 
 
+def q_pair_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Mahalanobis outliers (round 5, rules/mahalanobis.py):
+    a corrupted discount (+0.4 on every 997th line) leaves quantity and
+    price individually ordinary but the (price, discounted-price) PAIR
+    inconsistent — the per-column z screens are structurally blind to
+    it, the joint distance flags it at d² far past the χ²₂ cut. Stats
+    pass + broadcast single-row cross join, zero row shuffles
+    (plan-asserted in tests). FULL exact DuckDB twin (same closed-form
+    2×2 inverse; flag compared on the ROUNDED d² like the engine)."""
+    from open_data_linter_spark.rules.mahalanobis import bivariate_outliers
+
+    bad = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 997 == 0
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("price"),
+        (
+            F.col("l_extendedprice")
+            * (
+                1
+                - (
+                    F.col("l_discount")
+                    + F.when(bad, F.lit(0.4)).otherwise(F.lit(0.0))
+                )
+            )
+        ).alias("disc_price"),
+    )
+    out = bivariate_outliers(li, "price", "disc_price")
+    return out.orderBy(
+        F.col("d2").desc(), "l_orderkey", "l_linenumber"
+    )
+
+
 def q_audio_chunk_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Axis-B grouped sequence continuity (round 5, rules/sequence.py):
     chunk indices within each clip are dense by construction
@@ -2619,6 +2652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_rollup_events": q_distinct_rollup_events,
         "segment_drift_customer": q_segment_drift_customer,
         "group_null_rates_events": q_group_null_rates_events,
+        "pair_outliers_lineitem": q_pair_outliers_lineitem,
         "audio_chunk_gaps": q_audio_chunk_gaps,
         "audio_pattern_masks": q_audio_pattern_masks,
     }
@@ -6157,6 +6191,33 @@ def oracle_sql() -> dict[str, str]:
                    (null_rate > 1.0)
                    OR coalesce(abs(z) > 3.5, FALSE) AS flagged
             FROM zz ORDER BY user_id
+        """,
+        "pair_outliers_lineitem": """
+            -- FULL exact twin: same pairwise-complete co-moments, same
+            -- closed-form 2x2 inverse, flag compared on the ROUNDED d2
+            -- exactly as the engine does.
+            WITH sim AS (
+              SELECT l_orderkey, l_linenumber,
+                     l_extendedprice AS price,
+                     l_extendedprice * (1 - (l_discount +
+                       CASE WHEN (l_orderkey * 7 + l_linenumber) % 997 = 0
+                            THEN 0.4 ELSE 0.0 END)) AS disc_price
+              FROM lineitem
+            ), st AS (
+              SELECT avg(price) AS mx, avg(disc_price) AS my,
+                     var_samp(price) AS vx, var_samp(disc_price) AS vy,
+                     covar_samp(price, disc_price) AS c
+              FROM sim
+            ), scored AS (
+              SELECT s.l_orderkey, s.l_linenumber, s.price, s.disc_price,
+                     round(((s.price - mx) * (s.price - mx) * vy
+                            - 2 * (s.price - mx) * (s.disc_price - my) * c
+                            + (s.disc_price - my) * (s.disc_price - my) * vx)
+                           / NULLIF(vx * vy - c * c, 0), 6) AS d2
+              FROM sim s CROSS JOIN st
+            )
+            SELECT * FROM scored WHERE d2 > 13.816
+            ORDER BY d2 DESC, l_orderkey, l_linenumber
         """,
         "audio_chunk_gaps": _seq_gaps_sql(
             f"""(

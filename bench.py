@@ -102,6 +102,7 @@ HEADLINE = [
     "distinct_rollup_events",  # round 5: mergeable HLL sketch rollup
     "segment_drift_customer",  # round 5: KS/chi2 scorer by segment key
     "group_null_rates_events",  # round 5: per-segment null-rate robust z
+    "pair_outliers_lineitem",  # round 5: broadcast Mahalanobis pairs
 ]
 
 
