@@ -2315,14 +2315,22 @@ def q_null_patterns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines)."""
     from open_data_linter_spark.rules.nullpattern import null_patterns
 
+    # mask shape mirrors the SQL twin's CASE WHEN cond THEN NULL ELSE x
+    # exactly (a NULL predicate keeps the value in both engines)
     enrich_fail = (F.col("event_type") == "error") & (F.col("event_id") % 3 == 0)
     ev = (
         _t(spark, sf_dir, "events")
-        .withColumn("value", F.when(~enrich_fail, F.col("value")))
-        .withColumn("props", F.when(~enrich_fail, F.col("props")))
+        .withColumn(
+            "value", F.when(enrich_fail, F.lit(None)).otherwise(F.col("value"))
+        )
+        .withColumn(
+            "props", F.when(enrich_fail, F.lit(None)).otherwise(F.col("props"))
+        )
         .withColumn(
             "user_id",
-            F.when(F.col("event_id") % 1000 != 1, F.col("user_id")),
+            F.when(F.col("event_id") % 1000 == 1, F.lit(None)).otherwise(
+                F.col("user_id")
+            ),
         )
     )
     return null_patterns(ev, ["user_id", "value", "props"])
@@ -2452,8 +2460,10 @@ def q_group_null_rates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken = (F.col("event_id") % 50 == 0) | (
         (F.col("user_id") % 10 == 0) & (F.col("event_id") % 2 == 0)
     )
+    # CASE-shaped mask: a NULL predicate keeps the value, exactly like
+    # the twin's CASE WHEN ... THEN NULL ELSE props END
     ev = _t(spark, sf_dir, "events").withColumn(
-        "props", F.when(~broken, F.col("props"))
+        "props", F.when(broken, F.lit(None)).otherwise(F.col("props"))
     )
     return group_null_anomalies(ev, "props", ["user_id"])
 

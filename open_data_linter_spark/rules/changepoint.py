@@ -35,7 +35,7 @@ everything after the first aggregate is O(buckets).
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_BUCKETS = {"day": "dd", "hour": "hh", "week": "ww", "month": "mm"}
+_BUCKETS = frozenset({"day", "hour", "week", "month"})
 
 
 def cusum_shifts(

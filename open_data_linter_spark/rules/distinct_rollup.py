@@ -53,12 +53,17 @@ def distinct_rollup(
         raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}")
     group_cols = list(group_cols or [])
 
-    b = F.date_trunc(bucket, F.col(ts_col)).cast("date")
+    # sub-day buckets must stay timestamps — casting hour-truncated
+    # values to date would silently collapse a day's 24 buckets into one
+    b = F.date_trunc(bucket, F.col(ts_col))
+    if bucket != "hour":
+        b = b.cast("date")
     sketches = (
         df.where(F.col(ts_col).isNotNull() & F.col(col).isNotNull())
         .groupBy(*group_cols, b.alias("bucket"))
         .agg(F.hll_sketch_agg(col, F.lit(lg_k)).alias("__sk"))
     )
+    bucket_type = sketches.schema["bucket"].dataType
     per_bucket = sketches.select(
         *group_cols,
         "bucket",
@@ -71,7 +76,7 @@ def distinct_rollup(
                 "est_distinct"
             )
         )
-        .withColumn("bucket", F.lit(None).cast("date"))
+        .withColumn("bucket", F.lit(None).cast(bucket_type))
         .select(*group_cols, "bucket", "est_distinct")
     )
     return per_bucket.unionByName(rollup).orderBy(*group_cols, "bucket")

@@ -53,10 +53,15 @@ def main(argv=None) -> int:
     t0 = time.time()
     df = spark.read.parquet(args.table)
     rep = table_health_report(df, spec, gate=not args.no_gate)
+    # collect once, write the collected rows back — re-running the
+    # unioned multi-family plan for the sink would pay every
+    # full-table aggregation twice
     rows = rep.collect()
 
     out_findings = os.path.join(args.out, "findings")
-    rep.write.mode("overwrite").parquet(out_findings)
+    spark.createDataFrame(rows, rep.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out_findings)
 
     n_failed = sum(1 for r in rows if r.ok is False)
     n_skipped = sum(1 for r in rows if r.metric == "skipped")

@@ -81,6 +81,22 @@ def test_plan_one_input_exchange_partial_sketch(spark, tmp_path):
     assert plan.count("Scan parquet") <= 2, plan  # per-bucket + rollup branches
 
 
+def test_hour_buckets_do_not_collapse(spark):
+    """Regression (round-5 review): hour-truncated buckets must stay
+    timestamps — a date cast silently merged a day's 24 buckets."""
+    rows = [
+        ("a", datetime(2024, 1, 1, h, m), h * 100 + m)
+        for h in range(6)
+        for m in range(30)
+    ]
+    out = distinct_rollup(_mk(spark, rows), "u", "t", ["g"], bucket="hour")
+    daily = out.where(out.bucket.isNotNull()).collect()
+    assert len(daily) == 6  # six distinct hours, not one collapsed day
+    assert all(r["est_distinct"] == 30 for r in daily)
+    roll = out.where(out.bucket.isNull()).collect()
+    assert roll[0]["est_distinct"] == 180
+
+
 def test_validation(spark):
     df = _mk(spark, [("a", datetime(2024, 1, 1), 1)])
     with pytest.raises(ValueError, match="bucket"):
