@@ -2501,6 +2501,37 @@ def q_pair_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_null_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axis-B null-pattern mining (round 5, rules/nullpattern.py):
+    a failed metadata probe nulls (transcript, dur_ms) TOGETHER on
+    every 11th clip, a transcription backlog nulls transcript alone on
+    every 31st — two structures the per-column null rates blur into
+    one number. CASE-shaped masks so a NULL predicate keeps the value
+    in both engines. FULL exact DuckDB twin over the committed
+    metadata twin."""
+    _ensure_pkg(spark)
+    from open_data_linter_spark.audio.synth import synthesize_clips
+    from open_data_linter_spark.rules.nullpattern import null_patterns
+
+    idx = F.substring("clip_id", 6, 8).cast("int")
+    probe_fail = idx % 11 == 0
+    backlog = idx % 31 == 0
+    clips = (
+        synthesize_clips(spark, 512, 8)
+        .withColumn(
+            "transcript",
+            F.when(probe_fail | backlog, F.lit(None)).otherwise(
+                F.col("transcript")
+            ),
+        )
+        .withColumn(
+            "dur_ms",
+            F.when(probe_fail, F.lit(None)).otherwise(F.col("dur_ms")),
+        )
+    )
+    return null_patterns(clips, ["transcript", "dur_ms", "sr_hz"])
+
+
 def q_audio_chunk_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Axis-B grouped sequence continuity (round 5, rules/sequence.py):
     chunk indices within each clip are dense by construction
@@ -2663,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_drift_customer": q_segment_drift_customer,
         "group_null_rates_events": q_group_null_rates_events,
         "pair_outliers_lineitem": q_pair_outliers_lineitem,
+        "audio_null_patterns": q_audio_null_patterns,
         "audio_chunk_gaps": q_audio_chunk_gaps,
         "audio_pattern_masks": q_audio_pattern_masks,
     }
@@ -6228,6 +6260,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM scored WHERE d2 > 13.816
             ORDER BY d2 DESC, l_orderkey, l_linenumber
+        """,
+        "audio_null_patterns": f"""
+            -- FULL exact twin over the committed clip metadata: same
+            -- CASE-shaped masks, same NULL-skipping concat_ws keys.
+            WITH sim AS (
+              SELECT CASE WHEN CAST(substr(clip_id, 6, 8) AS INTEGER)
+                               % 11 = 0
+                            OR CAST(substr(clip_id, 6, 8) AS INTEGER)
+                               % 31 = 0
+                          THEN NULL ELSE transcript END AS transcript,
+                     CASE WHEN CAST(substr(clip_id, 6, 8) AS INTEGER)
+                               % 11 = 0
+                          THEN NULL ELSE dur_ms END AS dur_ms,
+                     sr_hz
+              FROM read_parquet('{_FIX}/audio_meta_512_base.parquet')
+            ), pat AS (
+              SELECT concat_ws(',',
+                       CASE WHEN transcript IS NULL
+                            THEN 'transcript' END,
+                       CASE WHEN dur_ms IS NULL THEN 'dur_ms' END,
+                       CASE WHEN sr_hz IS NULL THEN 'sr_hz' END)
+                       AS pattern,
+                     CAST(CASE WHEN transcript IS NULL THEN 1 ELSE 0 END
+                        + CASE WHEN dur_ms IS NULL THEN 1 ELSE 0 END
+                        + CASE WHEN sr_hz IS NULL THEN 1 ELSE 0 END
+                        AS INTEGER) AS n_nulls
+              FROM sim
+            ), agg AS (
+              SELECT pattern, n_nulls, CAST(count(*) AS BIGINT) AS n_rows
+              FROM pat GROUP BY pattern, n_nulls
+            )
+            SELECT pattern, n_nulls, n_rows,
+                   round(CAST(n_rows AS DOUBLE)
+                         / sum(CAST(n_rows AS DOUBLE)) OVER (), 6) AS frac
+            FROM agg ORDER BY n_rows DESC, pattern
         """,
         "audio_chunk_gaps": _seq_gaps_sql(
             f"""(
