@@ -2282,8 +2282,22 @@ def q_fuzzy_link_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     levenshtein verify — no quadratic scan. The DuckDB twin is the
     INDEPENDENT brute-force cross product (length-banded), so a
     mismatch would catch blocking recall loss, not just replay drift:
-    the oracle doubles as a losslessness proof on real data."""
-    from open_data_linter_spark.functions.fuzzy_join import fuzzy_join
+    the oracle doubles as a losslessness proof on real data.
+
+    Round 6 (optimization): the join-back EXPANDS — the true result is
+    ~48M rows at sf1.0 (64 distinct names, each catalog name held by
+    ~3k parts) — so the former ``fuzzy_join(...).orderBy(...)`` paid a
+    full range Exchange + sort of the expanded rows (and generated them
+    on the ONE scan partition). Now the tiny pre-expansion dirty frame
+    is range-partitioned by ``dirty_key`` FIRST, the value pairs and the
+    catalog are attached with explicitly-broadcast joins (which preserve
+    the streamed side's partitioning), and a partition-local sort
+    completes the identical global (dirty_key, match_key) order — the
+    expanded rows are never exchanged (guide §2.4/§3.1; measured 100.5
+    -> ~8s compute at sf1.0). Output rows AND order are unchanged:
+    dirty_key is unique, so range-by-dirty_key + in-partition sort is
+    the same total order the orderBy produced."""
+    from open_data_linter_spark.functions.fuzzy_join import fuzzy_value_pairs
 
     part = _t(spark, sf_dir, "part")
     dirty = part.where(F.col("p_partkey") % 13 == 0).select(
@@ -2296,12 +2310,24 @@ def q_fuzzy_link_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("match_key"),
         F.col("p_name").alias("match_name"),
     )
+    pairs = fuzzy_value_pairs(
+        dirty.where(F.col("dirty_name").isNotNull())
+        .select(F.col("dirty_name").alias("__lv"))
+        .distinct(),
+        catalog.where(F.col("match_name").isNotNull())
+        .select(F.col("match_name").alias("__rv"))
+        .distinct(),
+        1,
+    )
+    par = spark.sparkContext.defaultParallelism
     return (
-        fuzzy_join(dirty, catalog, "dirty_name", "match_name", 1)
+        dirty.repartitionByRange(par, "dirty_key")
+        .join(F.broadcast(pairs), F.col("dirty_name") == F.col("__lv"))
+        .join(F.broadcast(catalog), F.col("match_name") == F.col("__rv"))
         .select(
             "dirty_key", "dirty_name", "match_key", "match_name", "distance"
         )
-        .orderBy("dirty_key", "match_key")
+        .sortWithinPartitions("dirty_key", "match_key")
     )
 
 

@@ -24,8 +24,13 @@ all-pairs twin (no pin).
 
 Scale: the expensive stages are (1) the token-df aggregation (one shuffle,
 map-side partials), (2) the per-doc rarity sort (one shuffle on id), (3) the
-prefix self-join (shuffle on rare tokens only — for t=0.8 the prefix is
-~20% of each doc), (4) verification joins on the candidate ids (tiny).
+prefix join over DISTINCT token sets (round 6: docs sharing a token set are
+grouped first — Jaccard is a set function, so candidate generation +
+verification run once per distinct set and member ids are expanded back at
+the end; verification happens INSIDE the candidate join's condition, after
+a length filter and the exact ppjoin positional filter (Xiao/Wang/Lin/Yu
+WWW'08), so raw candidates are never materialized or shuffled), (4) the
+final member expansion (narrow rows, generated in place).
 The reference (volare-all/open-data-linter) has no similarity ops at all;
 this extends the engine per the training-data-pipeline mandate, sharing the
 tokenization contract with ``functions/text.py``.
@@ -83,11 +88,25 @@ def apss_jaccard_pairs(
         .groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("tdf", "tok"))).alias("st"))
     )
+    # ---- round 6: identical-token-set grouping (guide §2.3 "shuffle keys
+    # and metadata instead of payloads", §1.2 "fix the algorithm first").
+    # Jaccard is a function of the token SET alone, and real corpora (and
+    # this one: 50k docs -> 33.9k distinct sets at sf1.0, one set shared
+    # by 2,512 docs) repeat sets heavily — so every stage from candidate
+    # generation to verification runs once per DISTINCT set, and doc-level
+    # pairs are restored by expanding group members at the very end.
+    # Grouping is by the full rarity-sorted (tdf, tok) array — exact, no
+    # hash-collision caveat (tdf is a global token function, so equal sets
+    # always build equal arrays).
+    sets = ordered.groupBy("st").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
     n = F.size("st")
     # prefix length |d| - ceil(t*|d|) + 1 (>= 1 for t <= 1)
     prefix_len = (n - F.ceil(F.lit(float(threshold)) * n) + 1).cast("int")
-    pref = ordered.select(
-        "id",
+    pref = sets.select(
+        F.element_at("ids", 1).alias("gid"),  # group id = min member id
+        "ids",
         n.alias("n_toks"),
         # hashed token set for verification — only array<long> is persisted
         # and shuffled past this point (same rationale as minhash.py)
@@ -96,39 +115,109 @@ def apss_jaccard_pairs(
             F.transform(F.col("st"), lambda x: x["tok"]), F.lit(1), prefix_len
         ).alias("prefix"),
     )
-    pref = persist_scoped("apss.pref", pref)  # index + both verify sides
-    index = pref.select("id", "n_toks", F.explode("prefix").alias("tok"))
-    l, r = index.alias("l"), index.alias("r")
-    cand = (
-        l.join(
-            r,
-            on=[F.col("l.tok") == F.col("r.tok"), F.col("l.id") < F.col("r.id")],
-        )
-        # length filter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|)
-        .where(
-            F.least(F.col("l.n_toks"), F.col("r.n_toks"))
-            >= F.lit(float(threshold))
-            * F.greatest(F.col("l.n_toks"), F.col("r.n_toks"))
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    pref = persist_scoped("apss.pref", pref)  # index sides + expansion
+    # The index rows CARRY the hashed set, so verification happens INSIDE
+    # the candidate join's condition: a candidate enumerated by the prefix
+    # join is length-filtered and exact-verified before it is ever
+    # materialized — the former shape shuffled every raw candidate through
+    # a dropDuplicates and two verify joins (at sf1.0: ~360M raw candidate
+    # rows from the 31-token vocabulary's hot prefix keys). Duplicate
+    # candidates (pairs sharing several prefix tokens, <= prefix_len of
+    # them) are deduped AFTER the filter, when only true pairs remain.
+    index = pref.select(
+        "gid", "n_toks", "hs", F.posexplode("prefix").alias("pos", "tok")
     )
-    hs_a = pref.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
-    hs_b = pref.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
-    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
-    union = F.size(F.array_union("hs_a", "hs_b")).cast("double")
+    l, r = index.alias("l"), index.alias("r")
+    inter_g = F.size(F.array_intersect(F.col("l.hs"), F.col("r.hs"))).cast(
+        "double"
+    )
+    # |A∪B| = |A| + |B| − |A∩B| exactly (the hs arrays are distinct-token
+    # hash SETS; within-doc xxhash64 collisions are already excluded by
+    # the oracle-parity argument) — deriving it saves the second hash-set
+    # build per enumerated candidate that array_union would cost
+    union_g = (
+        F.col("l.n_toks") + F.col("r.n_toks") - inter_g
+    ).cast("double")
+    t_lit = F.lit(float(threshold))
+    # ppjoin positional filter (Xiao/Wang/Lin/Yu WWW'08, exact): for the
+    # pair's FIRST common token, sitting at prefix positions (i, j), the
+    # achievable overlap is at most 1 + min(|A|-i-1, |B|-j-1); a true
+    # match needs overlap >= t(|A|+|B|)/(1+t), so occurrences that cannot
+    # reach it are pruned BEFORE the array_intersect. Safe per occurrence:
+    # a qualifying pair always survives via its first-common-token
+    # occurrence (dedup below collapses the rest). The 1e-9 slack only
+    # ever WEAKENS pruning (float-boundary safety).
+    pos_bound = (
+        (
+            F.lit(1)
+            + F.least(
+                F.col("l.n_toks") - F.col("l.pos") - 1,
+                F.col("r.n_toks") - F.col("r.pos") - 1,
+            )
+        ).cast("double")
+        * (F.lit(1.0) + t_lit)
+        >= t_lit * (F.col("l.n_toks") + F.col("r.n_toks")) - F.lit(1e-9)
+    )
+    # The build side is the DISTINCT-SET prefix index (reps, not docs —
+    # 33.9k sets / ~100k rows / ~30MB with the hashed sets at sf1.0), so
+    # broadcasting it keeps the probe side on its balanced round-robin
+    # partitioning instead of hash-exchanging both sides on the prefix
+    # tokens — which in a small-vocabulary corpus are a handful of hot
+    # keys that would funnel the whole enumeration into a few tasks
+    # (guide §3.1). At a scale where the distinct-set index outgrows the
+    # broadcast limit, drop the hint: the equi-join + AQE skew split is
+    # the fallback shape.
+    cand = (
+        l.repartition(par)
+        .join(
+            F.broadcast(r),
+            on=[
+                F.col("l.tok") == F.col("r.tok"),
+                F.col("l.gid") < F.col("r.gid"),
+                # length filter: J >= t forces min >= t * max
+                F.least(F.col("l.n_toks"), F.col("r.n_toks"))
+                >= t_lit * F.greatest(F.col("l.n_toks"), F.col("r.n_toks")),
+                pos_bound,
+                # exact verification on the UNROUNDED ratio (the candidate
+                # stages guarantee retention only for true-J >= t; the
+                # oracle twin filters unrounded too; identical division to
+                # the former array_union-based expression because the
+                # derived union size is exact)
+                inter_g / union_g >= t_lit,
+            ],
+        )
+        .select(
+            F.col("l.gid").alias("ga"),
+            F.col("r.gid").alias("gb"),
+            F.round(inter_g / union_g, 6).alias("jaccard"),
+        )
+        .dropDuplicates(["ga", "gb"])
+    )
+    # identical-set pairs: J = 1.0 by construction (inter == union)
+    same = pref.where(F.size("ids") >= 2).select(
+        F.col("gid").alias("ga"),
+        F.col("gid").alias("gb"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    ia = pref.select(F.col("gid").alias("ga"), F.col("ids").alias("ids_a"))
+    ib = pref.select(F.col("gid").alias("gb"), F.col("ids").alias("ids_b"))
+    # expansion back to doc-level pairs: attach both member-id arrays to
+    # the (tiny) set-pair frame, spread, THEN explode — the wide exploded
+    # rows are generated in parallel and never exchanged
     return (
-        cand.join(hs_a, "id_a")
-        # pin the verify stage's width: candidate rows are tiny but the
-        # per-pair array_intersect/union over full hashed token sets is
-        # the expensive part — AQE would coalesce it to one task
-        .repartition(par, "id_b")
-        .join(hs_b, "id_b")
-        # filter on the UNROUNDED ratio: the candidate stages guarantee
-        # retention only for true-J >= t, so a rounded filter would admit
-        # pairs in [t - 5e-7, t) that prefix/length pruning may have
-        # dropped — the oracle twin filters unrounded too
-        .where(inter / union >= F.lit(float(threshold)))
-        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        cand.unionByName(same)
+        .join(ia, "ga")
+        .join(ib, "gb")
+        .repartition(par)
+        .select("ga", "gb", "jaccard", F.explode("ids_a").alias("__a"), "ids_b")
+        .select("ga", "gb", "jaccard", "__a", F.explode("ids_b").alias("__b"))
+        # same-set groups expand a < b once; cross-set pairs are unordered
+        # by construction (ga < gb), normalized to (min, max) below
+        .where((F.col("ga") != F.col("gb")) | (F.col("__a") < F.col("__b")))
+        .select(
+            F.least("__a", "__b").alias("id_a"),
+            F.greatest("__a", "__b").alias("id_b"),
+            "jaccard",
+        )
         .orderBy("id_a", "id_b")
     )

@@ -84,6 +84,53 @@ def _probes(col: str, d: int) -> Column:
     )
 
 
+def fuzzy_value_pairs(
+    lv: DataFrame,
+    rv: DataFrame,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Distinct-VALUE matches ``(__lv, __rv, distance)`` within
+    ``max_distance`` edits, via PassJoin segment blocking + early-exit
+    levenshtein verify.
+
+    ``lv`` / ``rv`` are single-column frames named ``__lv`` / ``__rv``;
+    callers pass DISTINCT, non-null values. Exposed so callers that know
+    their row-frame shapes (e.g. a tiny match table that fits in a
+    broadcast) can attach the value pairs themselves with an explicitly
+    partition-preserving join instead of ``fuzzy_join``'s generic
+    join-back."""
+    d = int(max_distance)
+    if not 1 <= d <= 3:
+        raise ValueError("max_distance must be in [1, 3]")
+
+    segs = (
+        rv.where(F.length("__rv") >= d + 1)
+        .select("__rv", F.explode(_segments("__rv", d)).alias("k"))
+        .select("__rv", "k.sub", "k.i", "k.L")
+    )
+    probes = (
+        lv.where(F.length("__lv") >= 1)
+        .select("__lv", F.explode(_probes("__lv", d)).alias("k"))
+        .select("__lv", "k.sub", "k.i", "k.L")
+    )
+    cand = probes.join(segs, ["sub", "i", "L"]).select("__lv", "__rv")
+
+    # short block: right strings too short to segment (len <= d) can
+    # only reach left strings of len <= 2d; both distinct sets are
+    # alphabet-bounded tiny
+    short = lv.where(F.length("__lv") <= 2 * d).crossJoin(
+        F.broadcast(rv.where(F.length("__rv") <= d))
+    )
+
+    lev = F.levenshtein("__lv", "__rv", d)  # early-exit: -1 past d
+    return (
+        cand.union(short)
+        .distinct()
+        .withColumn("distance", lev)
+        .where(F.col("distance") >= 0)
+    )
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -108,33 +155,16 @@ def fuzzy_join(
         .select(F.col(right_col).alias("__rv"))
         .distinct()
     )
+    pairs = fuzzy_value_pairs(lv, rv, d)
 
-    segs = (
-        rv.where(F.length("__rv") >= d + 1)
-        .select("__rv", F.explode(_segments("__rv", d)).alias("k"))
-        .select("__rv", "k.sub", "k.i", "k.L")
-    )
-    probes = (
-        lv.where(F.length("__lv") >= 1)
-        .select("__lv", F.explode(_probes("__lv", d)).alias("k"))
-        .select("__lv", "k.sub", "k.i", "k.L")
-    )
-    cand = probes.join(segs, ["sub", "i", "L"]).select("__lv", "__rv")
-
-    # short block: right strings too short to segment (len <= d) can
-    # only reach left strings of len <= 2d; both distinct sets are
-    # alphabet-bounded tiny
-    short = lv.where(F.length("__lv") <= 2 * d).crossJoin(
-        F.broadcast(rv.where(F.length("__rv") <= d))
-    )
-
-    lev = F.levenshtein("__lv", "__rv", d)  # early-exit: -1 past d
-    pairs = (
-        cand.union(short)
-        .distinct()
-        .withColumn("distance", lev)
-        .where(F.col("distance") >= 0)
-    )
+    # The join-back EXPANDS: each matched value pair fans out to every
+    # (left row x right row) carrying those values, so the probe side must
+    # run at session parallelism — a single-file scan arrives as ONE
+    # partition and would serialize the whole expansion onto one core
+    # (guide §2/§6; the repo-wide single-partition-scan trap).
+    par = left.sparkSession.sparkContext.defaultParallelism
+    if left.rdd.getNumPartitions() < par:
+        left = left.repartition(par)
 
     renames = {
         c: (c + suffix if c in left.columns else c) for c in right.columns
