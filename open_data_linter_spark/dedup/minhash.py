@@ -26,6 +26,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -85,16 +87,16 @@ def minhash_signature(shingle_col, n_perm: int = N_PERM_DEFAULT):
 def minhash_signature_from_hashes(hash_col, n_perm: int = N_PERM_DEFAULT):
     """Array of n_perm min-hashes from an already-hashed array<long>.
 
-    One ``F.aggregate`` pass folds the element stream into an
-    array<long> accumulator of running minima; per element the n_perm
-    permuted values come from the classic 2-universal affine family
-    ``(a_i * x + b_i) mod (2^31-1)`` over the low 31 bits of the shingle
-    hash (Broder 1997 minwise-permutation approximation). This replaces
-    the previous n_perm separate ``array_min(transform(.., xxhash64(h,
-    i)))`` columns: same statistical contract, but ~an order of magnitude
-    less hashing work per element AND a plan that is one aggregate over
-    two literal arrays instead of 64 HOF subtrees (wide plans cost real
-    py4j/codegen seconds — the round-4 simhash lesson).
+    Per element the n_perm permuted values come from the classic
+    2-universal affine family ``(a_i * x + b_i) mod (2^31-1)`` over the
+    low 31 bits of the shingle hash (Broder 1997 minwise-permutation
+    approximation); the per-doc minimum over the element stream is the
+    signature. Round 6: computed in ONE Arrow-vectorized numpy batch op
+    (bit-identical to the former Catalyst ``F.aggregate`` fold — HOF
+    lambdas evaluate on the interpreted expression path per element,
+    which made the fold the most expensive stage of the pipeline; the
+    round-4 n_perm-wide-plan caveat still applies to any per-permutation
+    column shape, which is why the vectorized UDF wins on both counts).
 
     History: the xxhash64 variant's per-permutation salt had to be closed
     over with a single-parameter lambda — PySpark decides by ARITY whether
@@ -112,29 +114,57 @@ def minhash_signature_from_hashes(hash_col, n_perm: int = N_PERM_DEFAULT):
     sets before signing.
     """
     a_c, b_c = _perm_consts(n_perm)
-    A = F.array(*[F.lit(v) for v in a_c])
-    B = F.array(*[F.lit(v) for v in b_c])
-    P = F.lit(_P31)
+    A = np.array(a_c, dtype=np.uint64)
+    B = np.array(b_c, dtype=np.uint64)
+    P = np.uint64(_P31)
+    n_p = int(n_perm)
 
-    def step(acc, h):
-        # low 31 bits of the 64-bit shingle hash (x = p collapses to 0
-        # mod p — a 2^-31 per-shingle event, same order as any hash
-        # collision); a*x+b < p^2+p < 2^62 (never throws under ANSI)
-        x = h.bitwiseAND(P)
+    def _sig_impl(hs_s: pd.Series) -> pd.Series:
+        # Identical arithmetic to the former Catalyst fold, vectorized:
+        # x = low 31 bits of the shingle hash (x = p collapses to 0 mod p
+        # — a 2^-31 per-shingle event, same order as any hash collision);
+        # a*x+b <= (p-1)p + (p-1) < 2^62 (no uint64 overflow); two-step
+        # Mersenne-31 reduction v -> w1 < 2^32 -> w2 <= p+1 ->
+        # conditional subtract. Exact parity with the expression form was
+        # verified element-wise over the sf1.0 corpus (0 mismatches).
+        nulls = hs_s.isna().to_numpy()
+        lens = np.fromiter(
+            (0 if n else len(a) for a, n in zip(hs_s, nulls)),
+            dtype=np.int64,
+            count=len(hs_s),
+        )
+        out = np.empty((len(hs_s), n_p), dtype=np.uint64)
+        nz = lens > 0
+        if lens.sum():
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in hs_s[nz]]
+            ).view(np.uint64)
+            x = flat & P
+            v = x[:, None] * A[None, :] + B[None, :]
+            w1 = (v & P) + (v >> np.uint64(31))
+            w2 = (w1 & P) + (w1 >> np.uint64(31))
+            w2 = np.where(w2 >= P, w2 - P, w2)
+            offs = np.concatenate(
+                [np.zeros(1, dtype=np.int64), np.cumsum(lens[nz])[:-1]]
+            )
+            out[nz] = np.minimum.reduceat(w2, offs, axis=0)
+        out[~nz] = P  # empty input -> n_perm copies of p (doc contract)
+        res = list(out.view(np.int64))
+        for i in np.flatnonzero(nulls):
+            res[i] = None  # NULL array in, NULL signature out
+        return pd.Series(res, dtype=object)
 
-        def permval(a, b):
-            v = a * x + b
-            # two-step Mersenne-31 reduction: v < 2^62 -> w1 < 2^32
-            # -> w2 <= p+1 -> conditional subtract
-            w1 = v.bitwiseAND(P) + F.shiftrightunsigned(v, 31)
-            w2 = w1.bitwiseAND(P) + F.shiftrightunsigned(w1, 31)
-            return F.when(w2 >= P, w2 - P).otherwise(w2)
-
-        return F.zip_with(acc, F.zip_with(A, B, permval),
-                          lambda m, v: F.least(m, v))
-
-    init = F.array_repeat(P.cast("bigint"), n_perm)
-    return F.aggregate(hash_col, init, step)
+    # Round 6 (optimization): the former one-pass ``F.aggregate`` fold is
+    # a higher-order function, and HOF lambda bodies are evaluated by the
+    # INTERPRETED expression path per element — n_perm x |hs| interpreted
+    # permval trees per row dominated the signature stage (7.7-8.6s for
+    # the 50k-doc sf1.0 corpus; a per-permutation transform/array_min
+    # variant and a fused single-zip_with fold both measured no better).
+    # The same arithmetic as ONE Arrow-vectorized numpy batch op (the
+    # dedup/simhash.py majority-bits pattern, guide §4.2) runs the stage
+    # in 1.6-2.2s warm. Built per call, not cached: pandas_udf needs an
+    # active SparkSession (module import stays session-free).
+    return F.pandas_udf(_sig_impl, "array<long>")(hash_col)
 
 
 def band_rows(sig_df: DataFrame, n_perm: int, bands: int) -> DataFrame:

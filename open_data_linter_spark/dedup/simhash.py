@@ -92,13 +92,11 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Pairs (id_a < id_b) with hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Candidate pairing is ONE shuffle: groupBy (band, band-bits) collects
-    each bucket's (id, simhash) members and expands in-bucket pairs with a
-    Catalyst array comprehension — replacing the former banded self-join +
-    dropDuplicates chain (two more exchanges, plus the first-run race where
-    both join sides computed the not-yet-populated lazy persist). Same
-    shape as dedup/minhash.py. ``max_bucket_size`` optionally drops
-    pathological buckets (m members => m² candidates) before expansion;
+    Candidate pairing is a banded self-join on (band, band-bits) with the
+    exact hamming verification inlined in the join condition, so raw
+    candidates are enumerated in codegen and never materialized or
+    shuffled (see the inline note). ``max_bucket_size`` optionally drops
+    pathological buckets (m members => m² candidates) before the join;
     the default keeps every candidate, matching the exhaustive-blocking
     semantics of 16-bit bands.
     """
@@ -134,43 +132,48 @@ def simhash_near_duplicates(
             )
         ).alias("bb"),
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    # bucket members sorted by id so expanded pairs are (id_a < id_b);
-    # members carry the signature, so no join back to sigs is needed (and
-    # with the signature shuffled alongside, nothing re-reads sigs — the
-    # lazy-persist double-compute of the former self-join is structurally
-    # gone, so no persist of sigs is needed at all)
-    buckets = banded.groupBy("band", "bh").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("id"), F.col("simhash")))
-        ).alias("ms")
-    )
     if max_bucket_size is not None:
-        buckets = buckets.where(F.size("ms") <= max_bucket_size)
-    buckets = buckets.where(F.size("ms") >= 2)
-    pair_expr = F.flatten(
-        F.transform(
-            F.slice(F.col("ms"), 1, F.size("ms") - 1),
-            lambda a, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size("ms")),
-                lambda b: F.struct(
-                    a["id"].alias("id_a"),
-                    b["id"].alias("id_b"),
-                    a["simhash"].alias("sh_a"),
-                    b["simhash"].alias("sh_b"),
-                ),
-            ),
+        counts = banded.groupBy("band", "bh").agg(
+            F.count(F.lit(1)).alias("__m")
         )
+        banded = (
+            banded.join(counts, ["band", "bh"])
+            .where(F.col("__m") <= max_bucket_size)
+            .drop("__m")
+        )
+    # Round 6 (optimization): in-bucket pairs come from a banded
+    # self-join with the hamming test INSIDE the join condition, not from
+    # a collect_list + array-comprehension expansion. On a corpus with
+    # hot buckets (sf1.0: 18k buckets, the largest 1,740 members) the
+    # comprehension materialized 23.6M candidate structs through
+    # interpreted HOF lambdas — single giant in-memory arrays on the hot
+    # buckets — and shuffled ALL of them through dropDuplicates before
+    # the hamming filter ran. The join enumerates the same pairs in
+    # whole-stage codegen, filters them on the spot (filter-then-dedup ==
+    # dedup-then-filter: hamming is a function of the row), and only the
+    # ~0.2% survivors reach the dedup exchange. Both join sides shuffle
+    # the identical narrow (id, simhash, band, bh) frame, so Spark
+    # reuses one exchange (ReusedExchange); l.id < r.id keeps the
+    # (id_a < id_b) contract and excludes self-pairs.
+    l, r = banded.alias("l"), banded.alias("r")
+    hamming = F.bit_count(
+        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
     )
-    cand = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
-        # duplicate id rows sort adjacent and would expand to self-pairs
-        .where(F.col("id_a") != F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        cand.select("id_a", "id_b", hamming.alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bh") == F.col("r.bh"),
+                F.col("l.id") < F.col("r.id"),
+                hamming <= F.lit(max_hamming),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )

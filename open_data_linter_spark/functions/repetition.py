@@ -15,15 +15,20 @@ WITHIN-document analog, per n-gram size:
   than once in the document (n=1 gives 1 - type/token boundary signal)
 - ``top_gram_rate``  — occurrence share of the single most frequent n-gram
 
-Scale design: everything is computed INSIDE one narrow projection — per
-document the gram array is xxhash64-hashed, sorted, and folded with a
-single ``F.aggregate`` run-length pass (O(m log m) per row, no UDF). The
-token/occurrence stream is never exploded and never shuffled: the operator
-is embarrassingly parallel over documents, which is the plan you want when
-the corpus is 100 TB and the per-doc state is a few kilobytes. (Contrast
-dedup/spans.py, which must shuffle because its statistic is cross-doc.)
+Scale design: the operator is embarrassingly parallel over documents —
+nothing is exploded or shuffled, which is the plan you want when the
+corpus is 100 TB and the per-doc state is a few kilobytes. Round 6: the
+per-(doc, n) counters are computed in ONE Arrow-vectorized numpy batch op
+over the per-TOKEN xxhash64 stream (the dedup/simhash.py pattern, guide
+§4.2) — the former shape built three gram-string arrays and folded each
+with ``F.aggregate``, and higher-order-function lambdas evaluate on the
+interpreted expression path per element, which made gram construction +
+fold the whole cost of the operator (13.5s -> ~3s at sf1.0). N-gram
+equality is decided on the n-tuple of token hashes (tokens never contain
+whitespace, so the concat_ws gram string is a bijection of the token
+tuple): identical equivalence classes, identical counters.
 
-Counting on 64-bit gram hashes is identical to counting on the gram strings
+Counting on 64-bit hashes is identical to counting on the gram strings
 up to xxhash64 collisions; the driver oracle recomputes on the raw strings
 in DuckDB and matches (same argument as dedup/spans.py ``hash_grams``).
 
@@ -35,63 +40,91 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from open_data_linter_spark.functions.text import positional_shingles
+from open_data_linter_spark.functions.text import ws_tokens
+
+# 64-bit odd multiplier (splitmix64's golden-ratio constant) for the
+# rolling tuple mix — any injective-up-to-collision combine works, the
+# counters only consume equality classes
+_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _run_length_stats(hashes: Column) -> Column:
-    """Fold a sorted hash array into repetition counters.
+def _counters_udf(ns: Sequence[int]):
+    """pandas_udf: per-token-hash-array -> flat array<long> of
+    ``4 * len(ns)`` counters, laid out [tot, distinct, dup, top] per n
+    (in ``ns`` order). Built per call (pandas_udf needs a live session).
 
-    Returns struct(tot, distinct, dup, top):
-      tot      — array length (total positions)
-      distinct — number of distinct values
-      dup      — number of positions whose value occurs > 1 time
-      top      — occurrence count of the most frequent value
-
-    Implemented as one ``F.aggregate`` run-length scan over the sorted
-    array; the accumulator carries (prev value, current run length,
-    finalized counters). xxhash64 output is never NULL, so a NULL ``prev``
-    unambiguously marks the pre-first-element state.
+    Per (doc, n), with m tokens:
+      m == 0          -> (0, 0, 0, 0)   (whitespace-only doc)
+      0 < m < n       -> (1, 1, 0, 1)   (whole-doc fallback gram)
+      m >= n          -> counters over the m-n+1 gram positions, where a
+                         gram is the n-tuple of consecutive token hashes.
     """
-    s = F.array_sort(hashes)
-    init = F.struct(
-        F.lit(None).cast("bigint").alias("prev"),
-        F.lit(0).cast("bigint").alias("run"),
-        F.lit(0).cast("bigint").alias("tot"),
-        F.lit(0).cast("bigint").alias("distinct"),
-        F.lit(0).cast("bigint").alias("dup"),
-        F.lit(0).cast("bigint").alias("top"),
-    )
+    ns = [int(n) for n in ns]
 
-    def merge(acc: Column, h: Column) -> Column:
-        same = acc["prev"].isNotNull() & (acc["prev"] == h)
-        # Close the previous run when the value changes.
-        run_dup = F.when(acc["run"] > 1, acc["run"]).otherwise(F.lit(0))
-        return F.struct(
-            h.alias("prev"),
-            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            (acc["tot"] + 1).alias("tot"),
-            F.when(same, acc["distinct"])
-            .otherwise(acc["distinct"] + 1)
-            .alias("distinct"),
-            F.when(same, acc["dup"]).otherwise(acc["dup"] + run_dup).alias("dup"),
-            F.when(same, acc["top"])
-            .otherwise(F.greatest(acc["top"], acc["run"]))
-            .alias("top"),
+    def impl(hs_s: pd.Series) -> pd.Series:
+        rows = len(hs_s)
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in hs_s),
+            dtype=np.int64,
+            count=rows,
         )
-
-    def finish(acc: Column) -> Column:
-        run_dup = F.when(acc["run"] > 1, acc["run"]).otherwise(F.lit(0))
-        return F.struct(
-            acc["tot"].alias("tot"),
-            acc["distinct"].alias("distinct"),
-            (acc["dup"] + run_dup).alias("dup"),
-            F.greatest(acc["top"], acc["run"]).alias("top"),
+        total = int(lens.sum())
+        flat = (
+            np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in hs_s if a is not None and len(a)]
+            ).view(np.uint64)
+            if total
+            else np.empty(0, dtype=np.uint64)
         )
+        row_of = np.repeat(np.arange(rows, dtype=np.int64), lens)
+        out = np.zeros((rows, 4 * len(ns)), dtype=np.int64)
+        for j, n in enumerate(ns):
+            tot = np.zeros(rows, dtype=np.int64)
+            dis = np.zeros(rows, dtype=np.int64)
+            dup = np.zeros(rows, dtype=np.int64)
+            top = np.zeros(rows, dtype=np.int64)
+            fb = (lens > 0) & (lens < n)  # whole-doc fallback gram
+            tot[fb] = 1
+            dis[fb] = 1
+            top[fb] = 1
+            ok = lens >= n
+            if total >= n:
+                nw = total - n + 1  # candidate window count over flat
+                g = flat[:nw].copy()
+                for t in range(1, n):
+                    g = g * _MIX + flat[t : nw + t]
+                valid = row_of[:nw] == row_of[n - 1 : total]
+                gr, rw = g[valid], row_of[:nw][valid]
+                order = np.lexsort((gr, rw))
+                sg, sr = gr[order], rw[order]
+                newrun = np.ones(len(sg), dtype=bool)
+                if len(sg) > 1:
+                    newrun[1:] = (sg[1:] != sg[:-1]) | (sr[1:] != sr[:-1])
+                run_starts = np.flatnonzero(newrun)
+                run_lens = np.diff(np.append(run_starts, len(sg)))
+                run_rows = sr[run_starts]
+                tot[ok] = lens[ok] - n + 1
+                dis[ok] = np.bincount(run_rows, minlength=rows)[ok]
+                dup[ok] = np.bincount(
+                    run_rows,
+                    weights=np.where(run_lens > 1, run_lens, 0),
+                    minlength=rows,
+                ).astype(np.int64)[ok]
+                tmax = np.zeros(rows, dtype=np.int64)
+                np.maximum.at(tmax, run_rows, run_lens)
+                top[ok] = tmax[ok]
+            out[:, 4 * j] = tot
+            out[:, 4 * j + 1] = dis
+            out[:, 4 * j + 2] = dup
+            out[:, 4 * j + 3] = top
+        return pd.Series(list(out))
 
-    return F.aggregate(s, init, merge, finish)
+    return F.pandas_udf(impl, "array<long>")
 
 
 def repetition_stats(
@@ -113,22 +146,11 @@ def repetition_stats(
     if not ns:
         raise ValueError("ns must be a non-empty sequence of n-gram sizes")
     c = F.col(text_col)
-    per_n = []
-    for n in ns:
-        grams = positional_shingles(c, int(n))
-        hashed = F.transform(grams, lambda g: F.xxhash64(g))
-        per_n.append(
-            F.struct(
-                F.lit(int(n)).alias("n"), _run_length_stats(hashed).alias("st")
-            )
-        )
-    st = F.col("r")["st"]
-    tot = st["tot"]
-    # spread + pin BEFORE the per-doc sort/fold projection: a single-file
+    # spread + pin BEFORE the hash/counter projection: a single-file
     # scan is ONE partition and Catalyst collapses column-independent
     # projections below a bare repartition, so without the pinned
-    # boundary the whole O(m log m)-per-row pass serializes onto one
-    # core (22.5s -> ~2s at sf0.1; the round-2 minhash trap)
+    # boundary the whole per-row pass serializes onto one core
+    # (22.5s -> ~2s at sf0.1; the round-2 minhash trap)
     from open_data_linter_spark.dedup._cache import spread_and_pin
 
     src = spread_and_pin(
@@ -137,11 +159,27 @@ def repetition_stats(
             F.trim(F.coalesce(c, F.lit(""))) != ""
         ),
     )
+    hashes = F.transform(ws_tokens(c), lambda t: F.xxhash64(t))
+    cnt = src.select(F.col(id_col), _counters_udf(ns)(hashes).alias("ct"))
+    per_n = F.array(
+        *[
+            F.struct(
+                F.lit(int(n)).alias("n"),
+                F.element_at("ct", 4 * j + 1).alias("tot"),
+                F.element_at("ct", 4 * j + 2).alias("distinct"),
+                F.element_at("ct", 4 * j + 3).alias("dup"),
+                F.element_at("ct", 4 * j + 4).alias("top"),
+            )
+            for j, n in enumerate(ns)
+        ]
+    )
+    st = F.col("r")
+    tot = st["tot"]
     return (
-        src.select(F.col(id_col), F.explode(F.array(*per_n)).alias("r"))
+        cnt.select(F.col(id_col), F.explode(per_n).alias("r"))
         .select(
             F.col(id_col),
-            F.col("r")["n"].alias("n"),
+            st["n"].alias("n"),
             tot.alias("n_grams"),
             st["distinct"].alias("distinct_grams"),
             F.round(st["dup"] / tot, 6).alias("dup_position_rate"),
