@@ -44,6 +44,11 @@ from pyspark.sql import functions as F
 from open_data_linter_spark.dedup._cache import persist_scoped, spread_and_pin
 from open_data_linter_spark.functions.text import ws_tokens
 
+# Small-vocabulary bitmask path cap (4 x 64-bit words): above this the
+# hashed-array representation is used (bit positions stop paying for
+# themselves and the mask columns stop being a handful of longs).
+_V_CAP = 256
+
 
 def apss_jaccard_pairs(
     df: DataFrame,
@@ -82,6 +87,78 @@ def apss_jaccard_pairs(
     # collect_list partials reduce nothing, so the pinned repartition
     # shuffles the same bytes the groupBy would have
     par = df.sparkSession.sparkContext.defaultParallelism
+    t_lit = F.lit(float(threshold))
+
+    # ---- round 6: vocabulary-adaptive representation. A tiny global
+    # vocabulary (the regime that ALSO makes prefix tokens hot) lets every
+    # token set live as <= _V_CAP/64 bitmask words: set intersection
+    # becomes bit_count(a & b) — pure codegen, ~100x cheaper per enumerated
+    # candidate than an array_intersect hash-set build — and the per-doc
+    # state is 4 longs instead of a string array. The probe is one
+    # limit(cap+1) head collect (the rate.robust_z auto-probe pattern);
+    # above the cap the general hashed-array path below runs unchanged.
+    # Rank order (tdf asc, tok asc) is the same rarity order the general
+    # path sorts by, so prefixes — and therefore candidates — are
+    # identical; correctness needs only SOME consistent global order.
+    head = dfc.limit(_V_CAP + 1).collect()
+    if len(head) <= _V_CAP:
+        vocab = sorted((row["tdf"], row["tok"]) for row in head)
+        mapping = df.sparkSession.createDataFrame(
+            [(tok, i) for i, (_tdf, tok) in enumerate(vocab)],
+            "tok string, rank int",
+        )
+        ranked = (
+            exploded.join(F.broadcast(mapping), "tok")
+            .repartition(par, "id")
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_list("rank")).alias("ranks"))
+        )
+        sets = ranked.groupBy("ranks").agg(
+            F.sort_array(F.collect_list("id")).alias("ids")
+        )
+        n = F.size("ranks")
+        prefix_len = (n - F.ceil(t_lit * n) + 1).cast("int")
+        words = max(1, (len(head) + 63) // 64)
+        # power-of-two lookup: F.shiftleft takes only a LITERAL shift, so
+        # the per-rank bit comes from a 64-literal array (bit 63 = sign)
+        pow2 = F.array(
+            *[F.lit((1 << b) if b < 63 else -(1 << 63)) for b in range(64)]
+        )
+
+        def mask_word(w: int):
+            return F.aggregate(
+                F.filter(
+                    F.col("ranks"), lambda rk: F.shiftright(rk, 6) == F.lit(w)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, rk: acc.bitwiseOR(
+                    F.element_at(pow2, rk.bitwiseAND(F.lit(63)) + 1)
+                ),
+            )
+
+        pref = sets.select(
+            F.element_at("ids", 1).alias("gid"),
+            "ids",
+            n.alias("n_toks"),
+            *[mask_word(w).alias(f"m{w}") for w in range(words)],
+            F.slice("ranks", F.lit(1), prefix_len).alias("prefix"),
+        )
+        pref = persist_scoped("apss.pref", pref)
+        index = pref.select(
+            "gid",
+            "n_toks",
+            *[f"m{w}" for w in range(words)],
+            F.posexplode("prefix").alias("pos", "tok"),
+        )
+        l, r = index.alias("l"), index.alias("r")
+        inter_g = sum(
+            F.bit_count(
+                F.col(f"l.m{w}").bitwiseAND(F.col(f"r.m{w}"))
+            )
+            for w in range(words)
+        ).cast("double")
+        return _prefix_join_and_expand(l, r, inter_g, pref, t_lit, par)
+
     ordered = (
         exploded.join(dfc, "tok")
         .repartition(par, "id")
@@ -131,14 +208,23 @@ def apss_jaccard_pairs(
     inter_g = F.size(F.array_intersect(F.col("l.hs"), F.col("r.hs"))).cast(
         "double"
     )
-    # |A∪B| = |A| + |B| − |A∩B| exactly (the hs arrays are distinct-token
-    # hash SETS; within-doc xxhash64 collisions are already excluded by
-    # the oracle-parity argument) — deriving it saves the second hash-set
-    # build per enumerated candidate that array_union would cost
+    return _prefix_join_and_expand(l, r, inter_g, pref, t_lit, par)
+
+
+def _prefix_join_and_expand(l, r, inter_g, pref, t_lit, par: int) -> DataFrame:
+    """Shared candidate join + verification + member expansion over a
+    distinct-set prefix index: ``l``/``r`` are the (gid, n_toks, <set
+    repr>, pos, tok) index sides, ``inter_g`` the exact intersection-size
+    expression over one (l, r) pair, ``pref`` the persisted distinct-set
+    frame carrying (gid, ids)."""
+    # |A∪B| = |A| + |B| − |A∩B| exactly (the set representations are
+    # distinct-token sets; within-doc xxhash64 collisions are already
+    # excluded by the oracle-parity argument) — deriving it saves the
+    # second hash-set build per enumerated candidate that array_union
+    # would cost
     union_g = (
         F.col("l.n_toks") + F.col("r.n_toks") - inter_g
     ).cast("double")
-    t_lit = F.lit(float(threshold))
     # ppjoin positional filter (Xiao/Wang/Lin/Yu WWW'08, exact): for the
     # pair's FIRST common token, sitting at prefix positions (i, j), the
     # achievable overlap is at most 1 + min(|A|-i-1, |B|-j-1); a true

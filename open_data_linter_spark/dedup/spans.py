@@ -266,10 +266,17 @@ def remove_duplicate_spans(
         .agg(F.array_sort(F.collect_list(F.struct("rs", "re"))).alias("drops"))
     )
     drops_arr = F.coalesce(F.col("drops"), F.array().cast(_EMPTY_RUNS))
-    kept_idx = F.filter(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: ~F.exists(drops_arr, lambda d: (i >= d["rs"]) & (i <= d["re"])),
+    # Round 6 (optimization): dropped runs are DISJOINT maximal intervals,
+    # so the kept indices are a native set difference — the former
+    # per-token ``F.exists`` over the drops array was an O(n_tokens x
+    # n_drops) interpreted-HOF scan per doc; ``array_except`` builds one
+    # hash set per doc natively and preserves the first array's order
+    # (sequence has no duplicates), so the kept set and its order are
+    # identical.
+    dropped_pos = F.flatten(
+        F.transform(drops_arr, lambda d: F.sequence(d["rs"], d["re"]))
     )
+    kept_idx = F.array_except(F.sequence(F.lit(0), n - 1), dropped_pos)
     return (
         # the reassembly projection (per-token nested-HOF filter) is the
         # third heavy-on-small-rows stage: pin the final join's width too

@@ -87,3 +87,30 @@ def test_apss_threshold_validation(docs):
         apss_jaccard_pairs(docs, threshold=0.0)
     with pytest.raises(ValueError):
         apss_jaccard_pairs(docs, threshold=1.5)
+
+
+@pytest.mark.parametrize("seed,threshold", [(21, 0.3), (22, 0.7)])
+def test_apss_large_vocab_general_path(spark, seed, threshold):
+    """Same losslessness over a vocabulary ABOVE the bitmask cap, so the
+    general hashed-array path runs (round 6 added a small-vocabulary
+    bitmask branch; this pins the branch the small fixtures no longer
+    exercise)."""
+    from open_data_linter_spark.dedup import apss as apss_mod
+
+    rng = random.Random(seed)
+    vocab = [f"tok{i:04d}" for i in range(apss_mod._V_CAP + 40)]
+    rows = []
+    for i in range(40):
+        n = rng.randint(1, 15)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    rows.append((200, rows[2][1]))  # identical-set pair
+    rows.append((201, rows[3][1] + " tok0000"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in apss_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    want = _exact_pairs(rows, threshold)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=5e-7)
