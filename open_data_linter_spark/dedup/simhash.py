@@ -151,10 +151,12 @@ def simhash_near_duplicates(
     # the hamming filter ran. The join enumerates the same pairs in
     # whole-stage codegen, filters them on the spot (filter-then-dedup ==
     # dedup-then-filter: hamming is a function of the row), and only the
-    # ~0.2% survivors reach the dedup exchange. Both join sides shuffle
-    # the identical narrow (id, simhash, band, bh) frame, so Spark
-    # reuses one exchange (ReusedExchange); l.id < r.id keeps the
-    # (id_a < id_b) contract and excludes self-pairs.
+    # ~0.2% survivors reach the dedup exchange. The band rows are narrow
+    # (id, simhash, band, bh), so the planner broadcasts one side while
+    # the frame fits (no exchange at all — the sf1.0 plan); past the
+    # broadcast threshold both sides shuffle the identical frame and
+    # Spark reuses one exchange. l.id < r.id keeps the (id_a < id_b)
+    # contract and excludes self-pairs.
     l, r = banded.alias("l"), banded.alias("r")
     hamming = F.bit_count(
         F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))

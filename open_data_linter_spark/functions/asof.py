@@ -81,6 +81,13 @@ def asof_join(
         c: (c + suffix if c in left.columns else c)
         for c in [right_time] + right_cols
     }
+    if len(set(out_names.values())) != len(out_names):
+        # e.g. right has both 'v' and 'v_r' while left has 'v': suffixing
+        # would emit duplicate field names and make getField ambiguous
+        raise ValueError(
+            f"asof_join: suffixed right column names collide: "
+            f"{sorted(out_names.values())}"
+        )
 
     payload = F.struct(
         F.col(right_time).alias(out_names[right_time]),
@@ -109,6 +116,16 @@ def asof_join(
     u = u.withColumn(_PAYLOAD, matched).where(
         F.col(_SIDE) == F.lit(1 if direction == "backward" else 0)
     )
+    if direction == "forward":
+        # NULL-time left rows sort into the NULLS FIRST prefix, where the
+        # [currentRow, unboundedFollowing] frame spans the whole partition
+        # and first() would match the key's EARLIEST right row; the
+        # documented contract is a NULL match (backward gets it for free
+        # from the frame definition — no right payload precedes the
+        # prefix)
+        u = u.withColumn(
+            _PAYLOAD, F.when(F.col(left_time).isNotNull(), F.col(_PAYLOAD))
+        )
     if tolerance_s is not None:
         mt = F.col(_PAYLOAD).getField(out_names[right_time])
         lag = _micros(mt) - _micros(F.col(left_time))

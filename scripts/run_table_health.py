@@ -52,25 +52,36 @@ def main(argv=None) -> int:
     spark = get_spark("table-health", master=args.master)
     t0 = time.time()
     df = spark.read.parquet(args.table)
-    rep = table_health_report(df, spec, gate=not args.no_gate)
-    # collect once, write the collected rows back — re-running the
-    # unioned multi-family plan for the sink would pay every
-    # full-table aggregation twice
-    rows = rep.collect()
+    from pyspark.sql import functions as F
+
+    # persist, write, then summarize with a small agg — never a driver
+    # collect of the findings: row-level violation families make the
+    # findings set proportional to table dirtiness, and a large dirty
+    # table would OOM this entry point (round-5 ADVICE item). The persist
+    # keeps the unioned multi-family plan from re-running every
+    # full-table aggregation for the second action.
+    rep = table_health_report(df, spec, gate=not args.no_gate).persist()
 
     out_findings = os.path.join(args.out, "findings")
-    spark.createDataFrame(rows, rep.schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(out_findings)
+    rep.coalesce(1).write.mode("overwrite").parquet(out_findings)
 
-    n_failed = sum(1 for r in rows if r.ok is False)
-    n_skipped = sum(1 for r in rows if r.metric == "skipped")
+    agg = rep.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("ok") == F.lit(False), 1).otherwise(0)
+        ).alias("n_failed"),
+        F.sum(
+            F.when(F.col("metric") == F.lit("skipped"), 1).otherwise(0)
+        ).alias("n_skipped"),
+        F.sort_array(F.collect_set("family")).alias("families"),
+    ).collect()[0]
+    rep.unpersist()
     summary = {
         "table": args.table,
-        "n_findings": len(rows),
-        "n_failed": n_failed,
-        "n_skipped": n_skipped,
-        "families": sorted({r.family for r in rows}),
+        "n_findings": agg["n"],
+        "n_failed": agg["n_failed"],
+        "n_skipped": agg["n_skipped"],
+        "families": list(agg["families"]),
         "wall_s": round(time.time() - t0, 3),
     }
     os.makedirs(args.out, exist_ok=True)
@@ -79,7 +90,7 @@ def main(argv=None) -> int:
     print(json.dumps(summary, sort_keys=True))
     if not pre_existing:  # don't tear down a caller-owned session
         spark.stop()
-    return 2 if n_skipped else (1 if n_failed else 0)
+    return 2 if agg["n_skipped"] else (1 if agg["n_failed"] else 0)
 
 
 if __name__ == "__main__":

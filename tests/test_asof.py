@@ -78,6 +78,22 @@ def test_forward_matches_earliest_at_or_after(sides):
     assert out["a"]["v"] == 2.0  # inclusive tie at 10:00
     assert out["b"]["v"] is None  # nothing after 12:00
     assert out["other-key"]["v"] is None  # right row is before
+    # round-5 ADVICE: a NULL left timestamp sorts into the NULLS FIRST
+    # prefix, where the following-frame first() used to match the key's
+    # EARLIEST right row — the documented contract is a NULL match
+    assert out["null-ts"]["v"] is None and out["null-ts"]["rt"] is None
+
+
+def test_suffix_collision_raises(spark):
+    left = spark.createDataFrame([(1, _ts(1, 10), 5.0)], "k int, t timestamp, v double")
+    right = spark.createDataFrame(
+        [(1, _ts(1, 9), 7.0, "y")], "k int, t timestamp, v double, v_r string"
+    )
+    # right carries both v and v_r while left has v: suffixing v would
+    # collide with the real v_r column — must raise, not emit an
+    # ambiguous duplicate payload field
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, ["k"], "t", "t")
 
 
 def test_collision_suffix_and_payload_selection(spark):
