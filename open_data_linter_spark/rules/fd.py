@@ -27,14 +27,14 @@ NULL)``, a formulation every SQL engine replays verbatim.
 
 Plan shape: ONE shuffle — the determinant groupBy with partial (map-side)
 aggregation — followed by a single-row global aggregate and a ``stack``
-unpivot; nothing is collected. CAVEAT (same class as rules/snapshot.py):
-with k>1 dependents the exact path puts k ``count(DISTINCT)`` in one
-aggregate and Catalyst plans an Expand — shuffle rows multiply by ~k+1
-and the distinct counters lose map-side combining. ``approx=True``
-switches to HyperLogLog ``approx_count_distinct`` (mergeable, no Expand;
-an FD violation is ndv>1, well inside HLL's error regime for the
-screening use) — that is the 10^12-row mode; exact is the default so the
-oracle twin replays bit-for-bit.
+unpivot; nothing is collected. Round 6: the exact summary path decides
+ndv>1 from min/max/counts (see the inline derivation), so even k>1
+dependents plan NO Expand and every aggregate keeps map-side combining;
+``approx=True`` keeps the mergeable HyperLogLog shape for dependents
+whose type is not orderable. ``fd_violating_groups`` still reports ndv
+VALUES, so its single count(DISTINCT) (and its Expand with the
+coexisting min/max evidence aggs) remains — the drill-down runs on one
+already-identified FD, not the screening sweep.
 
 ``fd_violating_groups`` is the drill-down: the violating determinant
 groups themselves with their distinct-dependent counts and the
@@ -77,9 +77,30 @@ def check_functional_dependency(
     if overlap:
         raise ValueError(f"columns on both sides of the FD: {sorted(overlap)}")
 
+    # Round 6 (optimization): the summary only consumes ndv through
+    # "> 1", and ndv >= 2 (null-safe: NULL is a value) is decidable from
+    # min/max/counts alone —
+    #   ndv_nonnull >= 2            <=> min(c) != max(c)
+    #   ndv_nonnull = 1 AND has-null <=> 0 < count(c) < count(*)
+    # — so the exact path needs NO count(DISTINCT): with k dependents the
+    # former k-distinct aggregate planned an Expand (shuffle rows x ~k+1,
+    # and the distinct counters lose map-side combining); min/max/count
+    # are plain partial-aggregable functions (guide §2.3 "aggregate
+    # before you shuffle"). min/max require an orderable dependent type —
+    # the same types countDistinct-based grouping supported in practice.
+    # approx=True keeps the mergeable HLL shape unchanged.
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in dependents:
-        aggs.append(_ndv(c, approx).alias(f"__ndv_{c}"))
+        if approx:
+            aggs.append(_ndv(c, True).alias(f"__ndv_{c}"))
+        else:
+            aggs.extend(
+                [
+                    F.count(F.col(c)).alias(f"__cnt_{c}"),
+                    F.min(F.col(c)).alias(f"__min_{c}"),
+                    F.max(F.col(c)).alias(f"__max_{c}"),
+                ]
+            )
     g = df.groupBy(*[F.col(c) for c in determinant]).agg(*aggs)
 
     met = [
@@ -87,7 +108,14 @@ def check_functional_dependency(
         F.sum("__n").alias("__rows"),
     ]
     for c in dependents:
-        viol = F.col(f"__ndv_{c}") > 1
+        if approx:
+            viol = F.col(f"__ndv_{c}") > 1
+        else:
+            viol = F.coalesce(
+                F.col(f"__min_{c}") != F.col(f"__max_{c}"), F.lit(False)
+            ) | (
+                (F.col(f"__cnt_{c}") > 0) & (F.col(f"__cnt_{c}") < F.col("__n"))
+            )
         met.append(F.sum(viol.cast("long")).alias(f"__vg_{c}"))
         met.append(
             F.sum(F.when(viol, F.col("__n")).otherwise(F.lit(0))).alias(

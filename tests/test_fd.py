@@ -68,10 +68,19 @@ def test_fd_holding_dependency_and_approx_parity(spark):
     assert "Expand" not in ap._jdf.queryExecution().executedPlan().toString()
 
 
-def test_fd_exact_multi_dependent_plans_expand(spark):
-    # documented caveat: k>1 exact count(DISTINCT) in one agg -> Expand
+def test_fd_exact_multi_dependent_plans_no_expand(spark):
+    # round 6: the exact path decides ndv>1 from min/max/counts, so even
+    # k>1 dependents plan NO Expand (the former k-distinct aggregate
+    # multiplied shuffle rows by ~k+1 and lost map-side combining)
     ex = check_functional_dependency(_df(spark), ["zip"], ["city", "x"])
-    assert "Expand" in ex._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in ex._jdf.queryExecution().executedPlan().toString()
+    # and the rewrite agrees with the distinct-based summary row-for-row
+    got = {r.dependent: (r.violating_groups, r.violating_rows)
+           for r in ex.collect()}
+    # city: zip2 (b,c over 3 rows) + zip3 (d,NULL over 2 rows);
+    # x: every multi-row zip group has distinct x (zip1 2 + zip2 3 +
+    # zip3 2 rows), the NULL-zip single row holds
+    assert got == {"city": (2, 5), "x": (3, 7)}
 
 
 def test_fd_violating_groups_evidence(spark):
