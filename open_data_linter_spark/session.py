@@ -60,6 +60,11 @@ def get_spark(
         # core-count-independent cost otherwise (BENCH/BASELINE.md floor)
         .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # declared results are materialized to the driver by the bench
+        # contract; the largest (fuzzy_link_parts, ~48M rows at sf1.0)
+        # sits near the 1g default task-result cap — headroom, not a
+        # behavior change (the same rows were always collected)
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
