@@ -175,6 +175,28 @@ def _column_values(col) -> list:
 
     t = col.type
     n = col.length()
+    if pa.types.is_timestamp(t) and t.unit == "us" and t.tz is None and n > 0:
+        # to_pylist builds each datetime one Python call at a time (~3M
+        # objects for the interval-violation result); numpy's
+        # datetime64[us] -> object conversion produces the IDENTICAL
+        # datetime.datetime values at C speed. Nulls are filled with
+        # epoch for the vector pass and restored afterwards.
+        mask = None
+        if col.null_count:
+            mask = col.is_null().to_numpy(zero_copy_only=False)
+        micros = (
+            col.cast(pa.int64())
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
+        )
+        out = (
+            np.datetime64(0, "us") + micros.view("timedelta64[us]")
+        ).tolist()
+        if mask is not None:
+            for i in np.flatnonzero(mask):
+                out[i] = None
+        return out
     if col.null_count == 0 and n > 0:
         dictionary_worthy = (
             pa.types.is_string(t)

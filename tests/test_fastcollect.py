@@ -43,6 +43,17 @@ def test_safe_types_identical(spark):
     _assert_identical(CDF.collect(df), wrapped.collect())
 
 
+def test_ntz_timestamp_with_nulls_identical(spark):
+    df = spark.sql(
+        "SELECT * FROM VALUES"
+        " (timestamp_ntz'2024-03-04 05:06:07.123456'),"
+        " (timestamp_ntz'1969-12-31 23:59:59.000001'),"
+        " (timestamp_ntz'1970-01-01 00:00:00'),"
+        " (CAST(NULL AS timestamp_ntz)) AS t(ts)"
+    )
+    _assert_identical(CDF.collect(df), arrow_collected(df).collect())
+
+
 def test_tz_timestamp_identical_under_utc(spark):
     # this test environment is UTC/UTC, so the tz-timestamp gate engages
     # and pc.local_timestamp must reproduce the pickle path's naive
