@@ -40,7 +40,6 @@ SHIFT_COLS = {
         "l_suppkey": "supplier",
     },
     "events": {"event_id": "events", "user_id": "users"},
-    "embeddings": {"vec_id": "embeddings"},
 }
 COPY_TABLES = ("region", "nation")
 
@@ -88,6 +87,36 @@ def main() -> None:
         )
         print(f"{t}: {sizes[t]} -> {sizes[t] * factor} rows")
 
+    # ---- embeddings: clone with small deterministic per-rep noise ----
+    # (exact-duplicate vectors would degenerate the ANN index geometry —
+    # ties everywhere, k-means cells with stacked points — and distort
+    # knn probe timings; the driver's sf1.0 vectors are all distinct)
+    emb = con.execute(
+        f"SELECT vec_id, embedding, label FROM "
+        f"read_parquet('{src}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    n_emb = len(emb)
+    erows = []
+    for rep in range(factor):
+        rng = np.random.default_rng(771_000 + rep)
+        for vid, vec, label in emb:
+            v = np.asarray(vec, dtype=np.float32)
+            if rep > 0:
+                v = v + rng.normal(0.0, 0.01, size=v.shape).astype(np.float32)
+            erows.append((rep * n_emb + vid, v.tolist(), label))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    etbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in erows], pa.int64()),
+            "embedding": pa.array([r[1] for r in erows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in erows], pa.int32()),
+        }
+    )
+    pq.write_table(etbl, f"{out}/embeddings.parquet")
+    print(f"embeddings: {n_emb} -> {len(erows)} rows (perturbed clones)")
+
     # ---- documents: resample, don't clone ----
     rows = con.execute(
         f"SELECT text, lang, source FROM read_parquet('{src}/documents.parquet') "
@@ -124,9 +153,6 @@ def main() -> None:
              len(texts[i]) if texts[i] is not None else None)
             for i in range(n)
         ]
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     tbl = pa.table(
         {
             "doc_id": pa.array([r[0] for r in out_rows], pa.int64()),
