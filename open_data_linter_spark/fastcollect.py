@@ -213,6 +213,10 @@ def _column_values(col) -> list:
                 vals = np.asarray(enc.dictionary.to_pylist(), dtype=object)
                 parts.append(vals[enc.indices.to_numpy()])
             if parts is not None:
+                # tolist() on purpose: zip iterates lists faster than
+                # numpy's object-array iterator (measured — returning
+                # the ndarray regressed the row build more than the
+                # saved list materialization)
                 return np.concatenate(parts).tolist()
         if pa.types.is_integer(t) or pa.types.is_floating(t):
             return col.to_numpy().tolist()
