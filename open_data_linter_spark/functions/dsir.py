@@ -25,9 +25,12 @@ Plan shape at 100 TB:
   features for exactly this reason) the per-feature log-ratio table has at
   most ``buckets`` rows, so the scoring join is a BROADCAST: the raw
   corpus is scored with NO second shuffle. ``buckets=None`` keeps raw
-  string features — the ratio table is vocabulary-sized and the scoring
-  join shuffles on the feature key; use it for oracle-exact parity and
-  modest corpora.
+  string features — the ratio table is vocabulary-sized; a probe of the
+  (persisted) count table broadcasts it while it stays under
+  ``_RATIO_BROADCAST_CAP`` features and otherwise shuffles BOTH sides on
+  the feature key with the hash table built from the ratio side (the
+  join choice is explicit: left to estimates, the planner was measured
+  broadcasting the exploded CORPUS side — round 6).
 - ``dsir_select``'s global top-k is TakeOrderedAndProject (per-partition
   heaps + a driver merge of k rows), never a full sort.
 
@@ -46,6 +49,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from open_data_linter_spark.functions.text import adjacent_pairs, ws_tokens
+
+
+# unhashed-path broadcast cap for the per-feature log-ratio table
+# (~50-100MB at 1M string features — comfortably under the session's
+# executor memory; beyond it the scoring join shuffles on f instead)
+_RATIO_BROADCAST_CAP = 1 << 20
 
 
 def ngram_bag(c: Column) -> Column:
@@ -129,32 +138,43 @@ def importance_weights(
             F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
         ),
     )
-    v = (
-        F.lit(float(buckets))
-        if buckets is not None
-        else F.col("V").cast("double")
-    )
-    scalars = u.agg(
+    # Round 6: the model scalars are ONE row over the persisted count
+    # table — collect them (the repo's allowed single-agg-row pattern)
+    # and inline them as literals. The former crossJoin(broadcast(
+    # scalars)) route inflated the ratio table's size estimate through
+    # the full-outer + cross joins so badly that the planner BROADCAST
+    # THE EXPLODED CORPUS side of the scoring join instead (~5M feature
+    # rows / ~150MB built single-threaded at sf1.0, and corpus-sized at
+    # 100 TB — the exact inverse of the intended shape). The literals
+    # produce bit-identical doubles (same cast, same arithmetic), and V
+    # doubles as the vocabulary probe for the deliberate join choice
+    # below (guide §3.1).
+    srow = u.agg(
         F.sum("c_raw").alias("T_raw"),
         F.sum("c_tgt").alias("T_tgt"),
         F.count("*").alias("V"),
-    )
+    ).collect()[0]
+    n_vocab = int(srow["V"])
+    t_raw = F.lit(float(srow["T_raw"] or 0)).cast("double")
+    t_tgt = F.lit(float(srow["T_tgt"] or 0)).cast("double")
+    v = F.lit(float(buckets) if buckets is not None else float(n_vocab))
     a = F.lit(float(alpha))
-    ratio = u.crossJoin(F.broadcast(scalars)).select(
+    ratio = u.select(
         "f",
         (
-            F.log(
-                (F.col("c_tgt").cast("double") + a)
-                / (F.col("T_tgt").cast("double") + a * v)
-            )
-            - F.log(
-                (F.col("c_raw").cast("double") + a)
-                / (F.col("T_raw").cast("double") + a * v)
-            )
+            F.log((F.col("c_tgt").cast("double") + a) / (t_tgt + a * v))
+            - F.log((F.col("c_raw").cast("double") + a) / (t_raw + a * v))
         ).alias("lr"),
     )
-    if buckets is not None:
+    if buckets is not None or n_vocab <= _RATIO_BROADCAST_CAP:
+        # bounded ratio table (hashed buckets, or a probed small
+        # vocabulary): broadcast it — the corpus side keeps its
+        # partitioning and the per-doc aggregation gets map-side combine
         ratio = F.broadcast(ratio)
+    else:
+        # unbounded vocabulary: shuffle BOTH sides on f, building the
+        # hash table from the ratio side — never the corpus
+        ratio = ratio.hint("shuffle_hash")
     scored = (
         raw_f.join(ratio, "f")
         .groupBy("__id")
