@@ -119,3 +119,16 @@ def test_validation_errors(spark):
         importance_weights(raw, raw, buckets=1)
     with pytest.raises(ValueError, match="k must"):
         dsir_select(raw, raw, k=0)
+
+
+def test_unhashed_path_never_builds_corpus_broadcast(spark):
+    # round 6: the scalars crossJoin inflated the ratio estimate until
+    # the planner broadcast the exploded CORPUS side of the scoring
+    # join; the fix inlines the scalars as literals (no BNLJ) and
+    # explicitly broadcasts the (probed-small) ratio table instead
+    raw = _docs(spark, [(i, f"tok{i} tok{i + 1} tok{i + 2}") for i in range(40)])
+    target = _docs(spark, [(99, "tok1 tok2 tok3 tok4")])
+    w = importance_weights(raw, target)  # buckets=None
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
